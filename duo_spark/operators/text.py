@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines (north-star).
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All pure Column expressions — whole-stage
+codegen end to end, no Python per row. Counts are integers and ratios
+are derived from integer counts, so results are exactly reproducible
+in an SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "an", "or", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish subword segmentation: split on whitespace AND on
+    letter/digit/punctuation boundaries — a cheap, deterministic proxy
+    for tokenizer-cost estimation (no tokenizer libs in-container)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # insert breaks between character classes, then split
+    marked = F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)", "$1")
+    return F.filter(F.split(marked, r"[\s]+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    tok = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach integer quality counters + derived ratios.
+
+    The classic pre-training quality gates (length, punctuation
+    density, stopword ratio, mean word length) — cheap single-pass
+    projections, trivially scan-parallel.
+    """
+    return (
+        df.withColumn("n_chars_m", char_count(text_col))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_punct", punct_count(text_col))
+        .withColumn("n_stopwords", stopword_count(text_col))
+        .withColumn(
+            "mean_token_len",
+            F.aggregate(tokens(text_col), F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+        )
+        .withColumn("stopword_ratio", F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1)))
+        .withColumn("punct_ratio", F.col("n_punct") / F.greatest(F.col("n_chars_m"), F.lit(1)))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A 0-100 heuristic quality score from the integer features."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.lit(100)
+        - F.when(F.col("n_tokens") < 10, 40).otherwise(0)
+        - F.when(F.col("stopword_ratio") < 0.05, 20).otherwise(0)
+        - F.when(F.col("punct_ratio") > 0.2, 20).otherwise(0)
+        - F.when(F.col("mean_token_len") > 12, 20).otherwise(0)
+    )
+    return feats.withColumn("quality_score", F.greatest(score, F.lit(0)))
+
+
+def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] = LANG_MARKERS) -> Column:
+    """Stopword-marker language ID: argmax over per-language marker
+    hit counts; 'und' (undetermined) when nothing matches."""
+    tok_lower = F.transform(tokens(col), F.lower)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, words in markers.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(tok_lower, lambda t: F.array_contains(sw, t)))
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (stable across
+    engines; pairs with simhash_signature for fuzzy fingerprints)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def rolling_hash_fingerprint(col: Column | str, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style fingerprint: polynomial rolling hash over token
+    windows, keep the ``keep`` smallest hashes as the document sketch.
+    Deterministic, order-independent representation for fuzzy matching."""
+    tok = tokens(col)
+    n = F.size(tok)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
+    win_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok, i + 1, window)))
+    )
+    return F.slice(F.array_sort(F.array_distinct(win_hashes)), 1, keep)

@@ -1,0 +1,164 @@
+"""Trace query operators — the `/api/traces` family (SURVEY §2.3 J1-J4,
+§2.4 A1/A3, §3.2).
+
+The reference does trace assembly in Rust application code
+(duo/src/web/services.rs:13-130): query spans, hash-group by trace_id,
+admit a trace when its ROOT span passes the predicates, fetch logs for
+admitted traces, correlate logs per span, flag errors. Here the whole
+thing is ONE distributed job:
+
+  roots(filtered) --left_semi--> spans --left_outer--> logs(span-keyed)
+     |                                        |
+  top-k trace selection               error counting (A3)
+
+Scale notes:
+- Root selection + limit happens on the (small) root subset; the
+  admitted trace_id set is bounded by ``limit`` (default 20), so the
+  semi-join side is broadcastable BY CONSTRUCTION — never a shuffle of
+  the full span table.
+- Log correlation shuffles logs once on span_id; ERROR counting is a
+  map-side partial agg.
+- The reference admits children only if they arrive after their root in
+  scan order (services.rs:34-37, order-dependent) and truncates traces
+  in HashMap order (services.rs:78-81, nondeterministic). We implement
+  the intended semantics: set-based admission, deterministic top-k by
+  root start time desc (see DEVIATIONS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TRACE_LIMIT = 20  # duo/src/web/services.rs:11
+
+
+def select_root_spans(
+    spans: DataFrame,
+    service: str | None = None,
+    operation: str | None = None,
+    start_us: int | None = None,
+    end_us: int | None = None,
+    min_duration_us: int | None = None,
+    max_duration_us: int | None = None,
+) -> DataFrame:
+    """Root spans (parent_id IS NULL) passing the trace-admission
+    predicates — duo/src/web/services.rs:38-66."""
+    out = spans.filter(F.col("parent_id").isNull())
+    if service:
+        out = out.filter(F.col("process_id").startswith(service))
+    if operation:
+        out = out.filter(F.col("name") == operation)
+    if start_us is not None:
+        out = out.filter(F.col("start") >= F.lit(start_us))
+    if end_us is not None:
+        out = out.filter(F.col("start") <= F.lit(end_us))
+    dur = F.col("end") - F.col("start")
+    if min_duration_us is not None:
+        out = out.filter(dur >= F.lit(min_duration_us))
+    if max_duration_us is not None:
+        out = out.filter(dur <= F.lit(max_duration_us))
+    return out
+
+
+def filter_traces(
+    spans: DataFrame,
+    service: str | None = None,
+    operation: str | None = None,
+    start_us: int | None = None,
+    end_us: int | None = None,
+    min_duration_us: int | None = None,
+    max_duration_us: int | None = None,
+    limit: int = DEFAULT_TRACE_LIMIT,
+) -> DataFrame:
+    """J2 — all spans of the top-``limit`` admitted traces.
+
+    Trace selection is deterministic: newest root `start` first (ties
+    by trace_id desc). The admitted id set (≤ limit rows) is broadcast
+    into a left-semi join, so the big span table shuffles zero times.
+    """
+    roots = select_root_spans(
+        spans, service, operation, start_us, end_us, min_duration_us, max_duration_us
+    )
+    admitted = (
+        roots.orderBy(F.col("start").desc(), F.col("trace_id").desc())
+        .limit(limit)
+        .select("trace_id")
+    )
+    return spans.join(F.broadcast(admitted), "trace_id", "left_semi")
+
+
+def logs_for_traces(logs: DataFrame, trace_ids: DataFrame) -> DataFrame:
+    """J3 — logs belonging to the admitted traces
+    (duo/src/web/services.rs:68-76 builds `trace_id IN (...)`; a
+    broadcast semi-join is the scale-stable equivalent)."""
+    return logs.join(
+        F.broadcast(trace_ids.select("trace_id").distinct()), "trace_id", "left_semi"
+    )
+
+
+def correlate_span_logs(spans: DataFrame, logs: DataFrame) -> DataFrame:
+    """J1 + A3 — attach per-span log rollups and the error flag.
+
+    Reference: duo/src/models.rs:80-94 — for each span, logs with
+    `log.span_id == span.id`; if any is ERROR level, tag error=true.
+    Aggregating the log side BEFORE the join keeps the join input
+    small (one row per span_id) and lets Spark broadcast it when the
+    admitted log set is bounded.
+    """
+    per_span = logs.filter(F.col("span_id").isNotNull()).groupBy("span_id").agg(
+        F.count(F.lit(1)).alias("log_count"),
+        F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
+        F.sort_array(
+            F.collect_list(F.struct("time", "level", "message"))
+        ).alias("span_logs"),
+    )
+    joined = spans.join(per_span, spans["id"] == per_span["span_id"], "left").drop(
+        "span_id"
+    )
+    return joined.withColumn(
+        "error", F.coalesce(F.col("error_count") > 0, F.lit(False))
+    ).withColumn("log_count", F.coalesce(F.col("log_count"), F.lit(0)))
+
+
+def assemble_traces(spans_with_logs: DataFrame) -> DataFrame:
+    """Group enriched spans into trace rows (TraceExt,
+    duo/src/models.rs:54-58). Span lists are sorted by start time —
+    the deterministic waterfall order the Jaeger UI derives."""
+    return spans_with_logs.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("span_count"),
+        F.min("start").alias("trace_start"),
+        F.max("end").alias("trace_end"),
+        F.max(F.col("error").cast("int")).cast("boolean").alias("has_error"),
+        F.sort_array(
+            F.collect_list(F.struct("start", "id", "parent_id", "name", "process_id", "end"))
+        ).alias("spans"),
+    )
+
+
+def distinct_operations(spans: DataFrame, service: str | None = None) -> DataFrame:
+    """A1 — distinct span names (operations) per service
+    (duo/src/web/services.rs:132-153: GROUP BY name with no aggregates)."""
+    out = spans
+    if service:
+        out = out.filter(F.col("process_id").startswith(service))
+    return out.select("name").distinct()
+
+
+def get_trace_by_id(spans: DataFrame, logs: DataFrame, trace_id: int) -> DataFrame:
+    """`/api/traces/:id` — spans of one trace enriched with logs
+    (duo/src/web/services.rs:96-130). Equality predicate on trace_id
+    reaches the parquet scan (bloom filter + row-group pruning)."""
+    tspans = spans.filter(F.col("trace_id") == F.lit(trace_id))
+    tlogs = logs.filter(F.col("trace_id") == F.lit(trace_id))
+    return correlate_span_logs(tspans, tlogs)
+
+
+def enrich_process(df: DataFrame, processes: DataFrame) -> DataFrame:
+    """J4 — broadcast-join the tiny process registry
+    (duo/src/memory.rs:90-100)."""
+    return df.join(
+        F.broadcast(processes.withColumnRenamed("id", "process_id")),
+        "process_id",
+        "left",
+    )

@@ -1,0 +1,854 @@
+"""Driver-facing query registry: every SURVEY §2 operator expressed on
+the driver's synthetic tables, each paired with a DuckDB oracle SQL.
+
+Determinism rules (the driver hash-compares values):
+- every LIMIT query has a TOTAL order (explicit tiebreakers);
+- money/measure aggregates are integer cents (round→cast) so float
+  summation order can't flip a hash;
+- ratios/cosines are rounded to 6 decimals on both sides;
+- timestamps are returned as epoch-µs BIGINT (unix_micros/epoch_us) or
+  formatted date strings — never raw timestamp columns.
+
+The span/log-shaped views are deterministic mappings of the driver
+tables (orders→root spans, lineitem→child spans / log records,
+events→log rows), so the *engine operators themselves* (search_logs,
+field_stats, filter_traces, merge_span_records, …) run inside the
+correctness gate, not ad-hoc re-implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from duo_spark.operators import dedup, similarity, text
+from duo_spark.operators.logs import field_stats, search_logs
+from duo_spark.operators.spans import merge_span_records
+from duo_spark.operators.traces import (
+    correlate_span_logs,
+    distinct_operations,
+    enrich_process,
+    filter_traces,
+    logs_for_traces,
+)
+
+# epoch µs constants (UTC)
+T_2024_01_05 = 1_704_412_800_000_000
+T_2024_01_15 = 1_705_276_800_000_000
+T_2024_01_20 = 1_705_708_800_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark only reads it as
+        # a long (ns since epoch); µs views divide by 1000 (truncating,
+        # same as DuckDB's epoch_us on a TIMESTAMP_NS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_us() -> F.Column:
+    """events.ts (ns long) -> µs epoch."""
+    return F.expr("ts div 1000")
+
+
+def _us(col: str) -> F.Column:
+    """TIMESTAMP_NTZ parquet column -> µs epoch (session TZ is UTC, so
+    the NTZ→TS cast is offset-free, matching DuckDB's epoch_us on a
+    naive timestamp)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# ---------------------------------------------------------------------
+# shaped views: driver tables -> engine-native tables
+# ---------------------------------------------------------------------
+
+def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> log table shape (process_id/time/level/message)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat_ws("-", "event_type", (F.col("user_id") % 3).cast("string")).alias("process_id"),
+        _ts_us().alias("time"),
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO").alias("level"),
+        F.col("props").alias("message"),
+        F.col("value"),
+    )
+
+
+LOGS_CTE = """
+logs AS (
+  SELECT event_type || '-' || CAST(user_id % 3 AS VARCHAR) AS process_id,
+         epoch_us(ts) AS "time",
+         user_id AS trace_id,
+         event_id AS span_id,
+         CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,
+         props AS message,
+         "value"
+  FROM events)
+"""
+
+
+def spans_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> root spans, lineitem -> child spans."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 10).alias("id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.col("o_orderkey").alias("trace_id"),
+        F.col("o_orderpriority").alias("name"),
+        F.concat(F.lit("svc-"), F.col("o_orderstatus")).alias("process_id"),
+        _us("o_orderdate").alias("start"),
+        (_us("o_orderdate") + F.round(F.col("o_totalprice") * 1000).cast("long")).alias("end"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        (F.col("l_orderkey") * 10).alias("parent_id"),
+        F.col("l_orderkey").alias("trace_id"),
+        F.col("l_returnflag").alias("name"),
+        F.concat(F.lit("svc-"), F.col("l_linestatus")).alias("process_id"),
+        _us("l_shipdate").alias("start"),
+        (_us("l_shipdate") + F.round(F.col("l_quantity") * 1_000_000).cast("long")).alias("end"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    return o.unionByName(li)
+
+
+SPANS_CTE = """
+spans AS (
+  SELECT o_orderkey*10 AS id, CAST(NULL AS BIGINT) AS parent_id, o_orderkey AS trace_id,
+         o_orderpriority AS name, 'svc-' || o_orderstatus AS process_id,
+         epoch_us(o_orderdate) AS "start",
+         epoch_us(o_orderdate) + CAST(round(o_totalprice*1000) AS BIGINT) AS "end",
+         CAST(NULL AS VARCHAR) AS tags
+  FROM orders
+  UNION ALL
+  SELECT l_orderkey*10 + l_linenumber, l_orderkey*10, l_orderkey,
+         l_returnflag, 'svc-' || l_linestatus,
+         epoch_us(l_shipdate),
+         epoch_us(l_shipdate) + CAST(round(l_quantity*1000000) AS BIGINT),
+         CAST(NULL AS VARCHAR)
+  FROM lineitem)
+"""
+
+#: lineitem -> span-keyed log records (attach to root span of the order)
+SPANLOGS_CTE = """
+spanlogs AS (
+  SELECT l_orderkey*10 AS span_id, l_orderkey AS trace_id,
+         CASE WHEN l_returnflag = 'R' THEN 'ERROR' ELSE 'INFO' END AS level,
+         epoch_us(l_shipdate) AS "time",
+         l_linestatus AS message, 'svc-' || l_linestatus AS process_id
+  FROM lineitem)
+"""
+
+
+def spanlogs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10).alias("span_id"),
+        F.col("l_orderkey").alias("trace_id"),
+        F.when(F.col("l_returnflag") == "R", "ERROR").otherwise("INFO").alias("level"),
+        _us("l_shipdate").alias("time"),
+        F.col("l_linestatus").alias("message"),
+        F.concat(F.lit("svc-"), F.col("l_linestatus")).alias("process_id"),
+    )
+
+
+# ---------------------------------------------------------------------
+# queries — duo surface (SURVEY §2.1-§2.8)
+# ---------------------------------------------------------------------
+
+def q_logs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F4+F6+F7+O1+O2 through the search_logs operator."""
+    logs = events_as_logs(spark, sf_dir)
+    return search_logs(
+        logs,
+        service="click",
+        expr="value > 50.0",
+        start_us=T_2024_01_05,
+        end_us=T_2024_01_20,
+        limit=50,
+        tiebreaker="span_id",
+    )
+
+
+SQL_LOGS_SEARCH = f"""
+WITH {LOGS_CTE}
+SELECT process_id, "time", trace_id, span_id, level, message, "value"
+FROM logs
+WHERE process_id LIKE 'click%' AND "value" > 50.0
+  AND "time" >= {T_2024_01_05} AND "time" <= {T_2024_01_20}
+ORDER BY "time" DESC, span_id DESC LIMIT 50
+"""
+
+
+def q_logs_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 keyword fallback: non-SQL expr -> message ILIKE."""
+    logs = events_as_logs(spark, sf_dir)
+    return search_logs(logs, expr='"k": 8', limit=100, tiebreaker="span_id")
+
+
+SQL_LOGS_KEYWORD = f"""
+WITH {LOGS_CTE}
+SELECT process_id, "time", trace_id, span_id, level, message, "value"
+FROM logs WHERE message ILIKE '%"k": 8%'
+ORDER BY "time" DESC, span_id DESC LIMIT 100
+"""
+
+
+def q_logs_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 offset+limit pagination."""
+    logs = events_as_logs(spark, sf_dir)
+    return search_logs(logs, skip=100, limit=50, tiebreaker="span_id")
+
+
+SQL_LOGS_PAGINATION = f"""
+WITH {LOGS_CTE}
+SELECT process_id, "time", trace_id, span_id, level, message, "value"
+FROM logs ORDER BY "time" DESC, span_id DESC LIMIT 50 OFFSET 100
+"""
+
+
+def q_field_stats_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F8/O3 through the field_stats operator."""
+    logs = events_as_logs(spark, sf_dir)
+    return field_stats(logs, "level")
+
+
+SQL_FIELD_STATS_LEVEL = f"""
+WITH {LOGS_CTE}
+SELECT level AS "value", CAST(count(level) AS BIGINT) AS count
+FROM logs WHERE level IS NOT NULL
+GROUP BY level ORDER BY count DESC, "value" ASC LIMIT 20
+"""
+
+
+def q_field_stats_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 on a higher-cardinality field (top-20 of trace_id)."""
+    logs = events_as_logs(spark, sf_dir)
+    return field_stats(logs, "trace_id")
+
+
+SQL_FIELD_STATS_TRACE = f"""
+WITH {LOGS_CTE}
+SELECT trace_id AS "value", CAST(count(trace_id) AS BIGINT) AS count
+FROM logs WHERE trace_id IS NOT NULL
+GROUP BY trace_id ORDER BY count DESC, "value" ASC LIMIT 20
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 equality filter (the trace_id = lit shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 4242).select(
+        "event_id", _ts_us().alias("time_us"), "user_id", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type,
+       round("value", 2) AS "value"
+FROM events WHERE event_id = 4242
+"""
+
+
+def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 IN-list filter + count by key."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("error", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_IN_LIST = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ('error', 'signup') GROUP BY event_type
+"""
+
+
+def q_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 hot∪cold with schema drift (unionByName allowMissingColumns)."""
+    ev = _t(spark, sf_dir, "events")
+    hot = ev.filter(_ts_us() >= T_2024_01_15).select(
+        "event_id", "event_type", "value", F.lit("hot").alias("source_tag")
+    )
+    cold = ev.filter(_ts_us() < T_2024_01_15).select("event_id", "event_type")
+    u = hot.unionByName(cold, allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_value"),
+        F.count("source_tag").alias("n_hot"),
+    )
+
+
+SQL_UNION_DRIFT = f"""
+WITH u AS (
+  SELECT event_id, event_type, "value", 'hot' AS source_tag
+  FROM events WHERE epoch_us(ts) >= {T_2024_01_15}
+  UNION ALL
+  SELECT event_id, event_type, NULL, NULL
+  FROM events WHERE epoch_us(ts) < {T_2024_01_15})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count("value") AS BIGINT) AS n_value,
+       CAST(count(source_tag) AS BIGINT) AS n_hot
+FROM u GROUP BY event_type
+"""
+
+
+def q_distinct_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 distinct span names for one service."""
+    return distinct_operations(spans_view(spark, sf_dir), service="svc-O")
+
+
+SQL_DISTINCT_OPERATIONS = f"""
+WITH {SPANS_CTE}
+SELECT DISTINCT name FROM spans WHERE process_id LIKE 'svc-O%'
+"""
+
+
+def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 span upsert-merge: open+close records -> completed spans.
+
+    Lineitems 5..7 never get a close record => stay incomplete and are
+    withheld (duo/src/aggregator.rs:32-39 semantics).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("trace_id"),
+        F.col("l_returnflag").alias("name"),
+        F.concat(F.lit("svc-"), F.col("l_linestatus")).alias("process_id"),
+        _us("l_shipdate").alias("start"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+    )
+    opens = base.select(
+        "id", (F.col("id") - F.col("l_linenumber")).alias("parent_id"), "trace_id",
+        "name", "process_id", "start", F.lit(None).cast("long").alias("end"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    closes = base.filter(F.col("l_linenumber") <= 4).select(
+        "id", F.lit(None).cast("long").alias("parent_id"), "trace_id", "name",
+        "process_id", "start",
+        (F.col("start") + F.round(F.col("l_quantity") * 1_000_000).cast("long")).alias("end"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    merged = merge_span_records(opens.unionByName(closes))
+    return merged.select("id", "parent_id", "trace_id", "name", "process_id", "start", "end")
+
+
+SQL_SPAN_MERGE = """
+WITH recs AS (
+  SELECT l_orderkey*10 + l_linenumber AS id, l_orderkey*10 AS parent_id,
+         l_orderkey AS trace_id, l_returnflag AS name,
+         'svc-' || l_linestatus AS process_id,
+         epoch_us(l_shipdate) AS "start", CAST(NULL AS BIGINT) AS "end"
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey*10 + l_linenumber, NULL, l_orderkey, l_returnflag,
+         'svc-' || l_linestatus, epoch_us(l_shipdate),
+         epoch_us(l_shipdate) + CAST(round(l_quantity*1000000) AS BIGINT)
+  FROM lineitem WHERE l_linenumber <= 4)
+SELECT id, max(parent_id) AS parent_id, min(trace_id) AS trace_id,
+       min(name) AS name, min(process_id) AS process_id,
+       min("start") AS "start", max("end") AS "end"
+FROM recs GROUP BY id HAVING max("end") IS NOT NULL
+"""
+
+
+def q_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 root-predicate trace admission + deterministic top-20."""
+    spans = spans_view(spark, sf_dir)
+    return filter_traces(spans, service="svc-O", min_duration_us=100_000_000, limit=20)
+
+
+SQL_TRACE_ASSEMBLY = f"""
+WITH {SPANS_CTE},
+roots AS (
+  SELECT * FROM spans
+  WHERE parent_id IS NULL AND process_id LIKE 'svc-O%'
+    AND ("end" - "start") >= 100000000),
+admitted AS (
+  SELECT trace_id FROM roots ORDER BY "start" DESC, trace_id DESC LIMIT 20)
+SELECT s.* FROM spans s WHERE s.trace_id IN (SELECT trace_id FROM admitted)
+"""
+
+
+def q_trace_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 logs semi-joined to admitted traces."""
+    spans = spans_view(spark, sf_dir)
+    admitted = filter_traces(spans, service="svc-O", min_duration_us=100_000_000, limit=20)
+    return logs_for_traces(spanlogs_view(spark, sf_dir), admitted)
+
+
+SQL_TRACE_LOGS = f"""
+WITH {SPANS_CTE}, {SPANLOGS_CTE},
+roots AS (
+  SELECT * FROM spans
+  WHERE parent_id IS NULL AND process_id LIKE 'svc-O%'
+    AND ("end" - "start") >= 100000000),
+admitted AS (
+  SELECT trace_id FROM roots ORDER BY "start" DESC, trace_id DESC LIMIT 20)
+SELECT l.* FROM spanlogs l WHERE l.trace_id IN (SELECT trace_id FROM admitted)
+"""
+
+
+def q_span_log_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A3 per-span log counts and error flag (scalar columns only —
+    the nested span_logs array is exercised in tests/test_traces.py)."""
+    roots = spans_view(spark, sf_dir).filter(F.col("parent_id").isNull())
+    enriched = correlate_span_logs(roots, spanlogs_view(spark, sf_dir))
+    return enriched.select(
+        "id", "trace_id", "log_count",
+        F.coalesce("error_count", F.lit(0)).alias("error_count"), "error",
+    )
+
+
+SQL_SPAN_LOG_CORRELATION = f"""
+WITH {SPANS_CTE}, {SPANLOGS_CTE},
+per_span AS (
+  SELECT span_id, CAST(count(*) AS BIGINT) AS log_count,
+         CAST(sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+  FROM spanlogs GROUP BY span_id)
+SELECT s.id, s.trace_id,
+       coalesce(p.log_count, 0) AS log_count,
+       coalesce(p.error_count, 0) AS error_count,
+       coalesce(p.error_count, 0) > 0 AS error
+FROM spans s LEFT JOIN per_span p ON s.id = p.span_id
+WHERE s.parent_id IS NULL
+"""
+
+
+def q_process_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 broadcast process-registry enrichment."""
+    logs = events_as_logs(spark, sf_dir)
+    procs = (
+        logs.select("process_id").distinct()
+        .select(F.col("process_id").alias("id"),
+                F.split(F.col("process_id"), "-")[0].alias("service_name"))
+    )
+    return enrich_process(logs, procs).groupBy("service_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_PROCESS_ENRICH = f"""
+WITH {LOGS_CTE},
+procs AS (
+  SELECT DISTINCT process_id AS id, split_part(process_id, '-', 1) AS service_name
+  FROM logs)
+SELECT p.service_name, CAST(count(*) AS BIGINT) AS n
+FROM logs l JOIN procs p ON l.process_id = p.id
+GROUP BY p.service_name
+"""
+
+
+# ---------------------------------------------------------------------
+# analytic queries (joins / aggregations / windows on the star schema)
+# ---------------------------------------------------------------------
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship wide aggregation (integer-cent
+    measures for cross-engine exactness)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ext_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")  # 0..100 (percent points)... cents of 1.0 scale
+    tax_c = _cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(ext_c).alias("sum_base_cents"),
+            F.sum(ext_c * (F.lit(100) - disc_c)).alias("sum_disc_e4"),
+            F.sum(ext_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-10 (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("revenue_e4")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(rev)
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join with broadcast dimensions (nation/region are tiny —
+    Catalyst broadcasts under the threshold; the explicit hint makes
+    the 1000-executor plan independent of stats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("revenue_e4")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(rev, F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_ORDERS_WITH_RETURNS = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderstatus
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_cents("c_acctbal")).alias("acctbal_cents"))
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (row_number over partitioned order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", _cents("o_totalprice").alias("totalprice_cents"), "rk")
+    )
+
+
+SQL_TOPK_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily rollup (the batch analog of the streaming
+    windowed agg, SURVEY §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.timestamp_micros(_ts_us()), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents("value")).alias("value_cents"))
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------
+# north-star: dedup / similarity / text analysis
+# ---------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.75, shingle_n=1)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.id_a = sa.doc_id
+JOIN sizes sb ON pairs.id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.75
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        F.col("n_chars_m").alias("n_chars_computed"),
+        "n_tokens", "n_punct", "n_stopwords",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_STATS = """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars_computed,
+         string_split_regex(trim(text), '\\s+') AS tok,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars_computed,
+       CAST(len(tok) AS INT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       CAST(len(list_filter(tok, t -> list_contains(
+           ['the','a','an','or','and','of','to','in','is','it'], lower(t)))) AS INT) AS n_stopwords,
+       round(CAST(len(list_filter(tok, t -> list_contains(
+           ['the','a','an','or','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+           / greatest(len(tok), 1), 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_id("text").alias("lang_guess"))
+
+
+SQL_LANG_ID = """
+WITH hits AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        t -> list_contains(['the','and','of','to','a'], t))) AS h_en,
+    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        t -> list_contains(['el','la','de','que','y'], t))) AS h_es,
+    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        t -> list_contains(['der','die','und','das','ist'], t))) AS h_de,
+    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        t -> list_contains(['le','la','et','les','des'], t))) AS h_fr,
+    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        t -> list_contains(['的','是','了','在','我'], t))) AS h_zh
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+       WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+       WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+       WHEN h_fr >= h_zh THEN 'fr'
+       ELSE 'zh' END AS lang_guess
+FROM hits
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    topk = similarity.cosine_topk(emb, list(qvec), k=10, exclude_ids=[0])
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, 65),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cosine
+FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+# -- no-oracle (approximate / non-SQL-expressible) ----------------------
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16, prefix_bits=8)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    topk = similarity.cosine_topk_lsh(emb, list(qvec), k=10)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duo_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text-blob").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # duo surface
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
+    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
+    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
+    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
+    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
+    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
+    # analytics
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    # north-star
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    # approximate / non-SQL-expressible: rows-only checks
+    "minhash_lsh": (q_minhash_lsh, None),
+    "simhash": (q_simhash, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "multimodal_features": (q_multimodal_features, None),
+}

@@ -1,0 +1,75 @@
+"""Unit tests for scalar codecs (SURVEY §2.8).
+
+The timing-format table replicates the reference's own unit tests
+(duo/src/models.rs:197-214) and the duration parser mirrors
+duo/src/web/deser.rs:241-252.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duo_spark.functions import (
+    format_timing,
+    level_from_int,
+    level_to_int,
+    parse_duration_us,
+    tags_from_json,
+    tags_to_json,
+    timestamp_from_us,
+    us_from_timestamp,
+)
+
+
+@pytest.mark.parametrize(
+    ("us", "expected"),
+    [
+        (3, "3us"),
+        (303, "303us"),
+        (3_030, "3.03ms"),
+        (3_300, "3.30ms"),
+        (3_000_000, "3.00s"),
+        (3_300_000, "3.30s"),
+        (999, "999us"),
+        (1_000, "1.00ms"),
+        (999_999, "1000.00ms"),
+        (1_000_000, "1.00s"),
+    ],
+)
+def test_format_timing(spark, us, expected):
+    row = spark.range(1).select(format_timing(F.lit(us)).alias("t")).first()
+    assert row["t"] == expected
+
+
+@pytest.mark.parametrize(
+    ("text", "expected"),
+    [("100us", 100), ("100ms", 100_000), ("1s", 1_000_000), ("1.5ms", 1_500), ("bogus", None)],
+)
+def test_parse_duration(text, expected):
+    assert parse_duration_us(text) == expected
+
+
+def test_timestamp_roundtrip(spark):
+    us = 1_654_963_200_123_456
+    row = (
+        spark.range(1)
+        .select(us_from_timestamp(timestamp_from_us(F.lit(us))).alias("us"))
+        .first()
+    )
+    assert row["us"] == us
+
+
+def test_level_codec(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 6)], "lvl int")
+    rows = df.select(
+        level_from_int("lvl").alias("s"), level_to_int(level_from_int("lvl")).alias("i")
+    ).collect()
+    assert [r["s"] for r in rows] == ["ERROR", "WARN", "INFO", "DEBUG", "TRACE"]
+    assert [r["i"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_tags_json_roundtrip(spark):
+    df = spark.createDataFrame([({"busy": "1.20ms", "idle": "3us"},)], "tags map<string,string>")
+    back = df.select(tags_from_json(tags_to_json("tags")).alias("m")).first()["m"]
+    assert back == {"busy": "1.20ms", "idle": "3us"}
