@@ -59,27 +59,37 @@ def main() -> None:
     # JVM/codegen warmup on the smallest scale
     warm_dir = "/root/testdata/sf0.001"
     for name in ("pricing_summary", "logs_search"):
-        _force(QUERIES[name][0](spark, warm_dir))
+        try:
+            _force(QUERIES[name][0](spark, warm_dir))
+        except Exception as e:  # noqa: BLE001 — warmup must never kill the run
+            print(f"warmup {name} failed: {e}", file=sys.stderr)
 
+    # per-query fault isolation: one broken operator must not zero out
+    # the whole round's perf signal — record the error, keep going, and
+    # ALWAYS emit the summary JSON line
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
         t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            _force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,10 +37,14 @@ def tags_from_json(col: Column | str) -> Column:
 
 
 def level_from_int(col: Column | str) -> Column:
-    """Proto level int (1..5) -> "ERROR".."TRACE" string (C5)."""
+    """Proto level int (1..5) -> "ERROR".."TRACE" string (C5).
+
+    try_element_at (1-based, matching the proto enum numbering) yields
+    NULL for out-of-range ints — the reference's fallible conversion
+    (duo-api/src/common.rs:39-60) — instead of an ANSI-mode exception.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    # element_at is 1-based, matching the proto enum numbering
-    return F.element_at(F.array(*[F.lit(lv) for lv in LEVELS]), c.cast("int"))
+    return F.try_element_at(F.array(*[F.lit(lv) for lv in LEVELS]), c.cast("int"))
 
 
 def level_to_int(col: Column | str) -> Column:
@@ -55,6 +59,8 @@ def level_to_int(col: Column | str) -> Column:
 def message_from_fields(fields_col: Column | str) -> tuple[Column, Column]:
     """Split a fields map into (message, remaining_fields) (C6)."""
     c = F.col(fields_col) if isinstance(fields_col, str) else fields_col
-    message = F.element_at(c, F.lit("message"))
+    # try_element_at: a fields map without "message" yields NULL, not an
+    # ANSI-mode INVALID_ARRAY_INDEX-style exception
+    message = F.try_element_at(c, F.lit("message"))
     rest = F.map_filter(c, lambda k, _v: k != F.lit("message"))
     return message, rest

@@ -67,26 +67,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _affine_params(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
-    """Deterministic odd multiplier/offset pairs for the affine
-    min-hash family (universal hashing over Z_2^64 with wrap)."""
-    import random
-
-    rng = random.Random(seed)
-    out = []
-    for _ in range(num_hashes):
-        a = rng.getrandbits(63) | 1  # odd => bijective modulo 2^64
-        b = rng.getrandbits(63)
-        out.append((a, b))
-    return out
-
-
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from a PRE-HASHED shingle array is cheaper —
     see minhash_signature_from_hashes. This convenience form hashes
-    each shingle string exactly once (one xxhash64 pass), then applies
-    ``num_hashes`` affine transforms (a*h+b with 64-bit wrap): the
-    standard permutation-free construction, all inside codegen.
+    each shingle string exactly once (one xxhash64 pass), then derives
+    ``num_hashes`` independent slot hashes, all inside codegen.
     """
     return minhash_signature_from_hashes(
         F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes
@@ -94,15 +79,18 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
 
 def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
-    def _affine(a: int, b: int):
-        return lambda h: h * F.lit(a) + F.lit(b)
+    """Per-slot hash family: slot i uses xxhash64(i, h) seeded with the
+    slot index. ANSI-safe (no 64-bit multiply wrap — Spark 4 enables
+    ANSI mode by default, where ``h * a + b`` overflow throws instead
+    of wrapping) and a strictly better-mixed family than an affine
+    transform. Everything stays JVM-side codegen.
+    """
+    def _slot(i: int) -> Column:
+        # NB: the lambda must stay unary — a second parameter would be
+        # interpreted by Spark as the (element, index) binary form
+        return F.array_min(F.transform(hash_col, lambda h: F.xxhash64(F.lit(i), h)))
 
-    return F.array(
-        *[
-            F.array_min(F.transform(hash_col, _affine(a, b)))
-            for (a, b) in _affine_params(num_hashes)
-        ]
-    )
+    return F.array(*[_slot(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(

@@ -35,9 +35,12 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     letter/digit/punctuation boundaries — a cheap, deterministic proxy
     for tokenizer-cost estimation (no tokenizer libs in-container)."""
     c = F.col(col) if isinstance(col, str) else col
-    # insert breaks between character classes, then split
-    marked = F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)", "$1")
-    return F.filter(F.split(marked, r"[\s]+"), lambda t: t != "")
+    # append a visible-escape \x01 sentinel after each character-class
+    # run, then split on whitespace-or-sentinel (a bare "$1" replacement
+    # would reproduce the input verbatim and degenerate to whitespace
+    # tokenization)
+    marked = F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)", "$1\u0001")
+    return F.filter(F.split(marked, "[\\s\u0001]+"), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:

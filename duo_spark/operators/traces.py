@@ -156,9 +156,10 @@ def get_trace_by_id(spans: DataFrame, logs: DataFrame, trace_id: int) -> DataFra
 
 def enrich_process(df: DataFrame, processes: DataFrame) -> DataFrame:
     """J4 — broadcast-join the tiny process registry
-    (duo/src/memory.rs:90-100)."""
-    return df.join(
-        F.broadcast(processes.withColumnRenamed("id", "process_id")),
-        "process_id",
-        "left",
-    )
+    (duo/src/memory.rs:90-100). The registry's ``tags`` column is
+    renamed to ``process_tags`` so it can't collide with the span/log
+    ``tags`` column and make later F.col("tags") references ambiguous."""
+    dim = processes.withColumnRenamed("id", "process_id")
+    if "tags" in dim.columns:
+        dim = dim.withColumnRenamed("tags", "process_tags")
+    return df.join(F.broadcast(dim), "process_id", "left")

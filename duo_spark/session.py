@@ -38,6 +38,10 @@ def get_spark(app_name: str = "duo_spark", **extra_conf: str) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
+        # ns-epoch long (set here once instead of as a query-time
+        # session mutation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # aggressive broadcast: dimension tables (process registry,
         # nation/region analogs) are tiny even at 100 TB fact scale
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
