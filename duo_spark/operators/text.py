@@ -98,19 +98,63 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", F.greatest(score, F.lit(0)))
 
 
-def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] = LANG_MARKERS) -> Column:
-    """Stopword-marker language ID: argmax over per-language marker
-    hit counts; 'und' (undetermined) when nothing matches."""
-    tok_lower = F.transform(tokens(col), F.lower)
+def _lang_hits(col: Column | str, markers: dict[str, tuple[str, ...]]) -> Column:
+    """Per-language marker hit counts in ONE pass over the tokens:
+    fold the token array once, adding a len(markers)-wide membership
+    vector per token. (The round-1 form re-tokenized the text once per
+    language — 5 full split passes per row.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    marker_arrays = [F.array(*[F.lit(w) for w in words]) for words in markers.values()]
+    zero = F.array_repeat(F.lit(0), len(marker_arrays))
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(m, t).cast("int") for m in marker_arrays]),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def _lang_decide(hits_col: Column, langs: list[str]) -> Column:
+    """Argmax over the hit vector; ties favor earlier languages; 'und'
+    when nothing matched. Cheap references only — safe to repeat."""
     best_lang = F.lit("und")
     best_hits = F.lit(0)
-    for lang, words in markers.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(tok_lower, lambda t: F.array_contains(sw, t)))
-        better = hits > best_hits
+    for i, lang in enumerate(langs):
+        h = hits_col[i]
+        better = h > best_hits
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
+        best_hits = F.when(better, h).otherwise(best_hits)
     return best_lang
+
+
+def add_lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_guess",
+    markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
+) -> DataFrame:
+    """DataFrame-level language ID: tokenizes once, folds once.
+
+    The hit vector lives in its own projection so the argmax step's
+    repeated references stay cheap attribute lookups (CollapseProject
+    does not inline non-cheap producer expressions).
+    """
+    return (
+        df.withColumn("_lang_hits", _lang_hits(text_col, markers))
+        .withColumn(out_col, _lang_decide(F.col("_lang_hits"), list(markers)))
+        .drop("_lang_hits")
+    )
+
+
+def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] = LANG_MARKERS) -> Column:
+    """Column-expression language ID. Prefer :func:`add_lang_id` in
+    pipelines — a single Column can't share the materialized hit
+    vector across the argmax references."""
+    return _lang_decide(_lang_hits(col, markers), list(markers))
 
 
 def fingerprint(col: Column | str) -> Column:
