@@ -316,6 +316,38 @@ FROM u GROUP BY event_type
 """
 
 
+def q_hotcold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+K1+U1+T5 end-to-end THROUGH the storage layer: cold rows
+    written via PartitionedStore (partitioned parquet + bloom), hot
+    rows in memory, hot∪cold union read back by HotColdTable, then the
+    log-search operator on top. The storage layer must be semantically
+    invisible, so the oracle is the plain logs query."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import HotColdTable, PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch
+
+    logs = events_as_logs(spark, sf_dir)
+    store = PartitionedStore(spark, _scratch("hotcold", _uuid.uuid4().hex), granularity="date")
+    store.write(logs.filter(F.col("time") < T_2024_01_15), "log", time_col="time")
+    hot = logs.filter(F.col("time") >= T_2024_01_15)
+    table = HotColdTable(store, "log", hot=hot)
+    return search_logs(
+        table.df(), service="view", start_us=T_2024_01_05, end_us=T_2024_01_20,
+        limit=80, tiebreaker="span_id",
+    )
+
+
+SQL_HOTCOLD_SEARCH = f"""
+WITH {LOGS_CTE}
+SELECT process_id, "time", trace_id, span_id, level, message, "value"
+FROM logs
+WHERE process_id LIKE 'view%'
+  AND "time" >= {T_2024_01_05} AND "time" <= {T_2024_01_20}
+ORDER BY "time" DESC, span_id DESC LIMIT 80
+"""
+
+
 def q_distinct_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 distinct span names for one service."""
     return distinct_operations(spans_view(spark, sf_dir), service="svc-O")
@@ -327,13 +359,15 @@ SELECT DISTINCT name FROM spans WHERE process_id LIKE 'svc-O%'
 """
 
 
-def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 span upsert-merge: open+close records -> completed spans.
-
-    Lineitems 5..7 never get a close record => stay incomplete and are
-    withheld (duo/src/aggregator.rs:32-39 semantics).
-    """
+def _span_merge_records(spark: SparkSession, sf_dir: str, modulo: int | None = None) -> DataFrame:
+    """Open+close span-record stream derived from lineitem; lineitems
+    5..7 never get a close record => stay incomplete and are withheld
+    (duo/src/aggregator.rs:32-39 semantics). ``modulo`` keeps every
+    m-th order only (used to bound the per-key-stateful streaming
+    replay's Python-side group count)."""
     li = _t(spark, sf_dir, "lineitem")
+    if modulo is not None:
+        li = li.filter(F.col("l_orderkey") % modulo == 0)
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
         F.col("l_orderkey").alias("trace_id"),
@@ -354,7 +388,12 @@ def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") + F.round(F.col("l_quantity") * 1_000_000).cast("long")).alias("end"),
         F.lit(None).cast("string").alias("tags"),
     )
-    merged = merge_span_records(opens.unionByName(closes))
+    return opens.unionByName(closes)
+
+
+def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 span upsert-merge: open+close records -> completed spans."""
+    merged = merge_span_records(_span_merge_records(spark, sf_dir))
     return merged.select("id", "parent_id", "trace_id", "name", "process_id", "start", "end")
 
 
@@ -370,6 +409,42 @@ WITH recs AS (
          'svc-' || l_linestatus, epoch_us(l_shipdate),
          epoch_us(l_shipdate) + CAST(round(l_quantity*1000000) AS BIGINT)
   FROM lineitem WHERE l_linenumber <= 4)
+SELECT id, max(parent_id) AS parent_id, min(trace_id) AS trace_id,
+       min(name) AS name, min(process_id) AS process_id,
+       min("start") AS "start", max("end") AS "end"
+FROM recs GROUP BY id HAVING max("end") IS NOT NULL
+"""
+
+
+def q_streaming_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T5: the SAME record set as span_merge pushed through the real
+    Structured Streaming path — file source -> applyInPandasWithState
+    completion (duo_spark/streaming/state.py) -> memory-mode sink
+    (availableNow drain). The oracle is identical to the batch one
+    because streaming and batch merge rules agree; the record set is
+    thinned to every-20th order to bound the per-key Python state
+    overhead at gate scale."""
+    from duo_spark.streaming import replay_span_records
+
+    records = _span_merge_records(spark, sf_dir, modulo=20)
+    merged = replay_span_records(spark, records)
+    return merged.filter(F.col("intact")).select(
+        "id", "parent_id", "trace_id", "name", "process_id", "start", "end"
+    )
+
+
+SQL_STREAMING_SPAN_MERGE = """
+WITH recs AS (
+  SELECT l_orderkey*10 + l_linenumber AS id, l_orderkey*10 AS parent_id,
+         l_orderkey AS trace_id, l_returnflag AS name,
+         'svc-' || l_linestatus AS process_id,
+         epoch_us(l_shipdate) AS "start", CAST(NULL AS BIGINT) AS "end"
+  FROM lineitem WHERE l_orderkey % 20 = 0
+  UNION ALL
+  SELECT l_orderkey*10 + l_linenumber, NULL, l_orderkey, l_returnflag,
+         'svc-' || l_linestatus, epoch_us(l_shipdate),
+         epoch_us(l_shipdate) + CAST(round(l_quantity*1000000) AS BIGINT)
+  FROM lineitem WHERE l_orderkey % 20 = 0 AND l_linenumber <= 4)
 SELECT id, max(parent_id) AS parent_id, min(trace_id) AS trace_id,
        min(name) AS name, min(process_id) AS process_id,
        min("start") AS "start", max("end") AS "end"
@@ -881,8 +956,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "in_list": (q_in_list, SQL_IN_LIST),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),

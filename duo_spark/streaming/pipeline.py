@@ -1,0 +1,170 @@
+"""Streaming ingest wiring (SURVEY §2.9 T1-T3/T5, §3.4).
+
+Reference pipeline (duo/src/grpc/server.rs:27-121): gRPC record_span /
+record_event -> in-memory buffers -> 1 s aggregation tick -> 10 s
+Arrow-IPC WAL -> 60 s minute-partitioned parquet flush; --memory-mode
+skips both persistence timers (duo/src/main.rs:60-63).
+
+Spark-first restatement: a file-drop directory stands in for the gRPC
+socket (S6 — any streaming source slots in here; the contract is just
+"rows in SPAN/LOG schema"), the micro-batch trigger is T1, the
+checkpoint's write-ahead state replaces the hand-rolled WAL (T2 —
+recovery semantics come from the runtime, not custom code), the
+partitioned-parquet streaming sink is T3, and memory mode swaps the
+sink for an in-memory table. Span completion (T4) runs as a stateful
+stage between source and sink.
+
+At scale: the source directory listing shards across executors, state
+is hash-partitioned by span id, and the sink writes one file per
+partition dir per micro-batch — the same layout the batch store
+(sources/store.py) reads, so hot streaming output and cold compacted
+history union transparently.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duo_spark.schemas import LOG_CORE_SCHEMA, SPAN_SCHEMA
+from duo_spark.sources.store import with_partition_cols
+from duo_spark.streaming.state import DEFAULT_TTL_MS, complete_spans
+
+#: scratch root for checkpoints / replay staging (kept inside the repo
+#: tree; gitignored)
+SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(SCRATCH_ROOT, *parts)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def span_record_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """S6 stand-in: parquet-file-drop source of raw span records."""
+    return spark.readStream.schema(SPAN_SCHEMA).parquet(source_dir)
+
+
+def log_record_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    return spark.readStream.schema(LOG_CORE_SCHEMA).parquet(source_dir)
+
+
+def start_span_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 60,
+    ttl_ms: int | None = DEFAULT_TTL_MS,
+    memory_mode: bool = False,
+    memory_table: str = "hot_spans",
+    available_now: bool = False,
+):
+    """T1+T3+T4(+T5) — the full span ingest job; returns the
+    StreamingQuery.
+
+    - ``trigger_seconds=60`` mirrors the reference's partition-flush
+      cadence (duo/src/grpc/server.rs:92); the 1 s aggregation tick is
+      subsumed — completion state updates every micro-batch.
+    - ``memory_mode=True`` (T5) writes completed spans to an in-memory
+      table named ``memory_table`` and never touches parquet
+      (duo/src/main.rs:60-63: "Never persist data in memory mode").
+    - ``available_now=True`` drains everything currently in the source
+      and stops — the deterministic batch-replay mode used by tests
+      and the correctness gate. TTL is forced off in this mode: a
+      ProcessingTimeTimeout keeps the micro-batch loop alive to fire
+      future timeouts, so a drain-and-stop run would never terminate.
+    """
+    if available_now:
+        ttl_ms = None
+    completed = complete_spans(span_record_stream(spark, source_dir), ttl_ms=ttl_ms)
+    if not memory_mode:
+        assert out_dir is not None, "out_dir required unless memory_mode"
+        # K1 layout: date=/hour=/minute= + trace_id bloom filter —
+        # identical to the batch PartitionedStore writer, so
+        # HotColdTable reads it
+        completed = with_partition_cols(completed, "start", "minute")
+    writer = completed.writeStream.option(
+        "checkpointLocation", checkpoint_dir or _scratch("ckpt", uuid.uuid4().hex)
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    if memory_mode:
+        return writer.format("memory").queryName(memory_table).start()
+    return (
+        writer.format("parquet")
+        .option("path", out_dir)
+        .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .partitionBy("date", "hour", "minute")
+        .start()
+    )
+
+
+def start_log_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 60,
+    memory_mode: bool = False,
+    memory_table: str = "hot_logs",
+    available_now: bool = False,
+):
+    """Log ingest: stateless passthrough (logs need no completion
+    merge) into the partitioned sink — T1/T3/T5 for the log table."""
+    logs = log_record_stream(spark, source_dir)
+    if not memory_mode:
+        assert out_dir is not None, "out_dir required unless memory_mode"
+        logs = with_partition_cols(logs, "time", "minute")
+    writer = logs.writeStream.option(
+        "checkpointLocation", checkpoint_dir or _scratch("ckpt", uuid.uuid4().hex)
+    ).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    if memory_mode:
+        return writer.format("memory").queryName(memory_table).start()
+    return (
+        writer.format("parquet")
+        .option("path", out_dir)
+        .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .partitionBy("date", "hour", "minute")
+        .start()
+    )
+
+
+def replay_span_records(
+    spark: SparkSession, records: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Deterministic batch replay THROUGH the real streaming path.
+
+    Stages ``records`` as parquet files, runs the span pipeline in
+    memory mode with availableNow, waits for drain, and returns the
+    completed spans as a DataFrame. Because the completion merge is
+    commutative/associative (min/max/key-wise tag merge), the result
+    is independent of how the runtime splits files into micro-batches.
+    TTL defaults to None (NoTimeout): a processing-time timeout would
+    keep the availableNow micro-batch loop alive forever waiting to
+    fire, and a bounded replay needs no state GC.
+    """
+    run_id = uuid.uuid4().hex
+    src = _scratch("replay", run_id, "in")
+    records.write.mode("overwrite").parquet(src)
+    table = f"replay_spans_{run_id[:8]}"
+    q = start_span_pipeline(
+        spark,
+        src,
+        memory_mode=True,
+        memory_table=table,
+        available_now=True,
+        checkpoint_dir=_scratch("replay", run_id, "ckpt"),
+        ttl_ms=ttl_ms,
+    )
+    q.awaitTermination()
+    return spark.table(table)

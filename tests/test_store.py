@@ -1,0 +1,140 @@
+"""Storage layer (SURVEY §2.1 S1-S4/K1/K3/K4, §4 hot/cold): write
+layout, bloom filter option, partition pruning in the plan, schema
+drift, JSON side files. VERDICT r1 item #5."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from duo_spark.sources.store import HotColdTable, PartitionedStore, with_partition_cols
+from duo_spark.schemas import SPAN_SCHEMA
+
+BASE = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+US_PER_MIN = 60_000_000
+
+
+def _spans(spark, n=50):
+    rows = [
+        (
+            i,
+            None if i % 5 == 0 else i - 1,
+            1000 + i % 7,
+            f"op{i % 3}",
+            f"svc-{i % 2}",
+            BASE + i * US_PER_MIN,  # one span per minute
+            BASE + i * US_PER_MIN + 1234,
+            None,
+        )
+        for i in range(1, n + 1)
+    ]
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return PartitionedStore(spark, str(tmp_path / "storage"), granularity="minute")
+
+
+def test_write_layout_and_bloom_filter(spark, store):
+    """K1: date=/hour=/minute= dirs; trace_id bloom filter present in
+    the parquet footers (duo/src/partition/writer.rs:44-49)."""
+    store.write(_spans(spark), "span", time_col="start")
+    root = store.table_path("span")
+    dates = [d for d in os.listdir(root) if d.startswith("date=")]
+    assert dates == ["date=2023-11-14"]
+    hours = sorted(os.listdir(os.path.join(root, dates[0])))
+    # spans run 22:13..23:03 -> two hour dirs, 50 minute dirs total
+    assert hours == ["hour=22", "hour=23"]
+    minutes = [
+        m for h in hours for m in os.listdir(os.path.join(root, dates[0], h))
+    ]
+    assert all(m.startswith("minute=") for m in minutes) and len(minutes) == 50
+
+    # bloom filter (pyarrow 16 can't introspect bloom metadata):
+    # behavioral check — identical data written WITHOUT the option must
+    # be strictly smaller, since the bloom bitset is extra file bytes
+    def _bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    plain_dir = os.path.join(os.path.dirname(root), "_noboom")
+    with_partition_cols(_spans(spark), "start", "minute").write.partitionBy(
+        "date", "hour", "minute"
+    ).parquet(plain_dir)
+    assert _bytes(root) > _bytes(plain_dir), "bloom option added no bytes — not applied"
+
+
+def test_read_partition_pruning_in_plan(spark, store):
+    """S2/S3: a filter on the partition columns must prune directories
+    in the scan (Catalyst partition pruning replaces the reference's
+    manual prefix enumeration, duo/src/utils.rs:36-181)."""
+    store.write(_spans(spark), "span", time_col="start")
+    df = store.read("span").filter(
+        (F.col("date") == "2023-11-14") & (F.col("hour") == "22") & (F.col("minute") == "15")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == 1
+    # input_file_name() reflects files ACTUALLY read after pruning
+    # (inputFiles() lists the whole relation pre-pruning)
+    read_files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert len(read_files) == 1 and "minute=15" in read_files[0]
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, store):
+    """S4: trace_id equality reaches the parquet reader as a pushed
+    filter (bloom + row-group pruning apply there)."""
+    store.write(_spans(spark), "span", time_col="start")
+    df = store.read("span").filter(F.col("trace_id") == 1003)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "trace_id" in plan.split("PushedFilters: [", 1)[1][:200]
+
+
+def test_hot_cold_union_with_drift(spark, store):
+    """U1/S1/T5: hot rows (extra column) ∪ cold parquet; memory_only
+    serves hot only (duo/src/query.rs:102-111, main.rs:60-63)."""
+    store.write(_spans(spark, 10), "span", time_col="start")
+    hot = _spans(spark, 12).filter(F.col("id") > 10).withColumn("hot_flag", F.lit(True))
+    table = HotColdTable(store, "span", hot=hot)
+    got = table.df()
+    assert got.count() == 12
+    # drifted column null on cold rows, set on hot rows
+    assert got.filter(F.col("hot_flag")).count() == 2
+    mem = HotColdTable(store, "span", hot=hot, memory_only=True)
+    assert mem.df().count() == 2
+    cold_only = HotColdTable(store, "span")
+    assert cold_only.df().count() == 10
+
+
+def test_json_side_files_roundtrip(spark, store):
+    """K3: process registry / schema JSON (duo/src/memory.rs:141-148)."""
+    payload = {"web": [{"id": "web-0", "serviceName": "web", "tags": {}}]}
+    store.write_json("process.json", payload)
+    assert store.read_json("process.json") == payload
+    assert store.read_json("missing.json") is None
+
+
+def test_query_through_store_matches_direct(spark, store, sf_dir):
+    """End-to-end: search through the hot∪cold store equals the same
+    search on the raw DataFrame (the storage layer must be
+    semantically invisible)."""
+    from duo_spark.operators.logs import search_logs
+    from duo_spark.queries import events_as_logs
+
+    logs = events_as_logs(spark, sf_dir)
+    cutoff = logs.approxQuantile("time", [0.8], 0.0)[0]
+    store.write(logs.filter(F.col("time") < cutoff), "log", time_col="time")
+    hot = logs.filter(F.col("time") >= cutoff)
+    table = HotColdTable(store, "log", hot=hot)
+    via_store = search_logs(table.df(), service="click", limit=40, tiebreaker="span_id")
+    direct = search_logs(logs, service="click", limit=40, tiebreaker="span_id")
+    assert [r.asDict() for r in via_store.collect()] == [r.asDict() for r in direct.collect()]

@@ -1,0 +1,203 @@
+"""Streaming ingest pipeline (SURVEY §2.9 T1-T5): span completion
+withholding, late-close emission, TTL expiry, batch/streaming parity,
+and the partitioned streaming sink."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from duo_spark.operators.spans import merge_span_records
+from duo_spark.schemas import SPAN_SCHEMA
+from duo_spark.streaming import replay_span_records, start_span_pipeline
+from duo_spark.streaming.pipeline import SCRATCH_ROOT, _scratch
+
+BASE = 1_700_000_000_000_000
+
+
+def _rec(id, parent=None, trace=1, name="op", proc="web-0", start=BASE, end=None, tags=None):
+    return (id, parent, trace, name, proc, start, end, tags)
+
+
+@pytest.fixture()
+def scratch():
+    return _scratch("test", uuid.uuid4().hex)
+
+
+def test_replay_withholds_open_spans_and_merges_closed(spark):
+    records = [
+        # span 1: open then close, tags from both records merge
+        _rec(1, start=BASE, tags=json.dumps({"a": "1"})),
+        _rec(1, parent=None, start=BASE, end=BASE + 500, tags=json.dumps({"b": "2"})),
+        # span 2: open only -> withheld
+        _rec(2, parent=1, start=BASE + 10),
+        # span 3: single complete record
+        _rec(3, parent=1, start=BASE + 20, end=BASE + 90),
+    ]
+    df = spark.createDataFrame(records, SPAN_SCHEMA)
+    out = replay_span_records(spark, df)
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 3}, "open-without-close must be withheld"
+    assert rows[1].end == BASE + 500
+    assert json.loads(rows[1].tags) == {"a": "1", "b": "2"}
+    assert rows[1].intact and rows[3].intact
+
+
+def test_streaming_matches_batch_merge(spark, sf_dir):
+    """The streaming path and the batch A4 operator must agree on the
+    same record set (same merge rules)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(400)
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("trace_id"),
+        F.col("l_returnflag").alias("name"),
+        F.concat(F.lit("svc-"), F.col("l_linestatus")).alias("process_id"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("start"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+    )
+    opens = base.select(
+        "id", (F.col("id") - F.col("l_linenumber")).alias("parent_id"), "trace_id",
+        "name", "process_id", "start", F.lit(None).cast("long").alias("end"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    closes = base.filter(F.col("l_linenumber") <= 4).select(
+        "id", F.lit(None).cast("long").alias("parent_id"), "trace_id", "name",
+        "process_id", "start",
+        (F.col("start") + F.round(F.col("l_quantity") * 1_000_000).cast("long")).alias("end"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+    records = opens.unionByName(closes)
+    batch = {
+        r.id: (r.parent_id, r.trace_id, r.name, r.process_id, r.start, r.end)
+        for r in merge_span_records(records).collect()
+    }
+    stream = {
+        r.id: (r.parent_id, r.trace_id, r.name, r.process_id, r.start, r.end)
+        for r in replay_span_records(spark, records).collect()
+    }
+    assert batch == stream
+    assert batch, "fixture must produce completed spans"
+
+
+def test_late_close_emitted_on_later_microbatch(spark, scratch):
+    """Cross-batch state: an open in batch 1 completes when its close
+    arrives in batch 2 (duo/src/aggregator.rs withholding)."""
+    src = os.path.join(scratch, "in")
+    table = f"late_{uuid.uuid4().hex[:8]}"
+    opens = spark.createDataFrame([_rec(7, start=BASE)], SPAN_SCHEMA)
+    opens.write.mode("append").parquet(src)
+    # NoTimeout: blocking drains (processAllAvailable / availableNow)
+    # don't mix with ProcessingTimeTimeout — the timeout keeps the
+    # micro-batch loop permanently busy (see complete_spans docstring)
+    q = start_span_pipeline(
+        spark, src, memory_mode=True, memory_table=table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=None,
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(table).count() == 0
+        closes = spark.createDataFrame([_rec(7, start=BASE, end=BASE + 777)], SPAN_SCHEMA)
+        closes.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table(table).collect()
+        assert [(r.id, r.end, r.intact) for r in rows] == [(7, BASE + 777, True)]
+    finally:
+        q.stop()
+
+
+def test_ttl_expires_abandoned_opens(spark, scratch):
+    """T4 TTL (our improvement over the reference's unbounded buffer):
+    an abandoned open is expelled; a close arriving after expiry starts
+    a fresh merge instead of resurrecting the lost open."""
+    src = os.path.join(scratch, "in")
+    table = f"ttl_{uuid.uuid4().hex[:8]}"
+
+    def _poll(predicate, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if predicate():
+                return True
+            time.sleep(1.0)
+        return False
+
+    spark.createDataFrame([_rec(9, start=BASE)], SPAN_SCHEMA).write.mode("append").parquet(src)
+    # ProcessingTimeTimeout mode: NEVER block on processAllAvailable
+    # (the pending timeout keeps the loop busy) — poll the sink instead
+    q = start_span_pipeline(
+        spark, src, memory_mode=True, memory_table=table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=300,
+    )
+    try:
+        # feed a completed span; once it lands, batch 1 (with span 9's
+        # open) has necessarily been processed
+        spark.createDataFrame([_rec(10, start=BASE, end=BASE + 5)], SPAN_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        assert _poll(lambda: {r.id for r in spark.table(table).collect()} == {10})
+        time.sleep(1.5)  # let the 300 ms TTL lapse; timeouts fire on later batches
+        # close for the expired span: fresh partial, completes with
+        # close-record data only (name/start from the close record)
+        spark.createDataFrame(
+            [_rec(9, start=BASE + 50, end=BASE + 99, name="late")], SPAN_SCHEMA
+        ).write.mode("append").parquet(src)
+        assert _poll(lambda: 9 in {r.id for r in spark.table(table).collect()})
+        rows = {r.id: r for r in spark.table(table).collect()}
+        assert rows[9].name == "late" and rows[9].start == BASE + 50
+    finally:
+        q.stop()
+
+
+def test_log_pipeline_passthrough(spark, scratch):
+    """Log ingest is stateless: rows flow source->sink unchanged."""
+    from duo_spark.schemas import LOG_CORE_SCHEMA
+    from duo_spark.streaming import start_log_pipeline
+
+    src = os.path.join(scratch, "in")
+    out = os.path.join(scratch, "log")
+    rows = [("web-0", BASE, 1, 10, "INFO", "app", "main.rs", 1, "hello"),
+            ("web-1", BASE + 1, 1, 11, "ERROR", "app", "db.rs", 9, "boom")]
+    spark.createDataFrame(rows, LOG_CORE_SCHEMA).write.mode("append").parquet(src)
+    q = start_log_pipeline(
+        spark, src, out_dir=out, checkpoint_dir=os.path.join(scratch, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert {(r.process_id, r.level, r.message) for r in back.collect()} == {
+        ("web-0", "INFO", "hello"), ("web-1", "ERROR", "boom"),
+    }
+
+
+def test_parquet_sink_layout_readable_by_store(spark, scratch):
+    """T3: the streaming parquet sink writes the same
+    date=/hour=/minute= layout the batch store reads (hot/cold union
+    contract)."""
+    from duo_spark.sources.store import PartitionedStore
+
+    src = os.path.join(scratch, "in")
+    out = os.path.join(scratch, "span")
+    recs = [
+        _rec(21, start=BASE, end=BASE + 10),
+        _rec(22, trace=2, start=BASE + 61_000_000, end=BASE + 61_000_500),
+    ]
+    spark.createDataFrame(recs, SPAN_SCHEMA).write.mode("append").parquet(src)
+    q = start_span_pipeline(
+        spark, src, out_dir=out, checkpoint_dir=os.path.join(scratch, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    datedirs = [d for d in os.listdir(out) if d.startswith("date=")]
+    assert datedirs, f"expected hive layout in {out}"
+    hours = os.listdir(os.path.join(out, datedirs[0]))
+    assert any(h.startswith("hour=") for h in hours)
+    store = PartitionedStore(spark, scratch, granularity="minute")
+    back = store.read("span")
+    assert {r.id for r in back.collect()} == {21, 22}
+    # two spans a minute apart -> two minute partitions
+    assert back.select("minute").distinct().count() == 2
