@@ -114,13 +114,17 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe_hamming: int = 1,
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
     """LSH-pruned cosine top-k: scan only rows whose hyperplane bucket
     is within ``multiprobe_hamming`` bit flips of the query's bucket.
 
     With 8 planes + 1-probe this scans ~(1+8)/256 ≈ 3.5% of rows —
-    the 100 TB path. Recall is tunable via planes/probes; exactness is
-    NOT guaranteed (use cosine_topk for the oracle-checkable form).
+    the 100 TB path. The result is EXACT top-k over the probed
+    buckets; end-to-end recall depends on how clustered the data is
+    (near-orthogonal corpora defeat any sublinear ANN — see
+    tests/test_similarity.py for both the clustered-recall and the
+    exact-given-candidates properties).
     """
     planes = make_hyperplanes(len(query_vec), n_planes, seed)
     qb = 0
@@ -132,12 +136,88 @@ def cosine_topk_lsh(
     if multiprobe_hamming >= 1:
         probe += [qb ^ (1 << i) for i in range(n_planes)]
     bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
+    if exclude_ids:
+        bucketed = bucketed.filter(~F.col(id_col).isin(exclude_ids))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(F.col("_bucket").isin(probe))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    bands: int = 16,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    method="exact": all-pairs self-join — the oracle-checkable
+    baseline; O(n²), use only on bounded inputs (a dedup gate run, a
+    sampled validation set).
+
+    method="lsh": hyperplane-signature banding — the 100 TB path. Each
+    band hashes the vector's sign pattern on ``planes_per_band`` random
+    hyperplanes; a pair is a candidate iff some band's full sign
+    pattern matches (p_band = (1 - theta/pi)^r), then candidates are
+    verified with EXACT cosine, so precision is 1 and recall is
+    1-(1-p_band)^bands — e.g. ~1-6e-9 at cosine 0.99 with 16x8. The
+    join fans out only within same-signature buckets, never all pairs.
+    """
+    if method == "exact":
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    assert method == "lsh", method
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    banded = sigs.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        hyperplane_bucket(
+                            F.col("_v"),
+                            make_hyperplanes(dim, planes_per_band, seed + band),
+                        ).alias("key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_v", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+        .distinct()
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

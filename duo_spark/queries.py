@@ -877,6 +877,177 @@ FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact method (the oracle
+    baseline; similarity.embedding_near_dup_pairs method='lsh' is the
+    banded scale path, equivalence-tested in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4, method="exact")
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) AS nrm
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+           / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+"""
+
+
+def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k: one ranked result list per query vector (broadcast
+    queries + window rank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = similarity.cosine_topk_many(emb, queries, k=5)
+    return topk.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_TOPK_BATCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+          * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*x)))) AS cos
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM sims)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment with the first 4 vectors as centroids
+    (deterministic; persisting partitioned by cell turns ANN into
+    partition-pruned scans)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    assigned = similarity.ivf_assign(emb, cents)
+    return assigned.select("vec_id", F.col("_cell").alias("cell"))
+
+
+SQL_IVF_ASSIGN = """
+WITH c AS (
+  SELECT list(embedding ORDER BY vec_id) AS cents
+  FROM embeddings WHERE vec_id < 4),
+s AS (
+  SELECT e.vec_id,
+         list_transform(c.cents, ce ->
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * ce[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*x))))) AS sims
+  FROM embeddings e CROSS JOIN c)
+SELECT vec_id,
+       CASE WHEN sims[1] >= sims[2] AND sims[1] >= sims[3] AND sims[1] >= sims[4] THEN 0
+            WHEN sims[2] >= sims[3] AND sims[2] >= sims[4] THEN 1
+            WHEN sims[3] >= sims[4] THEN 2
+            ELSE 3 END AS cell
+FROM s
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + the BPE-ish subword
+    segmentation (letter/digit/punct runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        F.size(text.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(list_filter(string_split_regex(
+           regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)',
+                          '\1' || chr(1), 'g'),
+           '[\s' || chr(1) || ']+'), t -> t != '')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic 0-100 quality score from integer text features."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+SQL_QUALITY_SCORE = """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(trim(text), '\\s+') AS tok,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         CAST(len(list_filter(tok, t -> list_contains(
+             ['the','a','an','or','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+           / greatest(len(tok), 1) AS stopword_ratio,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+           / greatest(len(tok), 1) AS mean_token_len
+  FROM toks)
+SELECT doc_id,
+       greatest(100
+         - CASE WHEN n_tokens < 10 THEN 40 ELSE 0 END
+         - CASE WHEN stopword_ratio < 0.05 THEN 20 ELSE 0 END
+         - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+         - CASE WHEN mean_token_len > 12 THEN 20 ELSE 0 END, 0) AS quality_score
+FROM feats
+"""
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-free media rollup: the binary column is projected away
+    before the shuffle (multimodal.media_stats without the approximate
+    percentiles, so the oracle compares exactly)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("kind-"), (F.col("doc_id") % 3).cast("string")).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    sizes = media.select("kind", F.octet_length("content").alias("n_bytes"))
+    return sizes.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+SQL_MULTIMODAL_STATS = """
+SELECT 'kind-' || CAST(doc_id % 3 AS VARCHAR) AS kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+FROM documents GROUP BY 1
+"""
+
+
 # -- no-oracle (approximate / non-SQL-expressible) ----------------------
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,9 +1088,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned ANN (no oracle: result depends on probed buckets).
+    tests/test_similarity.py pins the exact-given-candidates property
+    and full recall on clustered data."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    topk = similarity.cosine_topk_lsh(emb, list(qvec), k=10)
+    topk = similarity.cosine_topk_lsh(emb, list(qvec), k=10, exclude_ids=[0])
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -979,6 +1153,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),

@@ -1,0 +1,152 @@
+"""Similarity-search operators: exactness of the vector math, LSH
+machinery guarantees on clustered data, exact-given-candidates on the
+(near-orthogonal) driver embeddings, multimodal golden pin.
+VERDICT r1 item #9: the no_oracle queries get real checks."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from duo_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Constructed fixture with REAL cluster structure: 8 anchors, 25
+    members each at small angular noise — the regime LSH pruning is
+    built for (driver embeddings are near-orthogonal: max pair cosine
+    ~0.5, where no sublinear ANN can prune)."""
+    rng = random.Random(11)
+    dim = 32
+    rows = []
+    vid = 0
+    for c in range(8):
+        anchor = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in anchor))
+        anchor = [x / n for x in anchor]
+        for _ in range(25):
+            noisy = [a + rng.gauss(0, 0.04) for a in anchor]
+            rows.append((vid, c, [float(x) for x in noisy]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id: long, label: int, embedding: array<float>"
+    ).cache()
+
+
+def _exact_pairs(df, threshold):
+    return {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(df, threshold, method="exact").collect()
+    }
+
+
+def test_lsh_near_dup_equals_exact_on_clustered(clustered):
+    """On clustered data the banded-LSH path must reproduce the exact
+    pair set (within-cluster cosines ~0.97+ -> band-miss p < 1e-12)."""
+    exact = _exact_pairs(clustered, 0.9)
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(
+            clustered, 0.9, method="lsh", dim=32, bands=32
+        ).collect()
+    }
+    assert set(lsh) == set(exact)
+    assert exact, "fixture must contain near-dup pairs"
+    for p, c in lsh.items():
+        assert abs(c - exact[p]) < 1e-9
+
+
+def test_lsh_topk_full_recall_on_clustered(clustered):
+    """ANN top-k over probed buckets must equal brute force when the
+    neighbors genuinely cluster around the query."""
+    qvec = [float(x) for x in clustered.filter(F.col("vec_id") == 0).first().embedding]
+    exact = [r.vec_id for r in similarity.cosine_topk(clustered, qvec, k=10, exclude_ids=[0]).collect()]
+    lsh = [
+        r.vec_id
+        for r in similarity.cosine_topk_lsh(
+            clustered, qvec, k=10, exclude_ids=[0], n_planes=8, multiprobe_hamming=1
+        ).collect()
+    ]
+    recall = len(set(lsh) & set(exact)) / 10
+    assert recall == 1.0, f"recall {recall} on clustered data"
+
+
+def test_lsh_topk_exact_given_candidates(spark, emb):
+    """On ANY data (driver embeddings are near-orthogonal), the LSH
+    result must be exactly the brute-force top-k RESTRICTED to the
+    probed buckets: pruning may cost recall, never correctness."""
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    planes = similarity.make_hyperplanes(len(qvec), 8, 42)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(qvec, p)) >= 0:
+            qb |= 1 << i
+    probe = [qb] + [qb ^ (1 << i) for i in range(8)]
+    restricted = emb.withColumn(
+        "_bucket", similarity.hyperplane_bucket(F.col("embedding"), planes)
+    ).filter(F.col("_bucket").isin(probe))
+    want = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in similarity.cosine_topk(restricted, qvec, k=10, exclude_ids=[0]).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in similarity.cosine_topk_lsh(emb, qvec, k=10, exclude_ids=[0]).collect()
+    ]
+    assert got == want
+
+
+def test_topk_many_matches_single_query_form(emb):
+    queries = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = similarity.cosine_topk_many(emb, queries, k=5)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+        for r in batch.collect()
+    }
+    for qid in (1, 2):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == qid).first().embedding]
+        single = similarity.cosine_topk(emb, qvec, k=5).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r.vec_id, round(r.cosine, 9))
+
+
+def test_ivf_assign_members_nearest_own_centroid(clustered):
+    """With the true anchors as centroids, assignment must agree with
+    the labels for (nearly) all members."""
+    import numpy as np
+
+    rows = clustered.collect()
+    cents = []
+    for c in range(8):
+        vecs = [r.embedding for r in rows if r.label == c]
+        cents.append([float(x) for x in np.mean(np.array(vecs), axis=0)])
+    assigned = similarity.ivf_assign(clustered, cents)
+    mismatch = assigned.filter(F.col("_cell") != F.col("label")).count()
+    assert mismatch == 0
+
+
+def test_multimodal_features_golden(spark, sf_dir):
+    """Pin the deterministic fake decoder end to end (mapInPandas
+    plumbing + rolling-byte hash): a content change, batch-shape
+    change, or codec regression flips this hash."""
+    import hashlib
+
+    from duo_spark.queries import q_multimodal_features
+
+    rows = q_multimodal_features(spark, sf_dir).orderBy("media_id").collect()
+    digest = hashlib.md5(
+        ";".join(f"{r.media_id}:{r.n_bytes}:{r.f0:.6f}" for r in rows).encode()
+    ).hexdigest()
+    assert len(rows) == 500
+    assert digest == "2640250afdcb3f5c50ac2f85deb6cd1b", digest
