@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "events_daily",
     "dedup_exact",
     "minhash_lsh",
+    "ngram_jaccard_strong",
     "simhash",
     "text_stats",
     "lang_id",
@@ -82,13 +83,18 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
-        "value": total,
+        # a partial total is NOT comparable to a full one: null it out
+        # when any query failed so consumers can't mistake a crashing
+        # round for a fast one (per-query timings stay available)
+        "value": None if errors else total,
+        "ok": not errors,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = total
     print(json.dumps(out))
 
 

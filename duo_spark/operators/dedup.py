@@ -285,6 +285,18 @@ def ngram_jaccard_pairs(
 #: 4 x 16-bit lanes inside one long — bit-count accumulator mask
 _LANE_MASK = 0x0001_0001_0001_0001
 
+#: hard cap on distinct words folded per document: the top lane
+#: (bits 48-63) of a SWAR slot hits the long's sign bit at count
+#: 32,768, which ANSI mode (Spark 4 default) raises as
+#: ARITHMETIC_OVERFLOW. Capping at 32,767 keeps every lane exact;
+#: longer docs hash their first 32,767 distinct words (deterministic —
+#: array_distinct preserves first occurrence).
+_SIMHASH_MAX_WORDS = 32767
+
+
+def _simhash_words(c: Column) -> Column:
+    return F.slice(F.array_distinct(F.split(F.trim(c), r"\s+")), 1, _SIMHASH_MAX_WORDS)
+
 
 def _simhash_bit_counts(word_hashes: Column) -> Column:
     """Packed per-bit set-counts over an array of 64-bit word hashes.
@@ -294,7 +306,9 @@ def _simhash_bit_counts(word_hashes: Column) -> Column:
     j+32, j+48 set. One pass over the array with 16 shift-and-add ops
     per word — no 64-wide conditional arrays per element (the round-1
     form blew up the expression tree and codegen time). Lanes are
-    exact for up to 65,535 words per document.
+    exact up to the _SIMHASH_MAX_WORDS cap (32,767) — beyond that the
+    top lane would flip the long's sign bit, an ANSI overflow, so
+    callers must cap the array (see _simhash_words).
     """
     zero = F.array_repeat(F.lit(0).cast("long"), 16)
     return F.aggregate(
@@ -335,8 +349,12 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
     16-array per word. Each fold lives in its own projection column so
     the packing step's repeated references stay cheap attribute reads
     (CollapseProject does not inline non-cheap producer expressions).
+
+    Documents with more than 32,767 distinct words are deterministically
+    truncated to their first 32,767 (ANSI-overflow guard — see
+    _SIMHASH_MAX_WORDS).
     """
-    words = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    words = _simhash_words(F.col(text_col))
     out = df.withColumn("_sh_hashes", F.transform(words, lambda w: F.xxhash64(w))).withColumn(
         "_sh_n", F.size("_sh_hashes")
     )
@@ -367,7 +385,7 @@ def simhash_signature(col: Column | str, bits: int = 64) -> Column:
     positive; ties give 0).
     """
     c = F.col(col) if isinstance(col, str) else col
-    words = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    words = _simhash_words(c)
     word_hashes = F.transform(words, lambda w: F.xxhash64(w))
     return _simhash_pack(_simhash_bit_counts(word_hashes), F.size(words), bits)
 

@@ -18,6 +18,14 @@ streaming and batch replays of the same records agree:
               conflicts, equals "the" value for well-formed streams)
   tags      = key-wise merge, later records (by start, then raw JSON)
               win
+
+Split-invariance: the scalar folds are commutative (min/max), and the
+tag merge is made micro-batch-split-invariant by storing the RAW
+(start, tags-json) pairs in state and resolving winners only at emit
+time with the same global (start, tags) sort the batch operator uses —
+never by arrival order. (Serialized key order of the emitted JSON is
+sorted; the batch form serializes in fold order — key SETS and winning
+VALUES agree, asserted in tests/test_streaming.py.)
 """
 
 from __future__ import annotations
@@ -33,8 +41,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from duo_spark.schemas import SPAN_SCHEMA
 
-#: state carried per open span id — the partial span minus its key,
-#: plus intactness bookkeeping
+#: state carried per open span id — the partial span minus its key.
+#: `tag_recs` is a JSON array of [start, tags-json] pairs (deduped),
+#: NOT a merged map: winners are resolved at emit so the result is
+#: independent of how records split across micro-batches.
 SPAN_STATE_SCHEMA = T.StructType(
     [
         T.StructField("parent_id", T.LongType(), True),
@@ -42,7 +52,7 @@ SPAN_STATE_SCHEMA = T.StructType(
         T.StructField("name", T.StringType(), True),
         T.StructField("process_id", T.StringType(), True),
         T.StructField("start", T.LongType(), True),
-        T.StructField("tags", T.StringType(), True),
+        T.StructField("tag_recs", T.StringType(), True),
     ]
 )
 
@@ -52,13 +62,26 @@ SPAN_OUTPUT_SCHEMA = T.StructType(SPAN_SCHEMA.fields + [T.StructField("intact", 
 DEFAULT_TTL_MS = 15 * 60 * 1000  # 15 min, mirroring the default query lookback
 
 
-def _merge_tags(acc: str | None, new: str | None) -> str | None:
-    if not new:
-        return acc
-    if not acc:
-        return new
-    merged: dict[str, Any] = json.loads(acc)
-    merged.update(json.loads(new))
+def _decode_pairs(s: str | None) -> list[tuple[int | None, str]]:
+    if not s:
+        return []
+    return [(p[0], p[1]) for p in json.loads(s)]
+
+
+def _pair_sort_key(p: tuple[int | None, str]):
+    # mirror the batch fold's sort_array(struct(start, tags)) ordering:
+    # start ASC nulls-first, then raw tag JSON ASC
+    return (p[0] is not None, p[0] if p[0] is not None else 0, p[1])
+
+
+def _resolve_tags(pairs: list[tuple[int | None, str]]) -> str | None:
+    """Fold tag maps in global (start, tags) order — later keys win,
+    exactly the batch `merge_span_records` rule."""
+    if not pairs:
+        return None
+    merged: dict[str, Any] = {}
+    for _start, t in sorted(pairs, key=_pair_sort_key):
+        merged.update(json.loads(t))
     return json.dumps(merged, sort_keys=True)
 
 
@@ -77,8 +100,9 @@ def _opt_int(v) -> int | None:
 def _merge_records(
     state_row: tuple | None, pdf: pd.DataFrame
 ) -> tuple[dict[str, Any], int | None]:
-    """Fold a batch's records (ordered by start, then raw tag JSON —
-    the deterministic stand-in for arrival order) into the partial."""
+    """Fold a batch's records into the partial. Scalar folds are
+    commutative (min/max) so no ordering is needed; tags accumulate as
+    raw (start, json) pairs and are resolved at emit."""
     if state_row is not None:
         partial: dict[str, Any] = {
             "parent_id": _opt_int(state_row[0]),
@@ -86,22 +110,27 @@ def _merge_records(
             "name": state_row[2],
             "process_id": state_row[3],
             "start": _opt_int(state_row[4]),
-            "tags": state_row[5],
+            "tag_pairs": _decode_pairs(state_row[5]),
         }
     else:
         partial = {
             "parent_id": None, "trace_id": None, "name": None,
-            "process_id": None, "start": None, "tags": None,
+            "process_id": None, "start": None, "tag_pairs": [],
         }
+    seen = set(partial["tag_pairs"])
     end: int | None = None
-    pdf = pdf.sort_values(["start", "tags"], na_position="first", kind="stable")
     for rec in pdf.itertuples(index=False):
         partial["parent_id"] = _min_nonnull(partial["parent_id"], _opt_int(rec.parent_id))
         partial["trace_id"] = _min_nonnull(partial["trace_id"], _opt_int(rec.trace_id))
         partial["name"] = _min_nonnull(partial["name"], rec.name)
         partial["process_id"] = _min_nonnull(partial["process_id"], rec.process_id)
         partial["start"] = _min_nonnull(partial["start"], _opt_int(rec.start))
-        partial["tags"] = _merge_tags(partial["tags"], rec.tags)
+        tags = rec.tags
+        if isinstance(tags, str) and tags:
+            pair = (_opt_int(rec.start), tags)
+            if pair not in seen:
+                seen.add(pair)
+                partial["tag_pairs"].append(pair)
         rec_end = _opt_int(rec.end)
         if rec_end is not None:
             end = rec_end if end is None else max(end, rec_end)
@@ -119,7 +148,7 @@ def _span_row(span_id: int, partial: dict[str, Any], end: int | None, intact: bo
                 "process_id": partial["process_id"],
                 "start": partial["start"],
                 "end": end,
-                "tags": partial["tags"],
+                "tags": _resolve_tags(partial["tag_pairs"]),
                 "intact": intact,
             }
         ]
@@ -163,7 +192,8 @@ def make_span_completion_func(ttl_ms: int = DEFAULT_TTL_MS, emit_expired: bool =
             state.update(
                 (
                     partial["parent_id"], partial["trace_id"], partial["name"],
-                    partial["process_id"], partial["start"], partial["tags"],
+                    partial["process_id"], partial["start"],
+                    json.dumps(sorted(partial["tag_pairs"], key=_pair_sort_key)),
                 )
             )
             if ttl_ms > 0:  # 0 => NoTimeout mode, setTimeoutDuration would throw
@@ -182,11 +212,14 @@ def complete_spans(
     is one hash exchange and state-store size is O(open spans), which
     the TTL bounds.
 
-    ``ttl_ms=None`` disables the timeout entirely (the reference's
-    unbounded-buffer semantics). Required for availableNow replays: a
-    ProcessingTimeTimeout keeps the micro-batch loop alive to fire
-    future timeouts, so a drain-and-stop run would never terminate.
+    ``ttl_ms=None`` (or ``<= 0``, normalized) disables the timeout
+    entirely (the reference's unbounded-buffer semantics). Required for
+    availableNow replays: a ProcessingTimeTimeout keeps the micro-batch
+    loop alive to fire future timeouts, so a drain-and-stop run would
+    never terminate.
     """
+    if ttl_ms is not None and ttl_ms <= 0:
+        ttl_ms = None
     timeout = (
         GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
     )

@@ -129,3 +129,14 @@ def test_ngram_df_cutoff_bounds_fanout_on_pathological_tokens(spark):
     tok = sh.select("_id", F.explode("_sh").alias("_t"))
     dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("n"))
     assert dfreq.filter(F.col("n") > 5).count() >= 2  # 'the', 'common' would explode
+
+
+def test_simhash_giant_doc_no_ansi_overflow(spark):
+    """Docs beyond the 32,767-distinct-word cap must not raise an ANSI
+    ARITHMETIC_OVERFLOW (top SWAR lane hitting the sign bit); they are
+    deterministically truncated to the first 32,767 distinct words."""
+    big = " ".join(f"w{i}" for i in range(40_000))
+    capped = " ".join(f"w{i}" for i in range(32_767))
+    df = spark.createDataFrame([(1, big), (2, capped)], "doc_id: long, text: string")
+    rows = {r.doc_id: r.sig for r in dedup.with_simhash(df, "text", "sig").collect()}
+    assert rows[1] == rows[2], "truncated giant doc must hash like its first 32,767 words"

@@ -72,9 +72,7 @@ def test_lsh_topk_full_recall_on_clustered(clustered):
     exact = [r.vec_id for r in similarity.cosine_topk(clustered, qvec, k=10, exclude_ids=[0]).collect()]
     lsh = [
         r.vec_id
-        for r in similarity.cosine_topk_lsh(
-            clustered, qvec, k=10, exclude_ids=[0], n_planes=8, multiprobe_hamming=1
-        ).collect()
+        for r in similarity.cosine_topk_lsh(clustered, qvec, k=10, exclude_ids=[0]).collect()
     ]
     recall = len(set(lsh) & set(exact)) / 10
     assert recall == 1.0, f"recall {recall} on clustered data"
@@ -85,15 +83,14 @@ def test_lsh_topk_exact_given_candidates(spark, emb):
     result must be exactly the brute-force top-k RESTRICTED to the
     probed buckets: pruning may cost recall, never correctness."""
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    planes = similarity.make_hyperplanes(len(qvec), 8, 42)
-    qb = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(qvec, p)) >= 0:
-            qb |= 1 << i
-    probe = [qb] + [qb ^ (1 << i) for i in range(8)]
-    restricted = emb.withColumn(
-        "_bucket", similarity.hyperplane_bucket(F.col("embedding"), planes)
-    ).filter(F.col("_bucket").isin(probe))
+    cand = None
+    for t in range(4):
+        planes = similarity.make_hyperplanes(len(qvec), 8, 42 + t)
+        qb = similarity._query_bucket(qvec, planes)
+        bucket = similarity.hyperplane_bucket(F.col("embedding"), planes)
+        hit = F.bit_count(bucket.bitwiseXOR(F.lit(qb))) <= 2
+        cand = hit if cand is None else (cand | hit)
+    restricted = emb.filter(cand)
     want = [
         (r.vec_id, round(r.cosine, 9))
         for r in similarity.cosine_topk(restricted, qvec, k=10, exclude_ids=[0]).collect()

@@ -111,6 +111,37 @@ def test_late_close_emitted_on_later_microbatch(spark, scratch):
         q.stop()
 
 
+def test_tag_merge_split_invariant_across_microbatches(spark, scratch):
+    """Cross-batch tag conflicts must resolve by the global
+    (start, tags) order, not arrival order: the record with the LARGER
+    sort key arrives in batch 1, the smaller in batch 2 — the larger
+    one must still win the key, exactly as the batch merge decides."""
+    src = os.path.join(scratch, "in")
+    table = f"tags_{uuid.uuid4().hex[:8]}"
+    late_rec = _rec(5, start=BASE + 100, tags=json.dumps({"k": "winner", "only_late": "x"}))
+    early_rec = _rec(5, start=BASE, end=BASE + 200, tags=json.dumps({"k": "loser", "only_early": "y"}))
+    spark.createDataFrame([late_rec], SPAN_SCHEMA).write.mode("append").parquet(src)
+    q = start_span_pipeline(
+        spark, src, memory_mode=True, memory_table=table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=None,
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(table).count() == 0
+        spark.createDataFrame([early_rec], SPAN_SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table(table).collect()
+        assert len(rows) == 1
+        got = json.loads(rows[0].tags)
+        batch = merge_span_records(
+            spark.createDataFrame([late_rec, early_rec], SPAN_SCHEMA)
+        ).collect()
+        want = json.loads(batch[0].tags)
+        assert got == want == {"k": "winner", "only_late": "x", "only_early": "y"}
+    finally:
+        q.stop()
+
+
 def test_ttl_expires_abandoned_opens(spark, scratch):
     """T4 TTL (our improvement over the reference's unbounded buffer):
     an abandoned open is expelled; a close arriving after expiry starts
