@@ -22,14 +22,22 @@ Scale notes: minute-grained dirs are right for the reference's 60 s
 flush cadence, but at 100 TB/day minute dirs => ~1440*24 tiny dirs/day
 and small-file pressure. The writer therefore takes a granularity knob
 (minute | hour | date) and coalesces to a bounded file count per
-partition. Compaction can rewrite minute dirs into hour files without
-changing the read path (same partition columns).
+partition; ``compact()`` rewrites a minute-grained table to hour (or
+date) directories with the finer column demoted to a data column —
+query results are identical (same columns, same values) and pruning on
+the demoted column degrades gracefully to row-group min/max stats.
+
+All filesystem metadata operations (exists / side-file JSON / the
+compaction swap) go through the Hadoop FileSystem API resolved from
+the path's own scheme, so the store works unchanged against any
+configured object store (s3a://, gs://, hdfs://...), matching the
+reference's object-store abstraction (duo/src/config.rs:93-132, K4).
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +46,8 @@ from pyspark.sql import functions as F
 from duo_spark.functions.time import timestamp_from_us
 
 PARTITION_COLS = ("date", "hour", "minute")
+
+_GRAN_COLS = {"date": ["date"], "hour": ["date", "hour"], "minute": list(PARTITION_COLS)}
 
 
 def with_partition_cols(df: DataFrame, time_col: str, granularity: str = "minute") -> DataFrame:
@@ -60,13 +70,19 @@ class PartitionedStore:
     granularity: str = "minute"
 
     def table_path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return posixpath.join(self.root, table)
+
+    def _fs(self, path: str):
+        """Hadoop FileSystem for ``path``'s scheme (K4: local, s3a,
+        gs, hdfs... — whatever the Hadoop conf knows), plus the Path."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
 
     def write(self, df: DataFrame, table: str, time_col: str, mode: str = "append") -> None:
         """K1 — partitioned parquet sink with trace_id bloom filter."""
-        cols = {"date": ["date"], "hour": ["date", "hour"], "minute": list(PARTITION_COLS)}[
-            self.granularity
-        ]
+        cols = _GRAN_COLS[self.granularity]
         out = with_partition_cols(df, time_col, self.granularity)
         writer = out.write.mode(mode).partitionBy(*cols)
         if "trace_id" in df.columns:
@@ -76,29 +92,132 @@ class PartitionedStore:
     def read(self, table: str) -> DataFrame:
         """S2 — partition-discovering scan with mergeSchema so drifted
         log schemas unify (reference Schema::try_merge,
-        duo/src/schema.rs:78-89)."""
-        return self.spark.read.option("mergeSchema", "true").parquet(self.table_path(table))
+        duo/src/schema.rs:78-89).
+
+        Partition-value type inference is disabled for the read: the
+        partition columns come back as the exact strings they were
+        written as ("hour=00" stays "00", not int 0), so results are
+        invariant under compaction demoting them to data columns.
+        """
+        return self._read_uninferred(self.table_path(table))
+
+    def _read_uninferred(self, path: str) -> DataFrame:
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = conf.get(key, "true")
+        conf.set(key, "false")
+        try:
+            # schema/partition discovery happens eagerly here, so the
+            # conf can be restored right after
+            return self.spark.read.option("mergeSchema", "true").parquet(path)
+        finally:
+            conf.set(key, old)
 
     def exists(self, table: str) -> bool:
-        p = self.table_path(table)
-        return os.path.isdir(p) and any(
-            name.startswith("date=") or name.endswith(".parquet") for name in os.listdir(p)
-        )
+        fs, p = self._fs(self.table_path(table))
+        if not fs.exists(p):
+            return False
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith("date=") or name.endswith(".parquet"):
+                return True
+        return False
 
     # -- K3: tiny JSON side files (process registry, merged log schema) --
 
     def write_json(self, rel_path: str, payload: object) -> None:
-        path = os.path.join(self.root, rel_path)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(payload, f)
+        fs, p = self._fs(posixpath.join(self.root, rel_path))
+        stream = fs.create(p, True)  # creates parent dirs, overwrites
+        try:
+            stream.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            stream.close()
 
     def read_json(self, rel_path: str) -> object | None:
-        path = os.path.join(self.root, rel_path)
-        if not os.path.exists(path):
+        fs, p = self._fs(posixpath.join(self.root, rel_path))
+        if not fs.exists(p):
             return None
-        with open(path) as f:
-            return json.load(f)
+        stream = fs.open(p)
+        try:
+            data = self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(data).decode("utf-8"))
+
+    # ----------------------------------------------------- compaction --
+
+    def compact(self, table: str, to_granularity: str = "hour") -> None:
+        """Rewrite a fine-grained table at a coarser directory
+        granularity (the store docstring's minute->hour promise).
+
+        The demoted partition columns (e.g. ``minute``) become regular
+        data columns, so reads return the SAME columns and values —
+        only directory/file counts change (one task per remaining
+        partition => one file). Pruning on demoted columns degrades to
+        parquet row-group min/max stats, which is the right trade for
+        cold data: at 100 TB/day, minute dirs are 86,400 dirs/day of
+        small files, while hour files stay scan-efficient.
+
+        Whole-table rewrite with a backup-swap (write to a scratch dir,
+        rename old table away, rename scratch in, drop backup); the
+        swap uses Hadoop FS renames so it works on any scheme. Callers
+        should compact CLOSED tables (or accept a read gap on the swap)
+        and set the store's granularity to ``to_granularity`` for
+        subsequent writes — mixed directory depths in one table root
+        would break partition discovery.
+        """
+        if to_granularity not in ("date", "hour"):
+            raise ValueError(f"can only compact to date|hour, got {to_granularity!r}")
+        cols = _GRAN_COLS[to_granularity]
+        path = self.table_path(table)
+        scratch = self.table_path(f"{table}._compacting")
+        backup = self.table_path(f"{table}._precompact")
+        # partition values must survive as the strings they were
+        # written as ("00" must not become int 0 and re-write as "0")
+        df = self._read_uninferred(path)
+        writer = (
+            df.repartition(*[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .partitionBy(*cols)
+        )
+        if "trace_id" in df.columns:
+            writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
+        writer.parquet(scratch)
+        self._swap(table, scratch)
+        self.granularity = to_granularity
+
+    def _swap(self, table: str, scratch: str) -> None:
+        """Replace ``table``'s directory with ``scratch`` via FS
+        renames (backup-swap; rolls back if the second rename fails)."""
+        path = self.table_path(table)
+        backup = self.table_path(f"{table}._precompact")
+        fs, orig_p = self._fs(path)
+        _, scratch_p = self._fs(scratch)
+        _, backup_p = self._fs(backup)
+        fs.delete(backup_p, True)
+        if not fs.rename(orig_p, backup_p):
+            raise IOError(f"swap: could not move {path} aside")
+        if not fs.rename(scratch_p, orig_p):
+            fs.rename(backup_p, orig_p)  # roll back
+            raise IOError(f"swap: could not move {scratch} into place")
+        fs.delete(backup_p, True)
+
+    def rewrite(self, table: str, transform) -> None:
+        """Rewrite a table in place through ``transform(df) -> df``,
+        preserving the partition layout found on disk. Used for rare
+        whole-table maintenance (e.g. conforming old files after a log
+        schema type-widening)."""
+        df = self.read(table)
+        cols = [c for c in PARTITION_COLS if c in df.columns]
+        out = transform(df)
+        scratch = self.table_path(f"{table}._rewriting")
+        writer = out.repartition(*[F.col(c) for c in cols]).write.mode("overwrite")
+        if cols:
+            writer = writer.partitionBy(*cols)
+        if "trace_id" in out.columns:
+            writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
+        writer.parquet(scratch)
+        self._swap(table, scratch)
 
 
 @dataclass

@@ -138,3 +138,57 @@ def test_query_through_store_matches_direct(spark, store, sf_dir):
     via_store = search_logs(table.df(), service="click", limit=40, tiebreaker="span_id")
     direct = search_logs(logs, service="click", limit=40, tiebreaker="span_id")
     assert [r.asDict() for r in via_store.collect()] == [r.asDict() for r in direct.collect()]
+
+
+def test_store_works_on_uri_root(spark, tmp_path):
+    """K4: a scheme-qualified root (file://...) must work end to end —
+    os.path-based helpers choke on URIs; the Hadoop FS API routes by
+    scheme (the same code path an s3a:// root takes)."""
+    store = PartitionedStore(spark, f"file://{tmp_path}/storage", granularity="minute")
+    assert not store.exists("span")
+    store.write(_spans(spark, 5), "span", time_col="start")
+    assert store.exists("span")
+    assert store.read("span").count() == 5
+    store.write_json("schema/log_schema.json", {"fields": ["a"]})
+    assert store.read_json("schema/log_schema.json") == {"fields": ["a"]}
+    assert store.read_json("schema/nope.json") is None
+
+
+def test_compaction_same_results_fewer_files(spark, store):
+    """Compaction promise: minute dirs -> hour files, identical query
+    results (same columns incl. the demoted minute values), strictly
+    fewer parquet files."""
+    store.write(_spans(spark, 50), "span", time_col="start")
+    root = store.table_path("span")
+
+    def _files(path):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before_files = _files(root)
+    before = {
+        tuple(r) for r in store.read("span")
+        .select("id", "trace_id", "start", "date", "hour", "minute").collect()
+    }
+    store.compact("span", to_granularity="hour")
+    assert store.granularity == "hour"
+    after_files = _files(root)
+    assert len(after_files) < len(before_files)
+    assert len(after_files) == 2  # one file per hour partition
+    after = {
+        tuple(r) for r in store.read("span")
+        .select("id", "trace_id", "start", "date", "hour", "minute").collect()
+    }
+    assert after == before
+    # directory layout is now date=/hour= with minute demoted to data
+    dates = [d for d in os.listdir(root) if d.startswith("date=")]
+    hours = sorted(os.listdir(os.path.join(root, dates[0])))
+    assert hours == ["hour=22", "hour=23"]
+    # point lookups still push down after compaction
+    df = store.read("span").filter(F.col("trace_id") == 1003)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
