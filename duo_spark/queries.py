@@ -452,6 +452,43 @@ FROM recs GROUP BY id HAVING max("end") IS NOT NULL
 """
 
 
+def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 end-to-end: the record set pushed through the REAL streaming
+    parquet sink — file source -> stateful completion -> 60 s-cadence
+    partitioned parquet sink (availableNow drain) -> read back through
+    PartitionedStore/HotColdTable. Proves the streaming sink's on-disk
+    layout (date=/hour=/minute= + bloom) is exactly what the batch
+    store reads (duo/src/grpc/server.rs:89-120 + partition/writer.rs).
+    Thinned to every-40th order: the span starts are date-grained, so
+    each distinct ship date is one minute-partition dir — the sink's
+    small-file behavior is part of what's under test."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import HotColdTable, PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch, start_span_pipeline
+
+    records = _span_merge_records(spark, sf_dir, modulo=40)
+    run = _scratch("pqsink", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    records.write.mode("overwrite").parquet(src)
+    q = start_span_pipeline(
+        spark,
+        src,
+        out_dir=f"{run}/store/span",
+        checkpoint_dir=f"{run}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+    store = PartitionedStore(spark, f"{run}/store", granularity="minute")
+    merged = HotColdTable(store, "span").df()
+    return merged.filter(F.col("intact")).select(
+        "id", "parent_id", "trace_id", "name", "process_id", "start", "end"
+    )
+
+
+SQL_STREAMING_PARQUET_SINK = SQL_STREAMING_SPAN_MERGE.replace("% 20", "% 40")
+
+
 def q_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 root-predicate trace admission + deterministic top-20."""
     spans = spans_view(spark, sf_dir)
@@ -1151,6 +1188,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
