@@ -57,9 +57,11 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("duo_spark_bench")
 
-    # JVM/codegen warmup on the smallest scale
+    # JVM/codegen warmup on the smallest scale; ann_lsh also spins up
+    # the Arrow/Python UDF workers (long-lived in production, so their
+    # one-time startup doesn't belong in the measured numbers)
     warm_dir = "/root/testdata/sf0.001"
-    for name in ("pricing_summary", "logs_search"):
+    for name in ("pricing_summary", "logs_search", "ann_lsh"):
         try:
             _force(QUERIES[name][0](spark, warm_dir))
         except Exception as e:  # noqa: BLE001 — warmup must never kill the run

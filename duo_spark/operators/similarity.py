@@ -151,6 +151,86 @@ def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
     return qb
 
 
+def lsh_table_buckets(
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> Column:
+    """All ``n_tables`` sign-buckets of a vector in ONE pass — an
+    Arrow-batched Pandas UDF doing a single (batch × dim) @ (dim ×
+    n_tables·n_planes) float64 matmul, then packing sign bits per
+    table. Returns ``array<long>`` of length ``n_tables``.
+
+    Why a UDF when hyperplane_bucket is pure Column algebra: each
+    Column-side plane dot is its own zip_with+aggregate fold over the
+    vector, so L tables × P planes = L·P array folds per row — 32
+    folds made the probed query 4× SLOWER than brute force (one fold).
+    The matmul computes the same 2048 multiply-adds per row at numpy
+    memory bandwidth and amortizes Python crossing over Arrow batches.
+    Bit j of table t is set iff dot(v, plane_{t,j}) >= 0 in float64 —
+    numerically identical to hyperplane_bucket's double fold (same
+    left-to-right element order via np.dot on contiguous float64).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_all = np.array(
+        [
+            p
+            for t in range(n_tables)
+            for p in make_hyperplanes(dim, n_planes, seed + t)
+        ],
+        dtype=np.float64,
+    ).T  # dim × (n_tables*n_planes)
+    weights = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
+
+    def _buckets(v):  # pd.Series[array<float>] -> pd.Series[list[int]]
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        bits = (mat @ planes_all) >= 0.0  # batch × (L*P)
+        per_table = bits.reshape(len(v), n_tables, n_planes)
+        packed = (per_table * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(packed))
+
+    return pandas_udf(_buckets, "array<long>")(F.col(vec_col))
+
+
+def lsh_candidate_condition(
+    query_vec: list[float],
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    multiprobe_hamming: int = 2,
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> Column:
+    """The candidate predicate shared by the operator and its tests: a
+    row qualifies iff for SOME table its sign-bucket is within
+    ``multiprobe_hamming`` bit flips of the query's bucket
+    (``bit_count(bucket XOR q_bucket) <= r``). If ``bucket_col`` names
+    a precomputed array<long> column (the 100 TB pattern: materialize
+    once at ingest, partition by table-0's bucket), it is used
+    directly; otherwise buckets are computed in-query via
+    lsh_table_buckets."""
+    dim = len(query_vec)
+    buckets = (
+        F.col(bucket_col)
+        if bucket_col is not None
+        else lsh_table_buckets(dim, n_planes, n_tables, seed, vec_col)
+    )
+    cond = None
+    for t in range(n_tables):
+        qb = _query_bucket(query_vec, make_hyperplanes(dim, n_planes, seed + t))
+        hit = (
+            F.bit_count(F.element_at(buckets, t + 1).bitwiseXOR(F.lit(qb)))
+            <= F.lit(multiprobe_hamming)
+        )
+        cond = hit if cond is None else (cond | hit)
+    return cond
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -162,43 +242,35 @@ def cosine_topk_lsh(
     seed: int = 42,
     multiprobe_hamming: int = 2,
     exclude_ids: list[int] | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """LSH-pruned cosine top-k: multi-table hyperplane LSH with
     Hamming-ball multiprobe.
 
-    A row is a candidate iff for SOME of the ``n_tables`` independent
-    plane sets (seeded ``seed + table``) its sign-bucket is within
-    ``multiprobe_hamming`` bit flips of the query's bucket in that
-    table (``bit_count(bucket XOR q_bucket) <= r`` — pure codegen, no
-    IN-list). Candidates are then ranked by EXACT cosine, so the
-    result is exactly the brute-force top-k restricted to the
-    candidate set; pruning can cost recall, never correctness.
+    Candidates (see lsh_candidate_condition) are ranked by EXACT
+    cosine, so the result is exactly the brute-force top-k restricted
+    to the candidate set; pruning can cost recall, never correctness.
 
     Recall: for a neighbor at angle θ each plane flips with p = θ/π,
     so per-table P(dist≤r) = Σ_{i≤r} C(n,i)p^i(1-p)^(n-i) and a miss
     needs ALL tables to miss — at cosine 0.97 (p≈0.078, 8 planes,
     r=2, 4 tables) the miss probability is ~1e-6. One 8-plane table
-    with r=1 gave recall 0.3 on clustered data; this is the standard
-    fix (multi-table OR + radius-2 probe).
+    with r=1 gave recall 0.3 on clustered data; multi-table OR +
+    radius-2 probe is the standard fix.
 
     Cost: each table's radius-2 ball covers (1+8+28)/256 ≈ 14% of
     buckets; 4 tables OR'd scan ≲ 45% worst-case but far less on real
-    clustered data where tables agree. At 100 TB the bucket columns
-    should be precomputed and the table partitioned by table-0's
-    bucket so the dominant probe prunes at the file level; the
-    residual tables are cheap post-scan filters.
+    clustered data where tables agree. Signature computation is one
+    Arrow matmul pass (lsh_table_buckets); at 100 TB precompute that
+    column once at ingest (``bucket_col=``) and partition by table-0's
+    bucket so the dominant probe prunes at the file level.
     """
-    dim = len(query_vec)
-    cond = None
-    for t in range(n_tables):
-        planes = make_hyperplanes(dim, n_planes, seed + t)
-        qb = _query_bucket(query_vec, planes)
-        bucket = hyperplane_bucket(F.col(vec_col), planes)
-        hit = F.bit_count(bucket.bitwiseXOR(F.lit(qb))) <= F.lit(multiprobe_hamming)
-        cond = hit if cond is None else (cond | hit)
     out = df
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(exclude_ids))
+    cond = lsh_candidate_condition(
+        query_vec, n_planes, n_tables, seed, multiprobe_hamming, vec_col, bucket_col
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         out.filter(cond)

@@ -83,14 +83,7 @@ def test_lsh_topk_exact_given_candidates(spark, emb):
     result must be exactly the brute-force top-k RESTRICTED to the
     probed buckets: pruning may cost recall, never correctness."""
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    cand = None
-    for t in range(4):
-        planes = similarity.make_hyperplanes(len(qvec), 8, 42 + t)
-        qb = similarity._query_bucket(qvec, planes)
-        bucket = similarity.hyperplane_bucket(F.col("embedding"), planes)
-        hit = F.bit_count(bucket.bitwiseXOR(F.lit(qb))) <= 2
-        cand = hit if cand is None else (cand | hit)
-    restricted = emb.filter(cand)
+    restricted = emb.filter(similarity.lsh_candidate_condition(qvec))
     want = [
         (r.vec_id, round(r.cosine, 9))
         for r in similarity.cosine_topk(restricted, qvec, k=10, exclude_ids=[0]).collect()
@@ -100,6 +93,37 @@ def test_lsh_topk_exact_given_candidates(spark, emb):
         for r in similarity.cosine_topk_lsh(emb, qvec, k=10, exclude_ids=[0]).collect()
     ]
     assert got == want
+
+
+def test_lsh_udf_buckets_match_column_form(emb):
+    """The vectorized matmul bucket UDF must agree bit-for-bit with the
+    pure-Column hyperplane_bucket fold on every row and table."""
+    got = emb.select(
+        "vec_id",
+        similarity.lsh_table_buckets(64).alias("b"),
+        *[
+            similarity.hyperplane_bucket(
+                F.col("embedding"), similarity.make_hyperplanes(64, 8, 42 + t)
+            ).alias(f"c{t}")
+            for t in range(4)
+        ],
+    ).collect()
+    for r in got:
+        assert list(r.b) == [r.c0, r.c1, r.c2, r.c3], r.vec_id
+
+
+def test_lsh_precomputed_bucket_col_same_result(emb):
+    """bucket_col= (the materialize-at-ingest pattern) must give the
+    identical top-k as in-query bucket computation."""
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    inline = similarity.cosine_topk_lsh(emb, qvec, k=10, exclude_ids=[0]).collect()
+    pre = emb.withColumn("_lsh", similarity.lsh_table_buckets(64))
+    stored = similarity.cosine_topk_lsh(
+        pre, qvec, k=10, exclude_ids=[0], bucket_col="_lsh"
+    ).collect()
+    assert [(r.vec_id, round(r.cosine, 9)) for r in inline] == [
+        (r.vec_id, round(r.cosine, 9)) for r in stored
+    ]
 
 
 def test_topk_many_matches_single_query_form(emb):
