@@ -10,6 +10,7 @@ from duo_spark.functions.codec import (
 )
 from duo_spark.functions.time import (
     format_timing,
+    format_timing_py,
     parse_duration_us,
     timestamp_from_us,
     us_from_timestamp,
@@ -17,6 +18,7 @@ from duo_spark.functions.time import (
 
 __all__ = [
     "format_timing",
+    "format_timing_py",
     "level_from_int",
     "level_to_int",
     "message_from_fields",

@@ -60,6 +60,17 @@ def parse_duration_us_col(col: Column | str) -> Column:
     return (num * factor).cast("long")
 
 
+def format_timing_py(us: int) -> str:
+    """Driver-side twin of :func:`format_timing` (same unit table,
+    duo/src/models.rs:186-195) for ingest-bridge normalization where
+    no SparkSession is in play."""
+    if us < 1_000:
+        return f"{us}us"
+    if us < 1_000_000:
+        return f"{us / 1_000.0:.2f}ms"
+    return f"{us / 1_000_000.0:.2f}s"
+
+
 def format_timing(col: Column | str) -> Column:
     """µs int -> human duration string (C3).
 

@@ -1,0 +1,265 @@
+"""Network ingest bridge (SURVEY §2.1 S6) — the gRPC server's role,
+Spark-first.
+
+Reference: a tonic gRPC service with three RPCs — register_process /
+record_span / record_event — buffering records and draining them into
+the store on a 1 s tick (duo/src/grpc/server.rs:27-46,124-169).
+
+Spark has no "push RPC" source, and a custom receiver would reinvent
+what Structured Streaming's file source already guarantees (exactly
+-once, replayable, checkpointable). So the bridge is:
+
+    TCP clients --JSON lines--> IngestServer buffers --tick--> staged
+    parquet files --> readStream (pipeline.span_record_stream) --> ...
+
+The server is plain driver-side Python (sockets + pyarrow): the hot
+path never touches the SparkSession, so ingest keeps accepting while
+queries run. Each flush writes ONE parquet file per table — exactly
+the reference's aggregation-tick batching (server.rs:31-46) — and the
+streaming source picks it up on its next micro-batch. At scale you run
+many bridge instances (they share nothing) or swap in Kafka; the
+pipeline only ever sees "files of SPAN/LOG-schema rows appearing in a
+directory", so the swap is config, not code.
+
+Wire protocol (the duo-subscriber analog, newline-delimited JSON):
+    {"kind": "process", "service": "web", "tags": {...}}
+        -> responds {"process_id": "web-0"} on the same connection
+           (the register_process RPC's return value,
+           duo/src/grpc/server.rs:124-142)
+    {"kind": "span",  ...SPAN_SCHEMA fields...}      (no response)
+    {"kind": "log",   ...LOG_CORE_SCHEMA fields...}  (no response)
+
+Span records run through ingest.normalize_timing_tags semantics
+driver-side (busy/idle humanization happens at ingest in the
+reference, duo/src/models.rs:106-112); log records get C6 message
+extraction from a "fields" map if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+import time
+import uuid
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from duo_spark.functions import format_timing_py
+from duo_spark.ingest import ProcessRegistry
+
+_SPAN_ARROW = pa.schema(
+    [
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("parent_id", pa.int64()),
+        pa.field("trace_id", pa.int64(), nullable=False),
+        pa.field("name", pa.string(), nullable=False),
+        pa.field("process_id", pa.string(), nullable=False),
+        pa.field("start", pa.int64(), nullable=False),
+        pa.field("end", pa.int64()),
+        pa.field("tags", pa.string()),
+    ]
+)
+
+_LOG_ARROW = pa.schema(
+    [
+        pa.field("process_id", pa.string(), nullable=False),
+        pa.field("time", pa.int64(), nullable=False),
+        pa.field("trace_id", pa.int64()),
+        pa.field("span_id", pa.int64()),
+        pa.field("level", pa.string(), nullable=False),
+        pa.field("target", pa.string()),
+        pa.field("file", pa.string()),
+        pa.field("line", pa.int32()),
+        pa.field("message", pa.string()),
+    ]
+)
+
+_LEVEL_BY_INT = {1: "ERROR", 2: "WARN", 3: "INFO", 4: "DEBUG", 5: "TRACE"}
+
+
+def _normalize_span(rec: dict[str, Any]) -> dict[str, Any]:
+    """busy/idle µs tags -> human strings at ingest
+    (duo/src/models.rs:106-112)."""
+    tags = rec.get("tags")
+    if isinstance(tags, dict):
+        fixed = {}
+        for k, v in tags.items():
+            if k in ("busy", "idle") and isinstance(v, int) and not isinstance(v, bool):
+                fixed[k] = format_timing_py(v)
+            else:
+                fixed[k] = v
+        rec["tags"] = json.dumps(fixed, sort_keys=True)
+    return rec
+
+
+def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
+    """C6 message extraction + proto int level decode
+    (duo/src/models.rs:148-158)."""
+    fields = rec.pop("fields", None)
+    if isinstance(fields, dict) and "message" in fields and rec.get("message") is None:
+        rec["message"] = str(fields.pop("message"))
+    lvl = rec.get("level")
+    if isinstance(lvl, int) and not isinstance(lvl, bool):
+        rec["level"] = _LEVEL_BY_INT.get(lvl, "DEBUG")
+    return rec
+
+
+class IngestServer:
+    """Threaded TCP JSON-lines ingest with tick-based parquet staging."""
+
+    def __init__(
+        self,
+        span_dir: str,
+        log_dir: str,
+        registry: ProcessRegistry | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tick_seconds: float = 1.0,
+        max_buffer: int = 50_000,
+    ):
+        self.span_dir, self.log_dir = span_dir, log_dir
+        os.makedirs(span_dir, exist_ok=True)
+        os.makedirs(log_dir, exist_ok=True)
+        self.registry = registry if registry is not None else ProcessRegistry()
+        self.tick_seconds = tick_seconds
+        self.max_buffer = max_buffer
+        self._spans: list[dict[str, Any]] = []
+        self._logs: list[dict[str, Any]] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        server = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:  # one connection, many lines
+                for raw in self.rfile:
+                    line = raw.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue  # reference drops undecodable frames
+                    reply = server._ingest(rec)
+                    if reply is not None:
+                        self.wfile.write((json.dumps(reply) + "\n").encode())
+                        self.wfile.flush()
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            # non-daemon + block_on_close: server_close() joins the
+            # handler threads, so stop()'s final flush can't race a
+            # connection that is still draining its lines
+            daemon_threads = False
+
+        self._tcp = _Server((host, port), Handler)
+        self.address: tuple[str, int] = self._tcp.server_address[:2]
+        self._threads = [
+            threading.Thread(target=self._tcp.serve_forever, daemon=True),
+            threading.Thread(target=self._tick_loop, daemon=True),
+        ]
+
+    # ------------------------------------------------------------------
+
+    def start(self) -> "IngestServer":
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self) -> None:
+        """Stop accepting, then flush everything buffered (the
+        reference's shutdown drains the same way)."""
+        self._stop.set()
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        self.flush()
+
+    def __enter__(self) -> "IngestServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ------------------------------------------------------------------
+
+    def _ingest(self, rec: dict[str, Any]) -> dict[str, Any] | None:
+        kind = rec.pop("kind", None)
+        if kind == "process":
+            pid = self.registry.register_process(rec.get("service", ""), rec.get("tags"))
+            return {"process_id": pid}
+        if kind == "span":
+            with self._lock:
+                self._spans.append(_normalize_span(rec))
+                full = len(self._spans) >= self.max_buffer
+        elif kind == "log":
+            with self._lock:
+                self._logs.append(_normalize_log(rec))
+                full = len(self._logs) >= self.max_buffer
+        else:
+            return None
+        if full:
+            self.flush()
+        return None
+
+    def _tick_loop(self) -> None:
+        while not self._stop.wait(self.tick_seconds):
+            self.flush()
+
+    def flush(self) -> None:
+        """Stage buffered records as one parquet file per table — the
+        1 s aggregation tick (duo/src/grpc/server.rs:31-46). Unlike the
+        reference's `logs.is_empty() || spans.is_empty()` skip (the §3.4
+        wart), each table flushes independently."""
+        with self._lock:
+            spans, self._spans = self._spans, []
+            logs, self._logs = self._logs, []
+        if spans:
+            self._write(spans, _SPAN_ARROW, self.span_dir)
+        if logs:
+            self._write(logs, _LOG_ARROW, self.log_dir)
+
+    @staticmethod
+    def _write(records: list[dict[str, Any]], schema: pa.Schema, out_dir: str) -> None:
+        cols = {
+            f.name: [r.get(f.name) for r in records] for f in schema
+        }
+        table = pa.Table.from_pydict(cols, schema=schema)
+        # write-then-rename so the streaming file source never lists a
+        # half-written file
+        final = os.path.join(out_dir, f"{int(time.time()*1e6)}-{uuid.uuid4().hex[:8]}.parquet")
+        tmp = final + ".inprogress"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+
+
+# ------------------------------------------------------------- client --
+
+
+class IngestClient:
+    """Minimal duo-subscriber analog for tests/examples: send records
+    over one TCP connection."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        self._rfile = self._sock.makefile("rb")
+
+    def register_process(self, service: str, tags: dict[str, Any] | None = None) -> str:
+        self._send({"kind": "process", "service": service, "tags": tags or {}})
+        return json.loads(self._rfile.readline())["process_id"]
+
+    def record_span(self, **span: Any) -> None:
+        self._send({"kind": "span", **span})
+
+    def record_log(self, **log: Any) -> None:
+        self._send({"kind": "log", **log})
+
+    def _send(self, obj: dict[str, Any]) -> None:
+        self._sock.sendall((json.dumps(obj) + "\n").encode())
+
+    def close(self) -> None:
+        self._rfile.close()
+        self._sock.close()

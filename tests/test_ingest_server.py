@@ -1,0 +1,122 @@
+"""S6 network ingest bridge: TCP JSON-lines -> staged parquet ->
+streaming pipeline, with process registration over the wire."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from duo_spark.ingest import ProcessRegistry
+from duo_spark.streaming import replay_span_records, start_span_pipeline
+from duo_spark.streaming.ingest_server import IngestClient, IngestServer
+from duo_spark.streaming.pipeline import _scratch
+
+BASE = 1_700_000_000_000_000
+
+
+@pytest.fixture()
+def scratch():
+    return _scratch("test", uuid.uuid4().hex)
+
+
+def test_ingest_server_end_to_end(spark, scratch):
+    """Client records over a real socket; the staged files feed the
+    real streaming pipeline; busy/idle tags arrive humanized and the
+    span merge withholds the open-only span."""
+    span_dir = os.path.join(scratch, "span_in")
+    log_dir = os.path.join(scratch, "log_in")
+    registry = ProcessRegistry()
+    with IngestServer(span_dir, log_dir, registry=registry, tick_seconds=30) as server:
+        host, port = server.address
+        client = IngestClient(host, port)
+        pid = client.register_process("web", {"host": "h1"})
+        assert pid == "web-0"
+        assert client.register_process("web") == "web-1"
+        client.record_span(
+            id=1, parent_id=None, trace_id=9, name="GET /", process_id=pid,
+            start=BASE, end=None, tags={"busy": 2500, "note": "x"},
+        )
+        client.record_span(
+            id=1, parent_id=None, trace_id=9, name="GET /", process_id=pid,
+            start=BASE, end=BASE + 100, tags=None,
+        )
+        client.record_span(  # open only -> withheld by completion
+            id=2, parent_id=1, trace_id=9, name="child", process_id=pid,
+            start=BASE + 5, end=None, tags=None,
+        )
+        client.record_log(
+            process_id=pid, time=BASE + 7, trace_id=9, span_id=1, level=1,
+            target="app", file=None, line=None, message=None,
+            fields={"message": "boom", "k": "v"},
+        )
+        client.close()
+    # server.stop() flushed; run the REAL pipeline over the staged files
+    table = f"net_{uuid.uuid4().hex[:8]}"
+    q = start_span_pipeline(
+        spark, span_dir, memory_mode=True, memory_table=table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+    rows = {r.id: r for r in spark.table(table).collect()}
+    assert set(rows) == {1}, "open-only span must be withheld"
+    assert rows[1].end == BASE + 100
+    assert json.loads(rows[1].tags) == {"busy": "2.50ms", "note": "x"}
+    # log side: C6 extraction + proto level decode happened at the edge
+    logs = spark.read.parquet(log_dir).collect()
+    assert len(logs) == 1
+    assert logs[0].message == "boom" and logs[0].level == "ERROR"
+    assert registry.service_names() == ["web"]
+
+
+def test_ingest_server_tick_flush_without_stop(spark, scratch):
+    """The periodic tick stages files while the server keeps running
+    (the reference's 1 s aggregation tick, grpc/server.rs:31-46)."""
+    import time
+
+    span_dir = os.path.join(scratch, "span_in")
+    log_dir = os.path.join(scratch, "log_in")
+    server = IngestServer(span_dir, log_dir, tick_seconds=0.2).start()
+    try:
+        host, port = server.address
+        client = IngestClient(host, port)
+        client.record_span(
+            id=5, parent_id=None, trace_id=1, name="n", process_id="p-0",
+            start=BASE, end=BASE + 1, tags=None,
+        )
+        client.close()
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(
+            f.endswith(".parquet") for f in os.listdir(span_dir)
+        ):
+            time.sleep(0.1)
+        assert any(f.endswith(".parquet") for f in os.listdir(span_dir))
+        merged = replay_span_records(spark, spark.read.parquet(span_dir))
+        assert [r.id for r in merged.collect()] == [5]
+    finally:
+        server.stop()
+
+
+def test_ingest_server_drops_garbage_lines(scratch):
+    """Undecodable frames are dropped, the connection survives, and
+    later valid records still land (lenient wire edge)."""
+    import socket as pysocket
+
+    span_dir = os.path.join(scratch, "span_in")
+    log_dir = os.path.join(scratch, "log_in")
+    with IngestServer(span_dir, log_dir, tick_seconds=30) as server:
+        host, port = server.address
+        s = pysocket.create_connection((host, port))
+        s.sendall(b"this is not json\n")
+        s.sendall(
+            (json.dumps({"kind": "span", "id": 7, "trace_id": 1, "name": "n",
+                         "process_id": "p-0", "start": BASE, "end": BASE + 1}) + "\n").encode()
+        )
+        s.close()
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(span_dir, f) for f in os.listdir(span_dir)]
+    assert len(files) == 1
+    assert pq.read_table(files[0]).to_pydict()["id"] == [7]
