@@ -80,12 +80,19 @@ def filter_traces(
     roots = select_root_spans(
         spans, service, operation, start_us, end_us, min_duration_us, max_duration_us
     )
+    # the admitted side is aliased to a fresh column: a semi-join whose
+    # right side derives from the SAME DataFrame would otherwise carry
+    # conflicting attribute ids (self-join over one memory-sink view)
     admitted = (
         roots.orderBy(F.col("start").desc(), F.col("trace_id").desc())
         .limit(limit)
-        .select("trace_id")
+        .select(F.col("trace_id").alias("admitted_trace_id"))
     )
-    return spans.join(F.broadcast(admitted), "trace_id", "left_semi")
+    return spans.join(
+        F.broadcast(admitted),
+        spans["trace_id"] == admitted["admitted_trace_id"],
+        "left_semi",
+    )
 
 
 def logs_for_traces(logs: DataFrame, trace_ids: DataFrame) -> DataFrame:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import select
 import socket
 import socketserver
 import threading
@@ -132,6 +133,8 @@ class IngestServer:
         self._logs: list[dict[str, Any]] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._active = 0
+        self._idle = threading.Condition()
         server = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -156,6 +159,30 @@ class IngestServer:
             # connection that is still draining its lines
             daemon_threads = False
 
+            # connection accounting for quiesce(): a connection counts
+            # from the moment it is accepted (not when its handler
+            # thread gets scheduled) until its handler finishes, so
+            # "no active connections" really means "every byte a
+            # closed client sent has been ingested"
+            def get_request(self):
+                with server._idle:
+                    server._active += 1
+                try:
+                    return super().get_request()
+                except BaseException:
+                    with server._idle:
+                        server._active -= 1
+                        server._idle.notify_all()
+                    raise
+
+            def process_request_thread(self, request, client_address):
+                try:
+                    super().process_request_thread(request, client_address)
+                finally:
+                    with server._idle:
+                        server._active -= 1
+                        server._idle.notify_all()
+
         self._tcp = _Server((host, port), Handler)
         self.address: tuple[str, int] = self._tcp.server_address[:2]
         self._threads = [
@@ -171,12 +198,36 @@ class IngestServer:
         return self
 
     def stop(self) -> None:
-        """Stop accepting, then flush everything buffered (the
-        reference's shutdown drains the same way)."""
+        """Drain in-flight connections, stop accepting, then flush
+        everything buffered (the reference's shutdown drains the same
+        way)."""
+        self.quiesce()
         self._stop.set()
         self._tcp.shutdown()
         self._tcp.server_close()
         self.flush()
+
+    def quiesce(self, timeout: float = 10.0) -> bool:
+        """Wait until every connected client's bytes are ingested: no
+        connection pending accept on the listen socket and no handler
+        mid-read. Returns False if connections are still open at
+        ``timeout`` — callers flushing for a deterministic drain should
+        close their clients first."""
+        deadline = time.monotonic() + timeout
+        while True:
+            # after stop() the listen socket is closed — nothing can be
+            # pending accept any more
+            pending = not self._stop.is_set() and bool(
+                select.select([self._tcp], [], [], 0)[0]
+            )
+            with self._idle:
+                if not pending and self._active == 0:
+                    return True
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                # a pending accept doesn't notify the condition — poll
+                self._idle.wait(min(remaining, 0.05))
 
     def __enter__(self) -> "IngestServer":
         return self.start()
