@@ -42,9 +42,13 @@ def level_from_int(col: Column | str) -> Column:
     try_element_at (1-based, matching the proto enum numbering) yields
     NULL for out-of-range ints — the reference's fallible conversion
     (duo-api/src/common.rs:39-60) — instead of an ANSI-mode exception.
+    Index 0 (proto's "unspecified") is special-cased to NULL:
+    try_element_at treats 0 as INVALID_INDEX_OF_ZERO, not out-of-range.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_element_at(F.array(*[F.lit(lv) for lv in LEVELS]), c.cast("int"))
+    return F.try_element_at(
+        F.array(*[F.lit(lv) for lv in LEVELS]), F.nullif(c.cast("int"), F.lit(0))
+    )
 
 
 def level_to_int(col: Column | str) -> Column:

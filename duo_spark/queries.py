@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from duo_spark.functions import codec as codec_fns
+from duo_spark.functions import time as time_fns
 from duo_spark.operators import dedup, similarity, text
 from duo_spark.operators.logs import field_stats, search_logs
 from duo_spark.operators.spans import merge_span_records
@@ -1170,6 +1172,124 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_timing_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2+C3 round-trip: span durations (µs) -> the reference's
+    human strings (format_timing, duo/src/models.rs:186-195) -> parsed
+    back per-row (parse_duration_us_col, duo/src/web/deser.rs:241-252),
+    with derived columns hitting all three unit branches (us/ms/s).
+
+    Durations that are multiples of 125 µs are excluded ON BOTH SIDES:
+    those are exactly the values where d/1000 (or d/1e6) is binary-
+    representable with a third decimal digit of 5, and Java's %.2f
+    (HALF_UP) and DuckDB's printf (round-half-even) disagree on exact
+    ties. Every other value rounds identically from the same double.
+    """
+    spans = spans_view(spark, sf_dir)
+    dur = F.col("end") - F.col("start")
+    human = time_fns.format_timing(dur)
+    return (
+        spans.filter(F.col("end").isNotNull() & (dur % 125 != 0))
+        .select(
+            "id",
+            dur.alias("duration_us"),
+            time_fns.format_timing(dur % 1_000).alias("human_us"),
+            time_fns.format_timing(dur % 1_000_000).alias("human_ms"),
+            human.alias("human"),
+            time_fns.parse_duration_us_col(human).alias("parsed_us"),
+        )
+    )
+
+
+SQL_TIMING_CODEC = f"""
+WITH {SPANS_CTE},
+d AS (
+  SELECT id, "end" - "start" AS duration_us
+  FROM spans WHERE "end" IS NOT NULL AND ("end" - "start") % 125 <> 0),
+fmt AS (
+  SELECT id, duration_us,
+    CAST(duration_us % 1000 AS VARCHAR) || 'us' AS human_us,
+    CASE WHEN duration_us % 1000000 < 1000
+           THEN CAST(duration_us % 1000000 AS VARCHAR) || 'us'
+         ELSE printf('%.2fms', (duration_us % 1000000) / 1000.0) END AS human_ms,
+    CASE WHEN duration_us < 1000 THEN CAST(duration_us AS VARCHAR) || 'us'
+         WHEN duration_us < 1000000 THEN printf('%.2fms', duration_us / 1000.0)
+         ELSE printf('%.2fs', duration_us / 1000000.0) END AS human
+  FROM d)
+SELECT id, duration_us, human_us, human_ms, human,
+  CAST(floor(CAST(regexp_extract(human, '^(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) *
+       CASE WHEN human LIKE '%ms' THEN 1000.0
+            WHEN human LIKE '%us' THEN 1.0
+            ELSE 1000000.0 END) AS BIGINT) AS parsed_us
+FROM fmt
+"""
+
+
+def q_level_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 both directions per-row: level string -> proto int -> string
+    round-trip (duo-api/src/common.rs:39-60), plus decode of an
+    arbitrary int probe (span_id % 6 + 1 — the 6 exercises the
+    out-of-range NULL path of the fallible conversion)."""
+    logs = events_as_logs(spark, sf_dir)
+    num = codec_fns.level_to_int(F.col("level"))
+    probe = (F.col("span_id") % 6 + 1).cast("int")
+    return logs.select(
+        "span_id",
+        "level",
+        num.alias("level_num"),
+        codec_fns.level_from_int(num).alias("level_rt"),
+        codec_fns.level_from_int(probe).alias("level_probe"),
+    )
+
+
+SQL_LEVEL_CODEC = f"""
+WITH {LOGS_CTE}
+SELECT span_id, level,
+  CASE level WHEN 'ERROR' THEN 1 WHEN 'WARN' THEN 2 WHEN 'INFO' THEN 3
+             WHEN 'DEBUG' THEN 4 WHEN 'TRACE' THEN 5 END AS level_num,
+  list_extract(['ERROR','WARN','INFO','DEBUG','TRACE'],
+    CASE level WHEN 'ERROR' THEN 1 WHEN 'WARN' THEN 2 WHEN 'INFO' THEN 3
+               WHEN 'DEBUG' THEN 4 WHEN 'TRACE' THEN 5 END) AS level_rt,
+  list_extract(['ERROR','WARN','INFO','DEBUG','TRACE'],
+    CAST(span_id % 6 + 1 AS INT)) AS level_probe
+FROM logs
+"""
+
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+S2+compaction end-to-end: logs written minute-grained through
+    the store, compacted to hour files (PartitionedStore.compact), read
+    back through the store. Compaction must be semantically invisible —
+    the oracle is the plain logs aggregate — and the demoted ``minute``
+    partition column must survive as a data column with its written
+    string values."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch
+
+    logs = events_as_logs(spark, sf_dir)
+    store = PartitionedStore(
+        spark, _scratch("gate-compact", _uuid.uuid4().hex), granularity="minute"
+    )
+    store.write(logs, "log", time_col="time")
+    store.compact("log", to_granularity="hour")
+    return store.read("log").groupBy("process_id", "level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+        F.countDistinct("minute").alias("minutes"),
+    )
+
+
+SQL_COMPACTION_ROUNDTRIP = f"""
+WITH {LOGS_CTE}
+SELECT process_id, level, CAST(count(*) AS BIGINT) AS n,
+       MIN("time") AS min_time, MAX("time") AS max_time,
+       CAST(COUNT(DISTINCT strftime(make_timestamp("time"), '%M')) AS BIGINT) AS minutes
+FROM logs GROUP BY process_id, level
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1193,6 +1313,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
     "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
+    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
+    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     # analytics
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
