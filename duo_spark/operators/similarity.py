@@ -88,6 +88,12 @@ def cosine_topk_many(
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
         F.spark_partition_id().alias("_pid"),
     )
+    return _topk_two_phase(scored, k, id_col, query_id_col)
+
+
+def _topk_two_phase(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFrame:
+    """Partial/final top-k per query over (query_id, id, cosine, _pid)
+    scored rows — the shared reduction of cosine_topk_many/ivf_search."""
     key = F.struct(
         (-F.col("cosine")).alias("_neg"),
         F.col(id_col).alias("_id"),
@@ -377,3 +383,63 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
         best = F.when(better, F.lit(i)).otherwise(best)
         best_sim = F.when(better, sim).otherwise(best_sim)
     return df.withColumn("_cell", best)
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """One row per (query, probed cell): the ``nprobe`` centroids
+    nearest to each query vector, ordered sim DESC with cell-index
+    tiebreak (ascending struct sort on (-sim, cell))."""
+    keys = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col(query_vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias(
+                    "_neg"
+                ),
+                F.lit(i).alias("_cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return queries.withColumn(
+        "_cell", F.explode(F.slice(F.sort_array(keys), 1, nprobe)["_cell"])
+    )
+
+
+def ivf_search(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN: brute-force top-k restricted to each query's ``nprobe``
+    nearest centroid cells.
+
+    The scale path behind ivf_assign: with the table persisted
+    partitioned by ``_cell``, the cell equi-join below becomes a
+    partition-pruned scan touching nprobe/n_cells of the data; here the
+    assignment is computed inline so the operator is self-contained.
+    The probed (query, cell) pairs are broadcast — data never shuffles
+    for candidate generation — and the reduction is the same
+    O(|Q|·k·partitions) two-phase top-k as cosine_topk_many, so no
+    global per-query sort exists at any scale. Deterministic given the
+    centroids: cells and probe order tiebreak on index, top-k on id.
+    """
+    assigned = ivf_assign(df, centroids, vec_col)
+    probed = ivf_probe_cells(queries, centroids, nprobe, query_vec_col)
+    scored = assigned.join(F.broadcast(probed), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    return _topk_two_phase(scored, k, id_col, query_id_col)

@@ -1290,6 +1290,114 @@ FROM logs GROUP BY process_id, level
 """
 
 
+#: prefix-pruned range endpoints: deliberately mid-hour / mid-minute so
+#: the enumerator's floor/ceil edges AND the residual µs filter both bite
+PRUNE_START_US = T_2024_01_05 + (3 * 3600 + 27 * 60) * 1_000_000 + 500_000
+PRUNE_END_US = T_2024_01_05 + (2 * 86400 + 14 * 3600 + 5 * 60 + 30) * 1_000_000 + 500_000
+
+
+def q_store_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+K1+S2 end-to-end: logs written hour-granular through the
+    store, read back via read_range — generate_prefixes (the
+    reference's TimePeriod, duo/src/utils.rs:36-181) enumerates the
+    covering directories, the reader lists ONLY those, and a residual
+    µs filter trims the edge hours. Pruning must be semantically
+    invisible, so the oracle is the plain time-filtered aggregate."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch
+
+    logs = events_as_logs(spark, sf_dir)
+    store = PartitionedStore(
+        spark, _scratch("gate-prune", _uuid.uuid4().hex), granularity="hour"
+    )
+    store.write(logs, "log", time_col="time")
+    return (
+        store.read_range("log", PRUNE_START_US, PRUNE_END_US)
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("time").alias("min_time"),
+            F.max("time").alias("max_time"),
+            F.countDistinct("span_id").alias("spans"),
+        )
+    )
+
+
+SQL_STORE_PRUNED_SCAN = f"""
+WITH {LOGS_CTE}
+SELECT level, CAST(count(*) AS BIGINT) AS n,
+       MIN("time") AS min_time, MAX("time") AS max_time,
+       CAST(COUNT(DISTINCT span_id) AS BIGINT) AS spans
+FROM logs
+WHERE "time" >= {PRUNE_START_US} AND "time" <= {PRUNE_END_US}
+GROUP BY level
+"""
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: nprobe=2 of 4 deterministic cells (first 4
+    vectors as centroids), exact cosine top-5 within the probed cells.
+    The oracle replicates the pruning exactly, so the comparison is
+    bit-deterministic, not recall-approximate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 13)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = similarity.ivf_search(emb, queries, cents, k=5, nprobe=2)
+    return topk.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_IVF_SEARCH = """
+WITH c AS (
+  SELECT list(embedding ORDER BY vec_id) AS cents
+  FROM embeddings WHERE vec_id < 4),
+sims AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(c.cents, ce ->
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * ce[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*x))))) AS sims
+  FROM embeddings e CROSS JOIN c),
+cells AS (
+  SELECT vec_id, embedding,
+         CASE WHEN sims[1] >= sims[2] AND sims[1] >= sims[3] AND sims[1] >= sims[4] THEN 0
+              WHEN sims[2] >= sims[3] AND sims[2] >= sims[4] THEN 1
+              WHEN sims[3] >= sims[4] THEN 2
+              ELSE 3 END AS cell
+  FROM sims),
+probes AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qe, t.i - 1 AS cell,
+         row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY s.sims[t.i] DESC, t.i ASC) AS prn
+  FROM sims s CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) t
+  WHERE s.vec_id IN (0, 7, 13)),
+cand AS (
+  SELECT p.query_id, cl.vec_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(cl.embedding[i] AS DOUBLE) * p.qe[i]))
+         / (sqrt(list_sum(list_transform(cl.embedding, x -> CAST(x AS DOUBLE)*x)))
+          * sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*x)))) AS cos
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE p.prn <= 2),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM cand)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1316,6 +1424,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
     "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
     # analytics
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
@@ -1335,6 +1444,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),

@@ -81,10 +81,18 @@ class PartitionedStore:
         return fs, hpath
 
     def write(self, df: DataFrame, table: str, time_col: str, mode: str = "append") -> None:
-        """K1 — partitioned parquet sink with trace_id bloom filter."""
+        """K1 — partitioned parquet sink with trace_id bloom filter.
+
+        Rows are hash-repartitioned on the partition columns first so
+        each directory receives at most ``spark.sql.shuffle.partitions``
+        files per write (without this, every task writes a sliver into
+        every directory it touches — tasks × partitions small files,
+        the classic 100 TB/day small-file failure)."""
         cols = _GRAN_COLS[self.granularity]
         out = with_partition_cols(df, time_col, self.granularity)
-        writer = out.write.mode(mode).partitionBy(*cols)
+        writer = (
+            out.repartition(*[F.col(c) for c in cols]).write.mode(mode).partitionBy(*cols)
+        )
         if "trace_id" in df.columns:
             writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
         writer.parquet(self.table_path(table))
@@ -101,7 +109,7 @@ class PartitionedStore:
         """
         return self._read_uninferred(self.table_path(table))
 
-    def _read_uninferred(self, path: str) -> DataFrame:
+    def _read_uninferred(self, *paths: str, base_path: str | None = None) -> DataFrame:
         conf = self.spark.conf
         key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         old = conf.get(key, "true")
@@ -109,9 +117,60 @@ class PartitionedStore:
         try:
             # schema/partition discovery happens eagerly here, so the
             # conf can be restored right after
-            return self.spark.read.option("mergeSchema", "true").parquet(path)
+            reader = self.spark.read.option("mergeSchema", "true")
+            if base_path is not None:
+                reader = reader.option("basePath", base_path)
+            return reader.parquet(*paths)
         finally:
             conf.set(key, old)
+
+    def read_range(
+        self, table: str, start_us: int, end_us: int, time_col: str = "time"
+    ) -> DataFrame:
+        """S3 — bounded-listing time-range scan.
+
+        Enumerates the minimal partition prefixes covering
+        [start_us, end_us] (generate_prefixes — the reference's
+        TimePeriod::generate_prefixes, duo/src/utils.rs:36-181,
+        consumed by its multi-path reader partition/query.rs:48-60),
+        truncates them to this store's directory granularity, and reads
+        ONLY those directories. On object stores this bounds the
+        listing itself — Catalyst's partition pruning still has to list
+        the whole table root before discarding directories, which at
+        100 TB/day of minute dirs is millions of S3 LIST calls.
+
+        Both endpoints are inclusive at µs resolution; rows outside
+        the range inside an edge directory are removed by a residual
+        pushed-down filter on ``time_col``.
+        """
+        from datetime import datetime, timedelta
+
+        from duo_spark.sources.pruning import generate_prefixes
+
+        epoch = datetime(1970, 1, 1)
+        start = epoch + timedelta(microseconds=start_us)
+        # +1µs: generate_prefixes treats an exact minute boundary as an
+        # exclusive end; the reader contract is µs-inclusive
+        end = epoch + timedelta(microseconds=end_us + 1)
+        depth = len(_GRAN_COLS[self.granularity])
+        prefixes: list[str] = []
+        seen: set[str] = set()
+        for p in generate_prefixes(start, end):
+            cut = "/".join(p.strip("/").split("/")[:depth])
+            if cut not in seen:
+                seen.add(cut)
+                prefixes.append(cut)
+        root = self.table_path(table)
+        fs, _ = self._fs(root)
+        paths = []
+        for pre in prefixes:
+            full = posixpath.join(root, pre)
+            if fs.exists(self.spark._jvm.org.apache.hadoop.fs.Path(full)):
+                paths.append(full)
+        if not paths:
+            return self.read(table).where(F.lit(False))
+        gate = (F.col(time_col) >= F.lit(start_us)) & (F.col(time_col) <= F.lit(end_us))
+        return self._read_uninferred(*paths, base_path=root).filter(gate)
 
     def exists(self, table: str) -> bool:
         fs, p = self._fs(self.table_path(table))

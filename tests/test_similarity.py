@@ -171,3 +171,41 @@ def test_multimodal_features_golden(spark, sf_dir):
     ).hexdigest()
     assert len(rows) == 500
     assert digest == "2640250afdcb3f5c50ac2f85deb6cd1b", digest
+
+
+def test_ivf_search_equals_restricted_bruteforce(clustered):
+    """ivf_search must equal a numpy reference that replicates the
+    pruning exactly: first-max cell assignment, top-nprobe probe with
+    index tiebreak, exact cosine top-k (id tiebreak) within the
+    probed cells."""
+    import numpy as np
+
+    rows = sorted(clustered.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cent_ids = [0, 25, 50, 75, 100, 125, 150, 175]  # first member per cluster
+    centroids = [[float(x) for x in V[i]] for i in cent_ids]
+    Cn = Vn[cent_ids]
+    cells = np.argmax(Vn @ Cn.T, axis=1)  # np.argmax = first-max tiebreak
+
+    qids = [3, 77, 130]
+    queries = clustered.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ivf_search(clustered, queries, centroids, k=5, nprobe=2).collect()
+    }
+    assert len(got) == len(qids) * 5
+    for q in qids:
+        qsims = Vn[q] @ Cn.T
+        probe = sorted(range(8), key=lambda c: (-qsims[c], c))[:2]
+        mask = np.isin(cells, probe)
+        cand_ids, cand = ids[mask], Vn[mask]
+        cos = cand @ Vn[q]
+        order = sorted(range(len(cand_ids)), key=lambda i: (-cos[i], cand_ids[i]))[:5]
+        for rank, i in enumerate(order, start=1):
+            vid, c = got[(q, rank)]
+            assert vid == cand_ids[i]
+            assert abs(c - cos[i]) < 1e-9

@@ -192,3 +192,42 @@ def test_compaction_same_results_fewer_files(spark, store):
     df = store.read("span").filter(F.col("trace_id") == 1003)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
+
+
+def test_read_range_prunes_listing_and_matches_filter(spark, store):
+    """S3 read path: read_range must list only the prefix-covered
+    minute dirs (bounded object-store listing) yet return exactly the
+    rows of a full-scan residual filter, partition columns included."""
+    store.write(_spans(spark), "span", time_col="start")
+    start = BASE + 10 * US_PER_MIN
+    end = BASE + 20 * US_PER_MIN
+    pruned = store.read_range("span", start, end, time_col="start")
+    full = store.read("span").filter((F.col("start") >= start) & (F.col("start") <= end))
+    assert {"date", "hour", "minute"} <= set(pruned.columns)
+    got = {tuple(r) for r in pruned.select("id", "start", "minute").collect()}
+    want = {tuple(r) for r in full.select("id", "start", "minute").collect()}
+    assert got == want and len(got) == 11
+    pruned_files = set(pruned.inputFiles())
+    all_files = set(store.read("span").inputFiles())
+    assert pruned_files < all_files
+    # 11 covered minutes of 50 written (end-minute ceil adds at most 1)
+    assert len(pruned_files) <= 12
+
+
+def test_read_range_truncates_prefixes_to_store_granularity(spark, tmp_path):
+    """An hour-granular store has no minute dirs; the minute-level
+    prefixes must collapse to the hour dirs that do exist."""
+    store = PartitionedStore(spark, str(tmp_path / "hstore"), granularity="hour")
+    store.write(_spans(spark), "span", time_col="start")
+    start = BASE + 10 * US_PER_MIN
+    end = BASE + 20 * US_PER_MIN
+    pruned = store.read_range("span", start, end, time_col="start")
+    files = pruned.inputFiles()
+    assert files and all("/hour=22/" in f for f in files)
+    assert pruned.count() == 11
+
+
+def test_read_range_empty_window(spark, store):
+    store.write(_spans(spark), "span", time_col="start")
+    out = store.read_range("span", BASE - 10 * US_PER_MIN, BASE - US_PER_MIN, time_col="start")
+    assert out.count() == 0
