@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "lang_id",
     "ann_cosine",
     "ann_lsh",
+    "ivf_search",
 ]
 
 
