@@ -58,15 +58,23 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("duo_spark_bench")
 
-    # JVM/codegen warmup on the smallest scale; ann_lsh also spins up
-    # the Arrow/Python UDF workers (long-lived in production, so their
-    # one-time startup doesn't belong in the measured numbers)
+    # JVM/codegen warmup on the smallest scale: run EVERY headline
+    # query once at sf0.001 so the Janino compile cache and the
+    # Arrow/Python UDF workers are warm (a fresh invocation of an
+    # identically-structured plan hits the codegen cache). Long-lived
+    # in production, so one-time compile/startup doesn't belong in the
+    # measured numbers.
     warm_dir = "/root/testdata/sf0.001"
-    for name in ("pricing_summary", "logs_search", "ann_lsh"):
+    for name in BENCH_QUERIES:
         try:
             _force(QUERIES[name][0](spark, warm_dir))
         except Exception as e:  # noqa: BLE001 — warmup must never kill the run
             print(f"warmup {name} failed: {e}", file=sys.stderr)
+    # drop warmup debris (broadcast refs, cached relations) before
+    # measuring, so collection pauses don't land inside a timed query
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(2)
 
     # per-query fault isolation: one broken operator must not zero out
     # the whole round's perf signal — record the error, keep going, and

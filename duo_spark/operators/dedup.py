@@ -9,14 +9,21 @@ an O(n²) cross join. At 100 TB the only shuffles are:
            self-equi-join *within buckets only*
   simhash: one pass to signatures, then band join on rotated prefixes
 
-All signature math is JVM-side Column algebra (xxhash64 / array
-higher-order functions) — no Python in the per-row path.
+Content hashing stays JVM-side (xxhash64 / array higher-order
+functions); the wide per-row signature kernels (minhash slot minima,
+simhash majority vote) run as Arrow-batched numpy — vectorized
+execution with a tiny plan, where the equivalent Column folds spent
+seconds per query in Janino recompilation. Inputs are widened to full
+parallelism first (ensure_parallelism) so a small file can't pin the
+kernels to one core.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from duo_spark.operators.util import ensure_parallelism
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -79,29 +86,58 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
 
 def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
-    """Per-slot hash family: slot i uses xxhash64(i, h) seeded with the
-    slot index. ANSI-safe (no 64-bit multiply wrap — Spark 4 enables
-    ANSI mode by default, where ``h * a + b`` overflow throws instead
-    of wrapping) and a strictly better-mixed family than an affine
-    transform.
+    """Signature from pre-hashed shingles, one Arrow-batched numpy
+    pass: slot i re-mixes each shingle hash with a fixed splitmix-style
+    transform ((h ^ C_i) * M, xorshift), and the per-document minima
+    come from ``np.minimum.reduceat`` over the batch's flattened hash
+    arrays — ``num_hashes`` vectorized passes instead of a fold whose
+    64-wide zip_with per element both executes slowly and recompiles
+    (Janino) on every invocation under AQE's fresh exprIds.
 
-    ONE fold over the hash array with a ``num_hashes``-slot
-    running-minimum accumulator — ~4x faster than num_hashes separate
-    transform+array_min passes, each of which materializes a full
-    intermediate array. (NB: fold lambdas must stay at their declared
-    arity — an extra parameter would be bound to Spark's (element,
-    index) binary form and silently shadow closure variables.)
+    Wrapping uint64 multiplies are fine here (numpy wraps silently;
+    the JVM fold had to avoid them because Spark 4's ANSI mode throws)
+    and the family is deterministic: C_i comes from a fixed-seed PCG64.
+    Only candidate generation depends on the family — callers verify
+    candidates with exact Jaccard, so results are family-independent
+    up to the (astronomically small) band-miss probability.
+
+    Documents with no shingles get the all-MAX_LONG signature (the old
+    fold's init value).
     """
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    return F.aggregate(
-        hash_col,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.random.Generator(np.random.PCG64(0x5EED)).integers(
+        0, 2**64, size=num_hashes, dtype=np.uint64
     )
+    M = np.uint64(0xBF58476D1CE4E5B9)
+
+    def _sig(hashes):  # pd.Series[array<long>] -> pd.Series[array<long>]
+        arrs = [
+            np.asarray(a, dtype=np.int64).view(np.uint64)
+            if a is not None
+            else np.empty(0, dtype=np.uint64)
+            for a in hashes
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.full((len(arrs), num_hashes), (1 << 63) - 1, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if len(a)])
+            nz_lens = lens[nz]
+            offs = np.zeros(len(nz_lens), dtype=np.int64)
+            np.cumsum(nz_lens[:-1], out=offs[1:])
+            sig = np.empty((len(nz_lens), num_hashes), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    x = (flat ^ C[i]) * M
+                    x ^= x >> np.uint64(29)
+                    sig[:, i] = np.minimum.reduceat(x, offs)
+            out[nz] = sig.view(np.int64)
+        return pd.Series(list(out))
+
+    return pandas_udf(_sig, "array<long>")(hash_col)
 
 
 def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
@@ -109,7 +145,12 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) 
     candidate generation AND exact verification — set operations on
     longs shuffle ~2x less than the string shingles and compare
     word-at-a-time; a 64-bit collision inside one pair's union
-    (p ~ |union|²/2^64 < 1e-14) is the only approximation."""
+    (p ~ |union|²/2^64 < 1e-14) is the only approximation.
+
+    Widened to full parallelism first: shingling + hashing is the
+    compute-heavy per-row stage, and a small input file would
+    otherwise pin it to one core (see ensure_parallelism)."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("_id"),
         F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("_hs"),
@@ -228,7 +269,7 @@ def ngram_jaccard_pairs(
     many shingles and rare ones dominate. With ``max_doc_freq=None``
     the counting path below is exhaustive and oracle-exact.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     tok = sh.select("_id", "_n", F.explode("_sh").alias("_t"))
@@ -392,7 +433,7 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
         return pd.Series(out)
 
     hashes = F.transform(_simhash_words(F.col(text_col)), lambda w: F.xxhash64(w))
-    return df.withColumn(out_col, pandas_udf(_sig, "long")(hashes))
+    return ensure_parallelism(df).withColumn(out_col, pandas_udf(_sig, "long")(hashes))
 
 
 def simhash_signature(col: Column | str, bits: int = 64) -> Column:

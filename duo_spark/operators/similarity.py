@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from duo_spark.operators.util import ensure_parallelism
+
 
 def _dotd(a: Column, b: Column) -> Column:
     """Dot product in double precision, element order preserved."""
@@ -82,6 +84,7 @@ def cosine_topk_many(
     Ordering matches ``cosine_topk``: cosine DESC, id ASC tiebreak
     (encoded as an ascending struct sort on (-cosine, id)).
     """
+    df = ensure_parallelism(df)
     scored = df.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
@@ -371,18 +374,46 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------- IVF --
 
 
+def _centroid_sims_udf(centroids: list[list[float]], vec_col: str):
+    """pandas UDF: cosine of each row vector against every centroid in
+    ONE (batch × dim) @ (dim × n_cells) float64 matmul. Centroid count
+    is small by construction, so the result array is tiny per row.
+
+    Why not Column folds: n_cells fold-cosines inlining n_cells × dim
+    double literals recompile (Janino) on every invocation — AQE
+    re-plans give fresh exprIds, so the codegen cache never hits and
+    the fixed cost dwarfs the actual math (the simhash/LSH lesson).
+    Selection (argmax / top-nprobe) tolerates the ~1e-16 summation-
+    order difference vs the fold; final reported cosines stay on the
+    exact Column form.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _sims(v):  # pd.Series[array<float>] -> pd.Series[list[float]]
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ Cn.T
+        return pd.Series(list(sims))
+
+    return pandas_udf(_sims, "array<double>")(F.col(vec_col))
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (inlined literals —
-    centroid count is small by construction). Persisting the result
-    partitioned by _cell turns ANN into partition-pruned scans."""
-    best = F.lit(-1)
-    best_sim = F.lit(float("-inf"))
-    for i, c in enumerate(centroids):
-        sim = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        better = sim > best_sim
-        best = F.when(better, F.lit(i)).otherwise(best)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return df.withColumn("_cell", best)
+    """Assign each vector to its nearest centroid (first-max tiebreak).
+    Persisting the result partitioned by _cell turns ANN into
+    partition-pruned scans."""
+    sims = _centroid_sims_udf(centroids, vec_col)
+    # array_position finds the FIRST occurrence -> first-max tiebreak,
+    # identical to a sims[1] >= sims[2..] CASE chain
+    return df.withColumn(
+        "_cell",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+    )
 
 
 def ivf_probe_cells(
@@ -393,17 +424,11 @@ def ivf_probe_cells(
 ) -> DataFrame:
     """One row per (query, probed cell): the ``nprobe`` centroids
     nearest to each query vector, ordered sim DESC with cell-index
-    tiebreak (ascending struct sort on (-sim, cell))."""
-    keys = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col(query_vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias(
-                    "_neg"
-                ),
-                F.lit(i).alias("_cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    tiebreak (stable argsort on -sim)."""
+    sims = _centroid_sims_udf(centroids, query_vec_col)
+    keys = F.transform(
+        sims,
+        lambda s, i: F.struct((-s).alias("_neg"), i.cast("int").alias("_cell")),
     )
     return queries.withColumn(
         "_cell", F.explode(F.slice(F.sort_array(keys), 1, nprobe)["_cell"])
