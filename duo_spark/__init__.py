@@ -26,3 +26,43 @@ Architecture (Spark-first, NOT a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package inside UDF closures instead of importing it on
+    workers.
+
+    Worker-side functions (``mapInPandas`` feature extraction,
+    ``applyInPandasWithState`` span completion, pandas-UDF kernels) are
+    pickled by pyspark's vendored cloudpickle. By default cloudpickle
+    serializes them *by reference* (module + qualname), which makes every
+    Python worker ``import duo_spark`` — that only works when the driver
+    happens to run with an importable cwd/PYTHONPATH. A driver embedding
+    this engine from anywhere else (the correctness gate runs from a
+    foreign cwd) gets ``ModuleNotFoundError`` inside the worker.
+
+    Registering every ``duo_spark`` submodule for by-value serialization
+    makes the closures self-contained: the function bytecode and its
+    package globals travel with the task, and workers never import the
+    package. Third-party imports (pyspark/pandas/numpy) still pickle by
+    reference — those exist on any worker image. On a real cluster this
+    composes with (and is strictly more robust than) shipping a wheel
+    via ``spark-submit --py-files``.
+    """
+    import importlib
+    import pkgutil
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    for info in pkgutil.walk_packages(__path__, prefix=__name__ + "."):
+        try:
+            importlib.import_module(info.name)
+        except Exception:  # noqa: BLE001 — optional deps must not break import
+            continue
+    for name, mod in list(sys.modules.items()):
+        if mod is not None and (name == __name__ or name.startswith(__name__ + ".")):
+            register_pickle_by_value(mod)
+
+
+_register_pickle_by_value()

@@ -505,3 +505,40 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS over the full document set.
+
+    Output: (id_col, cluster_id, is_canonical) for EVERY row of ``df``
+    — documents in no pair become singleton clusters of themselves;
+    ``cluster_id`` is the minimum member id of the connected component
+    (see operators/graph.py), and the canonical keeper is the member
+    whose id equals the cluster id.
+
+    Scale: the component resolution is all equi-joins/groupBys on node
+    id; the final assignment is one left join of the corpus against the
+    label set (bounded by #documents-in-any-pair, typically a small
+    fraction of the corpus — AQE broadcasts it when small).
+    """
+    from duo_spark.operators.graph import connected_components
+
+    labels = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "node", "_nd"
+    )
+    idc = F.col(id_col).cast("long")
+    return (
+        df.select(idc.alias(id_col))
+        .join(labels, F.col(id_col) == F.col("_nd"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )

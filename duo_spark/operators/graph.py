@@ -1,0 +1,142 @@
+"""Distributed connected components for dedup-cluster resolution.
+
+Near-duplicate detection (minhash/simhash/embedding pairs — see
+``operators/dedup.py``, ``operators/similarity.py``) emits *pairs*; a
+training-data pipeline needs *clusters* so it can keep one canonical
+document per duplicate group. Pair→cluster resolution is connected
+components over the pair graph.
+
+The reference has no graph surface (its dedup story ends at nothing —
+this is a north-star extension), so the algorithm choice is purely a
+scale question. A driver-side union-find dies at 100 TB (the pair set
+alone can be billions of edges), and naive min-label propagation needs
+O(graph diameter) shuffles. This module implements the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", 2014): every round is two
+hash-shuffles on node id (groupBy + equi-join, AQE-coalesced), the
+edge set only shrinks toward component stars, and convergence is
+O(log²n) rounds (2-4 in practice on dedup graphs, whose components are
+near-cliques). No driver-side graph state — only a (count, checksum)
+pair per round for the fixpoint test.
+
+At convergence every component is a star rooted at its minimum node
+id, so the component label IS the star center.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(src, dst) long edges with src < dst, nulls and self-loops dropped."""
+    a, b = F.col(a_col).cast("long"), F.col(b_col).cast("long")
+    return (
+        pairs.select(
+            F.least(a, b).alias("src"),
+            F.greatest(a, b).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u) = min(Γ(u) ∪ {u}).
+
+    One groupBy(u) for the neighborhood minimum, one equi-join back —
+    both hash-partitioned on node id, so they share a shuffle exchange.
+    """
+    sym = _symmetric(edges)
+    m = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = m.select("src", F.least(F.col("src"), F.col("_mn")).alias("_m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("_m").alias("src"), F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every ≤ neighbor of u (over edges oriented dst≤u) to m(u)."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    out = (
+        oriented.join(m, "src")
+        # each small neighbor v (≤ u) links to m; u itself links to m too
+        .select(F.col("_m").alias("src"), F.col("dst"), F.col("src").alias("_u"))
+    )
+    links = out.select("src", "dst").union(
+        out.select("src", F.col("_u").alias("dst"))
+    )
+    return links.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor fold: order-independent and overflow-free under ANSI mode
+    # (a SUM of xxhash64 longs overflows); edge sets are distinct so
+    # xor-cancellation of repeated rows can't occur
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve a pair graph to components: (node, component) rows.
+
+    ``component`` is the minimum node id of the connected component.
+    Only nodes that appear in at least one pair are returned — callers
+    that want singleton rows join back to the full id set (see
+    ``dedup.near_dup_clusters``).
+
+    Each round persists its edge set and localCheckpoints to truncate
+    the lineage (an iterative plan would otherwise grow a new join+agg
+    layer per round and recompile from the raw pairs every time).
+    """
+    edges = _canonical_edges(pairs, a_col, b_col)
+    spark = pairs.sparkSession
+    edges = edges.localCheckpoint(eager=True)
+    prev = _fingerprint(edges)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _fingerprint(nxt)
+        edges.unpersist()
+        edges = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # at the star fixpoint every edge is (component_min, member); the
+    # symmetric min covers the center itself
+    labels = (
+        _symmetric(edges)
+        .groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("component"),
+        )
+    )
+    return labels

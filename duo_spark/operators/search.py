@@ -1,0 +1,97 @@
+"""BM25 full-text search over a document corpus.
+
+A training-data pipeline needs lexical retrieval next to the embedding
+path (operators/similarity.py): targeted corpus probes ("find documents
+about X"), decontamination sweeps (find benchmark passages in the
+training set), and hybrid dedup all start with a term query against
+100 TB of text. The reference has no search surface (its text querying
+is the logs ILIKE fallback, duo/src/web/logs.rs:54) — this is a
+north-star extension built Spark-first.
+
+Shape, and why it scales:
+- tokenize → explode → filter to the query's terms FIRST: every
+  aggregate downstream is over documents-that-contain-a-query-term,
+  not the corpus. The explode never shuffles pre-filter rows.
+- per-(doc,term) term frequencies and per-term document frequencies
+  are two hash aggregates on that filtered set (map-side combined).
+- corpus stats (N, avgdl) are a one-row aggregate over a projection
+  (no explode — dl is just size(tokens)); joined via broadcast.
+- the per-term document-frequency table is at most |query| rows —
+  broadcast. Scoring is a projection; top-k is TakeOrderedAndProject.
+
+Everything is built-in Column algebra (JVM codegen, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def search_tokens(col: Column | str) -> Column:
+    """Lowercase alphanumeric terms — deliberately SQL-replicable
+    (DuckDB regexp_extract_all) so BM25 results are oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id_col, score) for every document matching ≥1 query term.
+
+    Uses the non-negative BM25 idf (Lucene form):
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        w(d,t)  = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        score   = Σ_t w(d,t)
+    """
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col).alias("_id"), search_tokens(text_col).alias("_ts")
+    )
+    # corpus stats from a projection (dl needs no explode)
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size("_ts")).alias("_avgdl"),
+    )
+    hits = (
+        toks.select("_id", F.size("_ts").alias("_dl"), F.explode("_ts").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+    )
+    tf = hits.groupBy("_id", "_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_dft"))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_dft") + 0.5) / (F.col("_dft") + 0.5))
+    norm = F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+    w = idf * F.col("_tf") * (k1 + 1) / norm
+    return (
+        tf.join(F.broadcast(dft), "_t")
+        .join(F.broadcast(stats))
+        .select("_id", w.alias("_w"))
+        .groupBy("_id")
+        .agg(F.sum("_w").alias("score"))
+        .select(F.col("_id").alias(id_col), "score")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k by (score desc, id asc) — total order, plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    scored = bm25_scores(df, query_terms, id_col, text_col, k1, b)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

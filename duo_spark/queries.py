@@ -1134,6 +1134,86 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→cluster resolution: minhash near-dup pairs (threshold 0.5)
+    resolved to connected components (operators/graph.py, alternating
+    large-star/small-star — all equi-joins, O(log n) rounds), then every
+    document assigned its cluster (component min id; singletons map to
+    themselves). The oracle computes the same clusters via a
+    recursive-CTE transitive closure over the exhaustive Jaccard pair
+    set — tractable only at oracle scale, which is the point: the Spark
+    path is the 100 TB shape, the SQL is the spec."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    return dedup.near_dup_clusters(docs, "doc_id", pairs)
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM docs),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.5),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(l.component, d.doc_id) AS cluster_id,
+       COALESCE(l.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+"""
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/search.py): top-20 documents
+    for a 4-term query, scored with the Lucene non-negative idf. Both
+    sides order by the ROUNDED score (then doc_id) so the cross-engine
+    float boundary can't reorder the cut."""
+    from duo_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = search.bm25_scores(docs, ["merge", "spark", "vector", "window"])
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ts)) AS avgdl FROM toks),
+hits AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS t FROM toks),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM hits WHERE t IN ('merge', 'spark', 'vector', 'window')
+  GROUP BY doc_id, t),
+dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+             * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+  FROM tf JOIN dft USING (t) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hamming<=3 pair set: (max_hamming+1)-block banding has
     guaranteed recall (pigeonhole), so the output is deterministic —
@@ -1449,6 +1529,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "bm25": (q_bm25, SQL_BM25),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -1,0 +1,81 @@
+"""Connected components (large-star/small-star) vs a reference
+union-find, and pair→cluster resolution semantics."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from duo_spark.operators import dedup
+from duo_spark.operators.graph import connected_components
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference labels: min node id per component, driver-side."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    if not edges:
+        df = df.filter(F.lit(False))
+    got = connected_components(df, "a", "b")
+    return {r.node: r.component for r in got.collect()}
+
+
+def test_cc_chain(spark):
+    # a long chain is the worst case for naive propagation
+    edges = [(i, i + 1) for i in range(1, 30)]
+    assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_cc_multiple_components_and_cycles(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 11), (20, 21), (21, 22), (22, 20), (7, 7)]
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    assert _cc(spark, edges) == want
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(13)
+    nodes = list(range(100))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_cc_empty(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_near_dup_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 6), (3, 4)], "id_a long, id_b long"
+    )
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.near_dup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert rows == {
+        1: (1, True),
+        2: (2, True),
+        5: (2, False),
+        6: (2, False),
+        3: (3, True),
+        4: (3, False),
+        7: (7, True),
+    }
+    assert len(rows) == 7

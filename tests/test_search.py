@@ -1,0 +1,70 @@
+"""BM25 semantics: scores match a driver-side reference implementation
+exactly; top-k ordering is total; non-matching docs are absent."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from duo_spark.operators import search
+
+CORPUS = [
+    (1, "spark window merge spark spark"),
+    (2, "window vector window"),
+    (3, "table scan filter"),
+    (4, "spark"),
+    (5, ""),
+    (6, "Vector MERGE vector, spark!  window"),
+]
+QUERY = ["spark", "window", "vector"]
+
+
+def _reference_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: re.findall("[a-z0-9]+", t.lower()) for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dft = Counter(t for ts in toks.values() for t in set(ts) if t in terms)
+    out = {}
+    for i, ts in toks.items():
+        tf = Counter(t for t in ts if t in terms)
+        score = 0.0
+        for t, f in tf.items():
+            idf = math.log(1 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            score += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(ts) / avgdl))
+        if tf:
+            out[i] = score
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bm25_matches_reference(spark, corpus_df):
+    got = {
+        r.doc_id: r.score
+        for r in search.bm25_scores(corpus_df, QUERY).collect()
+    }
+    want = _reference_bm25(CORPUS, set(QUERY))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_bm25_topk_order_and_cut(spark, corpus_df):
+    rows = search.bm25_topk(corpus_df, QUERY, k=3).collect()
+    assert len(rows) == 3
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    want = _reference_bm25(CORPUS, set(QUERY))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [r.doc_id for r in rows] == [i for i, _ in top]
+
+
+def test_bm25_ignores_non_matching_docs(spark, corpus_df):
+    ids = {r.doc_id for r in search.bm25_scores(corpus_df, ["zzz"]).collect()}
+    assert ids == set()
