@@ -1,0 +1,78 @@
+"""Deterministic hash sampling for corpus curation.
+
+`df.sample()` is nondeterministic across runs/partitionings, which is
+wrong for training-data work: a sample must be reproducible (ablation
+reruns, incremental re-curation) and *consistent* — re-running over a
+grown corpus must keep previously-selected documents selected. The
+standard fix is hash-based selection: a document is in the f-sample
+iff h(id) mod M < f*M for a fixed hash h.
+
+The hash here is multiplicative-modular over two primes — chosen over
+xxhash64 deliberately: it is exactly reproducible in ANY SQL engine
+(the DuckDB oracle runs the same arithmetic), overflow-free in int64
+under Spark 4's ANSI mode ((id mod 1000003) * 2654435761 < 2^52), and
+well-mixed enough for sampling (Knuth multiplicative hashing).
+
+All pure Column arithmetic: a filter that pushes into the scan layer,
+no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P1 = 1_000_003          # pre-mix modulus (keeps the product in 2^52)
+_MULT = 2_654_435_761    # Knuth's 2^32 * golden-ratio multiplier
+_M = 1_000_000_007       # selection-space modulus (prime)
+
+
+def hash_bucket(id_col: Column | str, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 1e9+7) from an integer id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    # salt is folded in BEFORE the multiply — an additive post-salt
+    # would only rotate the bucket space and reselect ~salt/M of rows
+    pre = F.pmod(c.cast("long"), F.lit(_P1)) + F.lit(int(salt) % _P1)
+    return F.pmod(pre * F.lit(_MULT), F.lit(_M))
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by id hash.
+
+    Selection is monotone in ``fraction``: the 1% sample is a subset
+    of the 10% sample (same salt) — the property incremental curation
+    relies on.
+    """
+    return df.filter(hash_bucket(id_col, salt) < F.lit(int(fraction * _M)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not
+    listed keep ``default_fraction``. The threshold lookup is a map
+    literal (broadcast-free, pure projection) — at 100 TB this is a
+    scan-side filter exactly like ``hash_sample``.
+    """
+    entries = [
+        x
+        for val, frac in sorted(fractions.items())
+        for x in (F.lit(val), F.lit(int(frac * _M)))
+    ]
+    thresholds = F.create_map(*entries) if entries else None
+    default = F.lit(int(default_fraction * _M))
+    thr = (
+        F.coalesce(thresholds[F.col(strata_col)], default)
+        if thresholds is not None
+        else default
+    )
+    return df.filter(hash_bucket(id_col, salt) < thr)

@@ -1,0 +1,99 @@
+"""Token-budget sharding: pack an ordered corpus into shards of ~N
+tokens each — the step between a cleaned corpus and a training run
+(shard files are the unit of data-loader parallelism).
+
+The natural formulation is a global running sum of token counts in
+document order, and the naive Spark plan for that is
+``Window.orderBy(...)`` with NO partition spec — a single-partition
+sort of the entire corpus, the canonical 100 TB scale-killer. This
+module does the classic two-level decomposition instead:
+
+1. range-repartition by the order column (Spark's RangePartitioner
+   indexes partitions in key order) and sort within partitions;
+2. one tiny job aggregates per-partition token totals — numPartitions
+   rows — which the driver turns into exclusive partition offsets;
+3. a per-partition window (partitionBy spark_partition_id) computes
+   local running sums, shifted by the broadcast offsets.
+
+Total cost: one range shuffle + one O(partitions) driver round-trip.
+No global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def with_running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE running sum of ``value_col`` in ``order_col`` order.
+
+    ``order_col`` must be a total order (unique values) — equal keys
+    land in one range partition but their intra-key order would be
+    undefined. Input is materialized once (localCheckpoint) because
+    the offsets job and the window job would otherwise recompute the
+    whole upstream plan twice.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        int(r["_pid"]): int(r["_t"])
+        for r in d.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    # sentinel entry keeps the map literal well-typed when df is empty
+    entries = list(offsets.items()) or [(-1, 0)]
+    off = F.create_map(*[F.lit(x) for kv in entries for x in kv])
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn(
+            out_col,
+            F.sum(value_col).over(w)
+            + F.coalesce(off[F.col("_pid")], F.lit(0)).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign each document a shard id so every shard holds ~``budget``
+    tokens of consecutive (by ``id_col``) documents.
+
+    Next-fit-by-offset packing: a document starting at global token
+    offset ``o`` goes to shard ``o div budget``. Deterministic, one
+    pass, and every shard's token count is within one document of the
+    budget — the standard large-corpus packing rule (exact bin-close
+    packing is inherently sequential and not worth a serial pass at
+    100 TB).
+    """
+    out = with_running_total(df, id_col, tokens_col, "_rt")
+    start = F.col("_rt") - F.col(tokens_col)
+    # integer `div`, not float floor — exact at any offset magnitude
+    return (
+        out.withColumn("_start", start)
+        .withColumn(shard_col, F.expr(f"_start div {int(budget)}"))
+        .drop("_rt", "_start")
+    )

@@ -1214,6 +1214,55 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 20
 """
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (operators/sharding.py): every document
+    assigned a shard so consecutive-by-id docs pack ~1000 tokens per
+    shard. The Spark path is the two-level running sum (range
+    partition + per-partition window + broadcast offsets — no global
+    single-partition sort); the oracle is the naive global window."""
+    from duo_spark.operators import search as search_ops
+    from duo_spark.operators.sharding import pack_token_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(search_ops.search_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_token_shards(docs, budget=1000)
+
+
+SQL_TOKEN_SHARDS = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks)
+SELECT doc_id, n_tokens, CAST(start // 1000 AS BIGINT) AS shard_id FROM cum
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling (operators/sampling.py):
+    rebalance the corpus (keep 50% en, 20% others). Pure scan-side
+    filter arithmetic — the oracle replays the identical modular hash,
+    which is why the hash is multiplicative-modular and not xxhash64."""
+    from duo_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, {"en": 0.5}, strata_col="lang", default_fraction=0.2, salt=7
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 1000003 + 7) * 2654435761) % 1000000007
+      < CASE WHEN lang = 'en' THEN 500000003 ELSE 200000001 END
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hamming<=3 pair set: (max_hamming+1)-block banding has
     guaranteed recall (pigeonhole), so the output is deterministic —
@@ -1531,6 +1580,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "bm25": (q_bm25, SQL_BM25),
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -1,0 +1,52 @@
+"""Deterministic hash sampling: reproducibility, monotone nesting,
+stratified thresholds, and approximate rates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duo_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+
+def _ids(spark, n=2000):
+    return spark.range(1, n + 1).withColumnRenamed("id", "doc_id")
+
+
+def test_sample_deterministic_and_nested(spark):
+    df = _ids(spark)
+    s10a = {r.doc_id for r in hash_sample(df, 0.10).collect()}
+    s10b = {r.doc_id for r in hash_sample(df, 0.10).collect()}
+    s50 = {r.doc_id for r in hash_sample(df, 0.50).collect()}
+    assert s10a == s10b
+    assert s10a <= s50
+    assert 0.05 < len(s10a) / 2000 < 0.15
+    assert 0.45 < len(s50) / 2000 < 0.55
+
+
+def test_salt_changes_selection(spark):
+    df = _ids(spark)
+    a = {r.doc_id for r in hash_sample(df, 0.2, salt=0).collect()}
+    b = {r.doc_id for r in hash_sample(df, 0.2, salt=99).collect()}
+    assert a != b
+
+
+def test_stratified_rates(spark):
+    df = _ids(spark, 3000).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    out = stratified_hash_sample(df, {"en": 0.9, "de": 0.1}).groupBy("lang").count()
+    counts = {r.lang: r["count"] for r in out.collect()}
+    assert 0.8 * 1000 < counts["en"] <= 1000
+    assert 50 < counts["de"] < 350
+
+
+def test_stratified_default_drops_unlisted(spark):
+    df = _ids(spark, 100).withColumn("lang", F.lit("fr"))
+    assert stratified_hash_sample(df, {"en": 1.0}).count() == 0
+    assert stratified_hash_sample(df, {"en": 1.0}, default_fraction=1.0).count() == 100
+
+
+def test_sample_is_scan_side_filter(spark):
+    df = _ids(spark)
+    plan = hash_sample(df, 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure filter projection
