@@ -157,28 +157,14 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) 
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
+def _banded_set_candidates(
+    sh: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash LSH.
-
-    rows -> (id, signature) -> explode to ``bands`` rows keyed by
-    (band_index, hash(band slice)) -> self-join within buckets.
-    Returns distinct (id_a, id_b) with id_a < id_b. Estimated Jaccard
-    can then be computed from the signatures; callers verify exact
-    similarity on the (small) candidate set.
-    """
+    """Banded-minhash candidate pairs over (_id, _hs) rows —
+    the candidate core shared by doc-level and set-level callers."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # hash shingle strings ONCE into a materialized column, then derive
-    # all signature slots from the long array (xxhash64 of strings is
-    # the expensive part; the per-slot derivations are cheap)
-    with_sig = _hashed_shingles(df, id_col, text_col, shingle_n).select(
+    with_sig = sh.select(
         "_id", minhash_signature_from_hashes(F.col("_hs"), num_hashes).alias("_sig")
     )
     banded = with_sig.select(
@@ -209,6 +195,26 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    rows -> (id, signature) -> explode to ``bands`` rows keyed by
+    (band_index, hash(band slice)) -> self-join within buckets.
+    Returns distinct (id_a, id_b) with id_a < id_b. Estimated Jaccard
+    can then be computed from the signatures; callers verify exact
+    similarity on the (small) candidate set.
+    """
+    sh = _hashed_shingles(df, id_col, text_col, shingle_n)
+    return _banded_set_candidates(sh, num_hashes, bands)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -218,29 +224,81 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH candidates verified with exact shingle-set Jaccard.
+    """LSH candidates verified with exact shingle-set Jaccard, with
+    identical-set collapse.
+
+    Documents are first grouped by their EXACT hashed-shingle set (one
+    groupBy on the sorted hash array — i.e. exact dedup runs before
+    near-dup detection, the standard pipeline order). That changes
+    nothing semantically — identical sets have Jaccard exactly 1.0 and
+    are emitted directly — but it removes the corpus's worst skew from
+    the LSH join: a group of d identical documents would otherwise
+    collide with itself in EVERY band (bands·d²/2 join rows; a 248-dup
+    template at sf0.1 alone contributes ~0.5M) and re-verify the same
+    set pair d_a·d_b times. After collapse, banding and exact-Jaccard
+    verification run once per DISTINCT set, and verified set pairs are
+    expanded back to document pairs — output-proportional work.
 
     The verify join re-attaches hashed shingle sets ONLY for candidate
-    ids, so exact Jaccard runs on O(candidates) — and on long arrays,
-    not strings (see _hashed_shingles).
+    representatives, so exact Jaccard runs on O(set candidates) — on
+    long arrays, not strings (see _hashed_shingles).
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = _hashed_shingles(df, id_col, text_col, shingle_n).withColumnRenamed("_id", "_vid")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = (
+    sh = _hashed_shingles(df, id_col, text_col, shingle_n)
+    # canonical set key: sorted hash array (shingles are distinct).
+    # Materialized ONCE: five branches below reference it (intra,
+    # banding, two verify sides, two expansion sides) and each would
+    # otherwise re-run the whole shingle+hash pipeline — plan-level
+    # exchange reuse does not fire across these differently-pruned
+    # subtrees. The materialized set table is small (distinct sets ×
+    # ~shingle count longs).
+    grp = (
+        sh.groupBy(F.sort_array("_hs").alias("_hs"))
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .withColumn("_rid", F.element_at("_ids", 1))
+        .localCheckpoint(eager=True)
+    )
+    # intra-group pairs: identical sets, jaccard exactly 1.0
+    intra = (
+        grp.filter(F.size("_ids") > 1)
+        .select(F.col("_ids"), F.explode("_ids").alias("id_a"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    # cross-set pairs: band + verify on one representative per set.
+    # The set table exits a tiny AQE-coalesced shuffle — re-widen it or
+    # the signature kernel and the banded self-join run single-core.
+    reps = ensure_parallelism(grp.select(F.col("_rid").alias("_id"), "_hs"))
+    cands = _banded_set_candidates(reps, num_hashes, bands)
+    a = reps.withColumnRenamed("_id", "_vid").alias("a")
+    b = reps.withColumnRenamed("_id", "_vid").alias("b")
+    verified = (
         cands.join(a, cands["id_a"] == F.col("a._vid"))
         .join(b, cands["id_b"] == F.col("b._vid"))
         .select(
-            "id_a",
-            "id_b",
+            F.col("id_a").alias("_ra"),
+            F.col("id_b").alias("_rb"),
             (
                 F.size(F.array_intersect("a._hs", "b._hs"))
                 / F.size(F.array_union("a._hs", "b._hs"))
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return joined.filter(F.col("jaccard") >= threshold)
+    ga = grp.select(F.col("_rid").alias("_ra"), F.col("_ids").alias("_ids_a"))
+    gb = grp.select(F.col("_rid").alias("_rb"), F.col("_ids").alias("_ids_b"))
+    cross = (
+        verified.join(ga, "_ra")
+        .join(gb, "_rb")
+        .select("jaccard", F.explode("_ids_a").alias("_ea"), "_ids_b")
+        .select("jaccard", "_ea", F.explode("_ids_b").alias("_eb"))
+        .select(
+            F.least("_ea", "_eb").alias("id_a"),
+            F.greatest("_ea", "_eb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
