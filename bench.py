@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "ann_cosine",
     "ann_lsh",
     "ivf_search",
+    "dedup_clusters",
+    "bm25",
+    "token_shards",
+    "stratified_sample",
 ]
 
 
