@@ -175,3 +175,70 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 8, keep: int = 4) 
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok, i + 1, window)))
     )
     return F.slice(F.array_sort(F.array_distinct(win_hashes)), 1, keep)
+
+
+def all_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates (repetition analysis needs the
+    multiset; dedup.shingles keeps the distinct set). Texts shorter
+    than ``n`` words yield one gram of the whole text."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.when(
+        k > 0,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Most-frequent-n-gram mass: count(top n-gram) / count(all
+    n-grams) per document — the classic boilerplate/repetition quality
+    signal (high ratio = looping or templated text; a Gopher-style
+    rule filters docs above a threshold).
+
+    One shuffle keyed (doc, gram) with map-side combine, then a tiny
+    per-doc aggregate — fanout is the document's own n-gram count, so
+    the operator is linear in corpus size at any scale.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(all_ngrams(text_col, n)).alias("_g")
+    )
+    per_gram = grams.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_gram.groupBy("_id")
+        .agg(
+            F.max("_c").alias("top_ngram_count"),
+            F.sum("_c").alias("ngram_count"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "top_ngram_count",
+            "ngram_count",
+            (F.col("top_ngram_count") / F.col("ngram_count")).alias("repetition_ratio"),
+        )
+    )
+
+
+#: PII patterns kept to RE2-safe syntax (no backrefs/lookarounds) so an
+#: SQL oracle can replay them byte-for-byte
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # pure digit runs (ids/cards) BEFORE the phone rule, which would
+    # otherwise swallow them as its separator class allows digits
+    (r"[0-9]{6,}", "<NUMBER>"),
+    (r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Redact email / phone-like / long-digit-run spans with typed
+    placeholders. Pure regexp_replace chain — scan-side projection,
+    no shuffle; patterns are ordered so the email rule wins before the
+    digit rules can eat a local part."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c
