@@ -45,12 +45,17 @@ T_2024_01_20 = 1_705_708_800_000_000
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark only reads it as
-        # a long (ns since epoch); µs views divide by 1000 (truncating,
-        # same as DuckDB's epoch_us on a TIMESTAMP_NS). get_spark() sets
-        # this too; setting it here keeps driver-owned (foreign)
-        # sessions working.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark
+        # only reads as an ns-epoch long, behind nanosAsLong) and as
+        # TIMESTAMP(MICROS)/NTZ, depending on the generator version.
+        # Normalize both layouts to a µs-precision timestamp column so
+        # every downstream view sees one shape. get_spark() sets the
+        # conf too; setting it here keeps driver-owned sessions working.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(ev.dtypes).get("ts") == "bigint":  # legacy ns-long layout
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -67,8 +72,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ts_us() -> F.Column:
-    """events.ts (ns long) -> µs epoch."""
-    return F.expr("ts div 1000")
+    """events.ts (µs timestamp, normalized by ``_t``) -> µs epoch.
+
+    Session TZ is pinned UTC, so the NTZ→TS cast is offset-free and
+    matches DuckDB's ``epoch_us`` on a naive timestamp.
+    """
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
 def _us(col: str) -> F.Column:
