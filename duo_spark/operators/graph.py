@@ -95,11 +95,43 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+#: edge count below which the star loop hands off to a driver-side
+#: union-find. Distributed rounds cost ~6 jobs each regardless of
+#: size; 2M (src, dst) longs is ~32 MB on the driver — trivial —
+#: while saving O(log n) shuffle rounds. The distributed loop is
+#: still the 100 TB path: star contraction SHRINKS the edge set every
+#: round, so huge graphs fall under the cutoff after a few rounds and
+#: the tail finishes in one collect instead of several more rounds.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_union_find(edge_rows: list) -> list[tuple[int, int]]:
+    """Path-compressed union-find by min id; returns (node, component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:  # union by min id so the root IS the component label
+            if a > b:
+                a, b = b, a
+            parent[b] = a
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Resolve a pair graph to components: (node, component) rows.
 
@@ -111,11 +143,22 @@ def connected_components(
     Each round persists its edge set and localCheckpoints to truncate
     the lineage (an iterative plan would otherwise grow a new join+agg
     layer per round and recompile from the raw pairs every time).
+
+    Hybrid tail: the per-round fingerprint already counts edges, so
+    when the (shrinking) edge set drops under ``small_graph_edges``
+    the remaining components are resolved with one collect + driver
+    union-find instead of more O(log n) shuffle rounds. Dedup pair
+    graphs usually start under the cutoff — the distributed loop is
+    the scale path, the driver finish is the latency path.
     """
     edges = _canonical_edges(pairs, a_col, b_col)
     spark = pairs.sparkSession
     edges = edges.localCheckpoint(eager=True)
     prev = _fingerprint(edges)
+    if prev[0] <= small_graph_edges:
+        rows = _driver_union_find(edges.collect())
+        edges.unpersist()
+        return spark.createDataFrame(rows, "node long, component long")
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _fingerprint(nxt)
@@ -123,6 +166,14 @@ def connected_components(
         edges = nxt
         if cur == prev:
             break
+        if cur[0] <= small_graph_edges:
+            # star rounds preserve every non-singleton node in the edge
+            # set (the fixpoint labeling below relies on the same
+            # property), so a union-find over the contracted edges
+            # yields the final labels directly.
+            rows = _driver_union_find(edges.collect())
+            edges.unpersist()
+            return spark.createDataFrame(rows, "node long, component long")
         prev = cur
     else:
         raise RuntimeError(

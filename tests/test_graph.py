@@ -28,24 +28,27 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _cc(
+    spark, edges: list[tuple[int, int]], small_graph_edges: int = 2_000_000
+) -> dict[int, int]:
     df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
     if not edges:
         df = df.filter(F.lit(False))
-    got = connected_components(df, "a", "b")
+    got = connected_components(df, "a", "b", small_graph_edges=small_graph_edges)
     return {r.node: r.component for r in got.collect()}
 
 
 def test_cc_chain(spark):
-    # a long chain is the worst case for naive propagation
+    # a long chain is the worst case for naive propagation; force the
+    # distributed star loop (cutoff 0 disables the driver fast path)
     edges = [(i, i + 1) for i in range(1, 30)]
-    assert _cc(spark, edges) == _union_find(edges)
+    assert _cc(spark, edges, small_graph_edges=0) == _union_find(edges)
 
 
 def test_cc_multiple_components_and_cycles(spark):
     edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 11), (20, 21), (21, 22), (22, 20), (7, 7)]
     want = _union_find([(a, b) for a, b in edges if a != b])
-    assert _cc(spark, edges) == want
+    assert _cc(spark, edges, small_graph_edges=0) == want
 
 
 def test_cc_random_graph_matches_union_find(spark):
@@ -53,7 +56,19 @@ def test_cc_random_graph_matches_union_find(spark):
     nodes = list(range(100))
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
     edges = [(a, b) for a, b in edges if a != b]
+    # distributed loop and driver union-find fast path must agree
+    assert _cc(spark, edges, small_graph_edges=0) == _union_find(edges)
     assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_cc_mid_loop_handoff_matches(spark):
+    # cutoff sits between the raw edge count (two 20-cliques = 380) and
+    # the star-contracted count (→ ~38), so the loop runs distributed
+    # rounds first and then hands the shrunken graph to the driver
+    # union-find mid-loop
+    edges = [(a, b) for a in range(1, 21) for b in range(a + 1, 21)]
+    edges += [(a, b) for a in range(100, 120) for b in range(a + 1, 120)]
+    assert _cc(spark, edges, small_graph_edges=100) == _union_find(edges)
 
 
 def test_cc_empty(spark):
