@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "bm25",
     "token_shards",
     "stratified_sample",
+    "repetition_ratio",
+    "decontam",
+    "pii_scrub",
 ]
 
 

@@ -1537,6 +1537,98 @@ FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (operators/text.py
+    repetition_ratio): most-frequent-trigram mass per document. One
+    (doc, gram) shuffle with map-side combine — linear at any scale."""
+    docs = _docs(spark, sf_dir)
+    rep = text.repetition_ratio(docs, "doc_id", "text", n=3)
+    return rep.select(
+        "doc_id",
+        "top_ngram_count",
+        "ngram_count",
+        F.round("repetition_ratio", 6).alias("repetition_ratio"),
+    )
+
+
+SQL_REPETITION_RATIO = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS g
+  FROM docs),
+pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id, CAST(max(c) AS BIGINT) AS top_ngram_count,
+       CAST(sum(c) AS BIGINT) AS ngram_count,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition_ratio
+FROM pg GROUP BY doc_id
+"""
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every ~97th
+    document plays the eval-benchmark probe set; corpus docs holding
+    ≥50% of a probe's distinct trigrams are flagged with their worst
+    containment. The probe index is broadcast — the corpus never
+    shuffles for candidate generation."""
+    from duo_spark.operators.decontam import contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    out = contaminated_docs(docs, probes, threshold=0.5, n=3)
+    return out.select(
+        "doc_id",
+        F.round("max_containment", 6).alias("max_containment"),
+        "n_probes",
+    )
+
+
+SQL_DECONTAM = r"""
+WITH d AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+p AS (SELECT doc_id AS probe_id, g AS pg FROM d WHERE doc_id % 97 = 0),
+pairs AS (
+  SELECT d.doc_id, p.probe_id,
+         CAST(len(list_intersect(d.g, p.pg)) AS DOUBLE) / len(p.pg) AS containment
+  FROM d CROSS JOIN p),
+hits AS (SELECT * FROM pairs WHERE containment >= 0.5)
+SELECT doc_id, round(max(containment), 6) AS max_containment,
+       CAST(count(*) AS BIGINT) AS n_probes
+FROM hits GROUP BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py scrub_pii): email / digit-run /
+    phone spans replaced with typed placeholders. Pure scan-side
+    regexp projection — the md5 keeps the gate row narrow while still
+    pinning every byte of the scrubbed text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(text.scrub_pii("text")).alias("scrub_md5")
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """Build the oracle from the SAME pattern table the operator uses
+    (text.PII_PATTERNS is RE2-safe by construction, so DuckDB replays
+    it byte-for-byte)."""
+    expr = "text"
+    for pat, repl in text.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, md5({expr}) AS scrub_md5 FROM documents"
+
+
+SQL_PII_SCRUB = _pii_scrub_sql()
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -1591,6 +1683,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bm25": (q_bm25, SQL_BM25),
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "decontam": (q_decontam, SQL_DECONTAM),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
