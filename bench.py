@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "repetition_ratio",
     "decontam",
     "pii_scrub",
+    "kmeans",
 ]
 
 

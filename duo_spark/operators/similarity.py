@@ -468,3 +468,69 @@ def ivf_search(
         F.spark_partition_id().alias("_pid"),
     )
     return _topk_two_phase(scored, k, id_col, query_id_col)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-7,
+) -> list[list[float]]:
+    """Distributed Lloyd iterations (cosine assignment) training IVF
+    centroids — the missing front half of ivf_assign/ivf_search, which
+    take centroids as given.
+
+    init = the k lowest-``id_col`` vectors (deterministic, the same
+    rule the ivf_* gate queries use). Each iteration runs ONE
+    assignment pass (the ivf_assign pandas-UDF matmul) and ONE
+    elementwise-mean aggregate keyed (cell, position): partial
+    aggregation caps the shuffle at k x dim rows per map partition,
+    and only k x dim (sum, count) summary rows ever reach the driver,
+    so the loop is driver-light at any corpus size — the iterative-
+    algorithm shape shared with operators/graph.py. Stops at
+    ``max_iter`` or when no centroid component moves more than
+    ``tol``.
+
+    Means are NOT re-normalized: cosine assignment is invariant to
+    centroid scale, so plain means yield the same assignments as
+    spherical k-means while keeping the oracle SQL replayable. Empty
+    cells keep their previous centroid.
+    """
+    rows = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds vector count {len(rows)}")
+    cents = [[float(x) for x in r[0]] for r in rows]
+    dim = len(cents[0])
+    for _ in range(max_iter):
+        assigned = ivf_assign(df, cents, vec_col)
+        stats = (
+            assigned.select(
+                "_cell", F.posexplode(F.col(vec_col)).alias("_p", "_v")
+            )
+            .groupBy("_cell", "_p")
+            .agg(
+                F.sum(F.col("_v").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        sums: dict[tuple[int, int], float] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums[(r["_cell"], r["_p"])] = r["_s"]
+            counts[r["_cell"]] = r["_n"]
+        shift = 0.0
+        new = []
+        for c in range(k):
+            if counts.get(c):
+                m = [sums[(c, p)] / counts[c] for p in range(dim)]
+            else:
+                m = cents[c]
+            shift = max(shift, max(abs(a - b) for a, b in zip(m, cents[c])))
+            new.append(m)
+        cents = new
+        if shift <= tol:
+            break
+    return cents

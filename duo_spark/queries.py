@@ -1629,6 +1629,79 @@ def _pii_scrub_sql() -> str:
 SQL_PII_SCRUB = _pii_scrub_sql()
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid training (operators/similarity.py kmeans_fit): ONE
+    Lloyd iteration from the deterministic first-4 init, then a final
+    assignment against the trained centroids. Output per cell: member
+    count and mean cosine to the trained centroid. The oracle replays
+    init → assign → recenter → reassign exactly, so the gate checks the
+    full training loop, not just one assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, 4, max_iter=1)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "_cell int, _cent array<double>"
+    )
+    assigned = similarity.ivf_assign(emb, cents)
+    return (
+        assigned.join(F.broadcast(cdf), "_cell")
+        .groupBy(F.col("_cell").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(similarity.cosine(F.col("embedding"), F.col("_cent"))), 6
+            ).alias("avg_cosine"),
+        )
+    )
+
+
+SQL_KMEANS = """
+WITH c0 AS (
+  SELECT list(embedding ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+s0 AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(c0.cents, ce ->
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * ce[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*x))))) AS sims
+  FROM embeddings e CROSS JOIN c0),
+a0 AS (
+  SELECT vec_id, embedding,
+         CASE WHEN sims[1] >= sims[2] AND sims[1] >= sims[3] AND sims[1] >= sims[4] THEN 0
+              WHEN sims[2] >= sims[3] AND sims[2] >= sims[4] THEN 1
+              WHEN sims[3] >= sims[4] THEN 2
+              ELSE 3 END AS cell
+  FROM s0),
+c1 AS (
+  SELECT list(m ORDER BY cell) AS cents
+  FROM (SELECT cell, list(mv ORDER BY i) AS m
+        FROM (SELECT cell, t.i AS i, avg(CAST(embedding[t.i] AS DOUBLE)) AS mv
+              FROM a0 CROSS JOIN range(1, 65) t(i)
+              GROUP BY cell, t.i)
+        GROUP BY cell)),
+s1 AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(c1.cents, ce ->
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * ce[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*x))))) AS sims
+  FROM embeddings e CROSS JOIN c1),
+a1 AS (
+  SELECT vec_id,
+         CASE WHEN sims[1] >= sims[2] AND sims[1] >= sims[3] AND sims[1] >= sims[4] THEN 0
+              WHEN sims[2] >= sims[3] AND sims[2] >= sims[4] THEN 1
+              WHEN sims[3] >= sims[4] THEN 2
+              ELSE 3 END AS cell,
+         sims
+  FROM s1)
+SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       round(avg(sims[cell + 1]), 6) AS avg_cosine
+FROM a1 GROUP BY cell
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -1686,6 +1759,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "decontam": (q_decontam, SQL_DECONTAM),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "kmeans": (q_kmeans, SQL_KMEANS),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -209,3 +210,32 @@ def test_ivf_search_equals_restricted_bruteforce(clustered):
             vid, c = got[(q, rank)]
             assert vid == cand_ids[i]
             assert abs(c - cos[i]) < 1e-9
+
+
+def test_kmeans_fit_matches_numpy_lloyd(clustered):
+    """kmeans_fit must replay driver-side Lloyd iterations exactly:
+    same init (lowest ids), same cosine argmax with first-max
+    tiebreak, same plain-mean recenter."""
+    rows = sorted(clustered.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    k, iters = 4, 3
+    cents = V[:k].copy()
+    for _ in range(iters):
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cells = np.argmax(Vn @ Cn.T, axis=1)
+        cents = np.array(
+            [V[cells == c].mean(axis=0) if (cells == c).any() else cents[c] for c in range(k)]
+        )
+    got = similarity.kmeans_fit(clustered, k, max_iter=iters, tol=0.0)
+    assert np.abs(np.array(got) - cents).max() < 1e-9
+
+
+def test_kmeans_fit_converges_and_keeps_empty_cell_centroid(spark):
+    # two tight clusters, k=3: one centroid starts between and loses
+    # all members -> must keep its previous position, not crash
+    rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(3)]
+    rows += [(10 + i, [0.0, 10.0 + 0.01 * i]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_fit(df, 3, max_iter=5)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
