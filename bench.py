@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "decontam",
     "pii_scrub",
     "kmeans",
+    "asof_span_log",
+    "sessionize",
 ]
 
 

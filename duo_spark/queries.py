@@ -1702,6 +1702,80 @@ FROM a1 GROUP BY cell
 """
 
 
+def q_asof_span_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of correlation (operators/asof.py): each root span picks up
+    the latest log line in its trace at or before the span start —
+    the time-proximity generalization of span_log_correlation's exact
+    join, and the point-in-time-correct lookup of feature pipelines.
+    The log side is pre-aggregated to one row per (trace, time), so
+    the as-of match is tie-free and DuckDB's native ASOF JOIN replays
+    it exactly."""
+    from duo_spark.operators.asof import asof_join
+
+    spans = (
+        spans_view(spark, sf_dir)
+        .filter(F.col("parent_id").isNull())
+        .select("id", "trace_id", "start")
+    )
+    logs = (
+        events_as_logs(spark, sf_dir)
+        .groupBy("trace_id", "time")
+        .agg(F.count(F.lit(1)).alias("n_logs"))
+    )
+    out = asof_join(spans, logs, on="trace_id", left_time="start", right_time="time")
+    return out.select(
+        "id", "trace_id", "start",
+        F.col("_asof_time").alias("log_time"), "n_logs",
+    )
+
+
+SQL_ASOF_SPAN_LOG = f"""
+WITH {LOGS_CTE},
+l AS (SELECT trace_id, "time" AS lt, CAST(count(*) AS BIGINT) AS n_logs
+      FROM logs GROUP BY 1, 2),
+s AS (SELECT o_orderkey * 10 AS id, o_orderkey AS trace_id,
+             epoch_us(o_orderdate) AS "start" FROM orders)
+SELECT s.id, s.trace_id, s."start", l.lt AS log_time, l.n_logs
+FROM s ASOF LEFT JOIN l ON s.trace_id = l.trace_id AND s."start" >= l.lt
+"""
+
+#: sessionization gap: one hour of event-time silence starts a new session
+SESSION_GAP_US = 3_600_000_000
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): per-user
+    sessions over the event stream with a 1-hour silence boundary.
+    One key-partitioned sort shuffle; the stats groupBy reuses the
+    same partitioning."""
+    from duo_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", _ts_us().alias("t_us"))
+    s = session_stats(ev, "user_id", "t_us", SESSION_GAP_US)
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        F.col("start").alias("start_us"),
+        F.col("end").alias("end_us"),
+        F.col("duration").alias("duration_us"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > {SESSION_GAP_US} THEN 1 ELSE 0 END AS b
+      FROM e),
+s AS (SELECT user_id, t,
+             CAST(sum(b) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM m)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       min(t) AS start_us, max(t) AS end_us, max(t) - min(t) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -1760,6 +1834,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decontam": (q_decontam, SQL_DECONTAM),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "kmeans": (q_kmeans, SQL_KMEANS),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
