@@ -98,3 +98,27 @@ def test_session_index_zero_based_and_gap_inclusive(spark):
         for r in with_session_index(df, "k", "t", 10).collect()
     }
     assert got == {0: 0, 10: 0, 21: 1, 100: 2}
+
+
+def test_asof_single_shuffle_plan(spark):
+    # the tagged-union form must cost ONE hash shuffle + ONE sort —
+    # not a range join or a join + re-aggregate (two+ shuffles)
+    ldf = spark.createDataFrame([(1, 10, 1)], "k long, t long, lid long")
+    rdf = spark.createDataFrame([(1, 2, 100)], "k long, t long, rv long")
+    plan = (
+        asof_join(ldf, rdf, "k", "t", "t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_session_stats_single_shuffle_plan(spark):
+    # hashpartitioning(k) satisfies the (k, session_idx) aggregate's
+    # clustering, so the stats groupBy must NOT add a second exchange
+    df = spark.createDataFrame([(1, 5)], "k long, t long")
+    plan = (
+        session_stats(df, "k", "t", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
