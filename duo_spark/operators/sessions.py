@@ -22,11 +22,15 @@ def with_session_index(
     df: DataFrame, key_col: str, time_col: str, gap: int
 ) -> DataFrame:
     """Add ``session_idx`` (0-based per key, in time order): a new
-    session starts when the gap since the previous event exceeds
-    ``gap`` (same time unit as ``time_col``)."""
+    session starts when the silence since the previous event reaches
+    ``gap`` (same time unit as ``time_col``). The boundary is
+    half-open — delta == gap starts a NEW session — matching
+    Structured Streaming's session_window (streaming/sessions.py) and
+    Flink session windows, so batch recomputes agree with the
+    streaming operator on any record set."""
     w = Window.partitionBy(key_col).orderBy(time_col)
     boundary = (
-        F.col(time_col) - F.lag(time_col).over(w) > F.lit(gap)
+        F.col(time_col) - F.lag(time_col).over(w) >= F.lit(gap)
     ).cast("long")
     return df.withColumn(
         "session_idx",

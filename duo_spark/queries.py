@@ -1764,7 +1764,7 @@ SQL_SESSIONIZE = f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
 m AS (SELECT user_id, t,
              CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                       > {SESSION_GAP_US} THEN 1 ELSE 0 END AS b
+                       >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS b
       FROM e),
 s AS (SELECT user_id, t,
              CAST(sum(b) OVER (PARTITION BY user_id ORDER BY t

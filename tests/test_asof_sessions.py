@@ -67,7 +67,7 @@ def _ref_sessions(rows, gap):
         idx = 0
         prev = None
         for t in ts:
-            if prev is not None and t - prev > gap:
+            if prev is not None and t - prev >= gap:
                 idx += 1
             out.setdefault((k, idx), []).append(t)
             prev = t
@@ -88,16 +88,17 @@ def test_sessionize_matches_reference(spark):
     assert got == want
 
 
-def test_session_index_zero_based_and_gap_inclusive(spark):
-    # gap is EXCLUSIVE at the boundary: delta == gap stays in-session
+def test_session_index_zero_based_and_half_open_boundary(spark):
+    # half-open boundary (session_window/Flink convention):
+    # delta == gap starts a NEW session
     df = spark.createDataFrame(
-        [(1, 0), (1, 10), (1, 21), (1, 100)], "k long, t long"
+        [(1, 0), (1, 9), (1, 19), (1, 100)], "k long, t long"
     )
     got = {
         r.t: r.session_idx
         for r in with_session_index(df, "k", "t", 10).collect()
     }
-    assert got == {0: 0, 10: 0, 21: 1, 100: 2}
+    assert got == {0: 0, 9: 0, 19: 1, 100: 2}
 
 
 def test_asof_single_shuffle_plan(spark):

@@ -232,3 +232,55 @@ def test_parquet_sink_layout_readable_by_store(spark, scratch):
     assert {r.id for r in back.collect()} == {21, 22}
     # two spans a minute apart -> two minute partitions
     assert back.select("minute").distinct().count() == 2
+
+
+def test_streaming_sessions_match_batch(spark, scratch):
+    """Streaming session_window sessions must equal the batch
+    sessionization (operators/sessions.py) on the same records, even
+    when one session's events arrive across different micro-batches
+    (state-store session merge)."""
+    import datetime as dt
+
+    from duo_spark.operators.sessions import session_stats
+    from duo_spark.streaming.sessions import streaming_session_stats
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    # key 1: one session split across the two source files; a 10 s gap
+    # then a second session. key 2: a lone event.
+    file1 = [(1, t(0)), (1, t(4)), (2, t(30))]
+    file2 = [(1, t(8)), (1, t(30)), (1, t(35))]
+    schema = "k long, ts timestamp"
+    src = os.path.join(scratch, "in")
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    sess = streaming_session_stats(stream, "k", "ts", gap_seconds=10)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.start): (r.end, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = spark.createDataFrame(file1 + file2, schema).select(
+        "k", F.unix_timestamp("ts").alias("t")
+    )
+    want = {}
+    for r in session_stats(batch, "k", "t", 10).collect():
+        start = dt.datetime.utcfromtimestamp(r.start)
+        end = dt.datetime.utcfromtimestamp(r.end + 10)  # window end = last + gap
+        want[(r.k, start)] = (end, r.n_events)
+    assert got == want
