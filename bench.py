@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "kmeans",
     "asof_span_log",
     "sessionize",
+    "latency_percentiles",
 ]
 
 

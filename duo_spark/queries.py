@@ -1776,6 +1776,37 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service span-duration percentiles (p50/p95/p99) — the
+    latency-SLO rollup every tracing UI draws. Uses Spark's EXACT
+    `percentile` (linear interpolation, the same type-7 formula as
+    DuckDB's quantile_cont) so the gate is bit-comparable; the
+    documented approximate alternative at 100 TB is
+    `percentile_approx`, identical plan shape with bounded memory."""
+    spans = spans_view(spark, sf_dir)
+    dur = (F.col("end") - F.col("start")).alias("dur")
+    return (
+        spans.select("process_id", dur)
+        .groupBy("process_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(dur, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(dur, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(dur, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+SQL_LATENCY_PERCENTILES = f"""
+WITH {SPANS_CTE}
+SELECT process_id, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont("end" - "start", 0.5), 4) AS p50,
+       round(quantile_cont("end" - "start", 0.95), 4) AS p95,
+       round(quantile_cont("end" - "start", 0.99), 4) AS p99
+FROM spans GROUP BY process_id
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -1836,6 +1867,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans": (q_kmeans, SQL_KMEANS),
     "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
