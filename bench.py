@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "asof_span_log",
     "sessionize",
     "latency_percentiles",
+    "pipeline_e2e",
 ]
 
 

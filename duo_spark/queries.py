@@ -1807,6 +1807,62 @@ FROM spans GROUP BY process_id
 """
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data prep pipeline end to end, one lazy plan:
+    quality gate (operators/text.py) → exact dedup with deterministic
+    canonical keeper (operators/dedup.py) → token-budget sharding
+    (operators/sharding.py) → per-shard packing stats. Composition is
+    the point: every stage is the already-gated operator, chained the
+    way a real corpus build would chain them, and Catalyst still sees
+    one plan (the quality filter pushes into the scan under the
+    dedup's aggregate)."""
+    from duo_spark.operators.sharding import pack_token_shards
+
+    docs = _docs(spark, sf_dir)
+    feats = text.quality_features(docs, "text")
+    good = feats.filter(
+        (F.col("n_tokens") >= 5) & (F.col("stopword_ratio") <= 0.6)
+    )
+    keep = dedup.exact_duplicates(good, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = good.join(keep, "doc_id").select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    shards = pack_token_shards(kept, budget=2000)
+    return shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+SQL_PIPELINE_E2E = r"""
+WITH feats AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tok
+  FROM documents),
+q AS (
+  SELECT doc_id, text, CAST(len(tok) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tok, t -> list_contains(
+             ['the','a','an','or','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+           / greatest(len(tok), 1) AS sr
+  FROM feats),
+good AS (SELECT * FROM q WHERE n_tokens >= 5 AND sr <= 0.6),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM good
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+kept AS (SELECT g.doc_id, g.n_tokens FROM good g JOIN keep USING (doc_id)),
+cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM kept)
+SELECT CAST(s // 2000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM cum GROUP BY 1
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -1868,6 +1924,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
