@@ -73,3 +73,44 @@ def test_tags_json_roundtrip(spark):
     df = spark.createDataFrame([({"busy": "1.20ms", "idle": "3us"},)], "tags map<string,string>")
     back = df.select(tags_from_json(tags_to_json("tags")).alias("m")).first()["m"]
     assert back == {"busy": "1.20ms", "idle": "3us"}
+
+
+# ------------------------------------------------- property tests --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duo_spark.functions.time import format_timing_py, parse_duration_us
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**13))
+def test_format_then_parse_roundtrips_within_format_precision(us):
+    """parse(format(x)) must recover x up to the 2-decimal rendering
+    precision of the formatted unit (exact below 1 ms)."""
+    s = format_timing_py(us)
+    back = parse_duration_us(s)
+    assert back is not None, s
+    if us < 1_000:
+        assert back == us
+    elif us < 1_000_000:
+        assert abs(back - us) <= 5  # 0.005 ms rendering granularity
+    else:
+        assert abs(back - us) <= 5_000  # 0.005 s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.sampled_from(["us", "µs", "ms", "s"]),
+)
+def test_parse_duration_unit_table(n, unit):
+    mult = {"us": 1, "µs": 1, "ms": 1_000, "s": 1_000_000}[unit]
+    assert parse_duration_us(f"{n}{unit}") == n * mult
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=12))
+def test_parse_duration_never_raises(s):
+    r = parse_duration_us(s)
+    assert r is None or isinstance(r, int)
