@@ -87,11 +87,20 @@ class PartitionedStore:
         each directory receives at most ``spark.sql.shuffle.partitions``
         files per write (without this, every task writes a sliver into
         every directory it touches — tasks × partitions small files,
-        the classic 100 TB/day small-file failure)."""
+        the classic 100 TB/day small-file failure).
+
+        Rows are additionally time-sorted WITHIN each file: parquet
+        row-group min/max stats on ``time_col`` then slice the
+        dominant time-windowed scans below partition granularity (a
+        minute dir pruned to the row groups overlapping the window) —
+        free at write time, since the repartition already shuffles."""
         cols = _GRAN_COLS[self.granularity]
         out = with_partition_cols(df, time_col, self.granularity)
         writer = (
-            out.repartition(*[F.col(c) for c in cols]).write.mode(mode).partitionBy(*cols)
+            out.repartition(*[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols, time_col)
+            .write.mode(mode)
+            .partitionBy(*cols)
         )
         if "trace_id" in df.columns:
             writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
@@ -234,11 +243,11 @@ class PartitionedStore:
         # partition values must survive as the strings they were
         # written as ("00" must not become int 0 and re-write as "0")
         df = self._read_uninferred(path)
-        writer = (
-            df.repartition(*[F.col(c) for c in cols])
-            .write.mode("overwrite")
-            .partitionBy(*cols)
-        )
+        rep = df.repartition(*[F.col(c) for c in cols])
+        tcol = next((c for c in ("time", "start") if c in df.columns), None)
+        if tcol:  # keep row-group time stats tight through compaction
+            rep = rep.sortWithinPartitions(*cols, tcol)
+        writer = rep.write.mode("overwrite").partitionBy(*cols)
         if "trace_id" in df.columns:
             writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
         writer.parquet(scratch)

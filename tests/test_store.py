@@ -231,3 +231,31 @@ def test_read_range_empty_window(spark, store):
     store.write(_spans(spark), "span", time_col="start")
     out = store.read_range("span", BASE - 10 * US_PER_MIN, BASE - US_PER_MIN, time_col="start")
     assert out.count() == 0
+
+
+def test_write_time_sorted_within_files(spark, store):
+    """K1: rows inside each data file are time-ascending, so parquet
+    row-group min/max stats slice time windows below partition
+    granularity."""
+    import pyarrow.parquet as pq
+
+    # shuffle rows so the input order is NOT already sorted
+    df = _spans(spark, n=50).orderBy(F.xxhash64("id"))
+    wide = PartitionedStore(
+        spark, store.root + "_hourly", granularity="hour"
+    )
+    wide.write(df, "span", time_col="start")
+    root = wide.table_path("span")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    checked = 0
+    for path in files:
+        starts = pq.read_table(path, columns=["start"])["start"].to_pylist()
+        assert starts == sorted(starts), path
+        checked += len(starts)
+    assert checked == 50
