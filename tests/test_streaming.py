@@ -284,3 +284,40 @@ def test_streaming_sessions_match_batch(spark, scratch):
         end = dt.datetime.utcfromtimestamp(r.end + 10)  # window end = last + gap
         want[(r.k, start)] = (end, r.n_events)
     assert got == want
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, scratch):
+    """Streaming exact dedup: a duplicate arriving in a LATER
+    micro-batch (within the watermark horizon) is dropped; first
+    arrival wins; distinct contents all survive."""
+    import datetime as dt
+
+    from duo_spark.streaming.dedup import streaming_dedup_exact
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    schema = "doc_id long, ts timestamp, text string"
+    file1 = [(1, t(0), "the quick brown fox"), (2, t(1), "unique one")]
+    file2 = [(3, t(2), "The  quick brown FOX"),  # normalized duplicate of 1
+             (4, t(3), "unique two")]
+    src = os.path.join(scratch, "in")
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    deduped = streaming_dedup_exact(stream, "text", "ts", watermark="1 hour")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {1, 2, 4}
