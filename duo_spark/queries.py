@@ -1807,6 +1807,63 @@ FROM spans GROUP BY process_id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py) through the REAL
+    Structured Streaming path: the documents table staged as two
+    file-drops (odd then even doc ids, so cross-batch duplicates are
+    exercised), drained availableNow into a memory sink. Output is the
+    per-survivor content hash — which arrival survives a tie is
+    runtime-dependent, but the surviving CONTENT SET equals the batch
+    distinct set on any schedule, which is what the oracle pins."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.dedup import streaming_dedup_exact
+    from duo_spark.streaming.pipeline import _scratch
+
+    # constant event time: the watermark then never outruns a later
+    # batch (dedup needs no time ordering; state eviction timing is
+    # irrelevant to the gate)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "text",
+    )
+    run = _scratch("sdedup", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    surv = streaming_dedup_exact(stream, "text", "ts", watermark="1 hour")
+    name = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        surv.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.sql(f"SELECT text FROM {name}")
+        .select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("content_hash")
+        )
+    )
+
+
+SQL_STREAMING_DEDUP = r"""
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+FROM documents
+"""
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data prep pipeline end to end, one lazy plan:
     quality gate (operators/text.py) → exact dedup with deterministic
@@ -1925,6 +1982,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -32,7 +32,13 @@ def streaming_dedup_exact(
 ) -> DataFrame:
     """Drop rows whose (normalized) content was already seen within
     the watermark horizon; first arrival wins. ``time_col`` must be a
-    timestamp column."""
+    timestamp column.
+
+    Standard watermark contract applies: a row whose event time has
+    already fallen behind the stream's watermark is dropped as late
+    data (not emitted at all), so ``watermark`` must cover the
+    worst-case event-time disorder of the feed, not just the desired
+    duplicate-detection horizon."""
     content = normalize_text(text_col) if normalize else F.col(text_col)
     return (
         stream.withColumn("_h", F.md5(content))
