@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sessionize",
     "latency_percentiles",
     "pipeline_e2e",
+    "lm_score",
 ]
 
 

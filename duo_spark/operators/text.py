@@ -242,3 +242,38 @@ def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PAT
     for pat, repl in patterns:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def unigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: train token
+    frequencies on the corpus itself (one groupBy), then score each
+    document by the mean negative log-probability of its tokens —
+    documents full of rare/garbage tokens score high, fluent
+    in-distribution text scores low. The standard cheap LM filter of
+    LLM corpus prep (a full KenLM is the out-of-container upgrade;
+    the plan shape is identical).
+
+    Scale shape: tokens explode once; the vocabulary aggregate is one
+    map-combined shuffle keyed by token; scoring re-joins tokens to
+    the vocabulary on the same key (big-big equi-join, hash
+    partitioned — the vocab is NOT assumed broadcastable at corpus
+    scale) and aggregates per document. The only driver scalar is the
+    corpus token total.
+    """
+    from duo_spark.operators.search import search_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(search_tokens(text_col)).alias("_t")
+    )
+    vocab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = float(toks.count())
+    return (
+        toks.join(vocab, "_t")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.lit(total) / F.col("_c"))).alias("lm_score"),
+        )
+    )

@@ -1864,6 +1864,30 @@ FROM documents
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (operators/text.py
+    unigram_lm_score): corpus-trained token frequencies, per-doc mean
+    negative log-prob."""
+    docs = _docs(spark, sf_dir)
+    out = text.unigram_lm_score(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("lm_score", 6).alias("lm_score")
+    )
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+vocab AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(n / c)), 6) AS lm_score
+FROM toks JOIN vocab USING (t) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data prep pipeline end to end, one lazy plan:
     quality gate (operators/text.py) → exact dedup with deterministic
@@ -1983,6 +2007,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     # approximate / non-SQL-expressible: rows-only checks
     "simhash": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
