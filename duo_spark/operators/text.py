@@ -267,8 +267,16 @@ def unigram_lm_score(
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(search_tokens(text_col)).alias("_t")
     )
-    vocab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
-    total = float(toks.count())
+    # materialize the vocabulary once: the corpus total then comes from
+    # the (small) vocab table and the scoring join reuses it, so the
+    # raw token stream is scanned exactly twice (vocab build + scoring)
+    # instead of four times
+    vocab = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    total = float(vocab.agg(F.sum("_c")).first()[0])
     return (
         toks.join(vocab, "_t")
         .groupBy(F.col("_id").alias(id_col))
