@@ -20,6 +20,8 @@ kernels to one core.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -416,6 +418,18 @@ def _simhash_words(c: Column) -> Column:
     return F.slice(F.array_distinct(F.split(F.trim(c), r"\s+")), 1, _SIMHASH_MAX_WORDS)
 
 
+def md5_word_hash(w: Column) -> Column:
+    """Oracle-replayable 60-bit word hash: the top 15 hex digits of
+    md5(word) as a positive long. Spark's ``conv(substring(md5(w),1,15),
+    16,10)`` and DuckDB's ``('0x'||substr(md5(w),1,15))::BIGINT`` compute
+    the identical value over the same UTF-8 bytes, so a SQL oracle can
+    replay the full SimHash pipeline. xxhash64 stays the production
+    default (cheaper, full 64 bits); the two are interchangeable as the
+    ``word_hash`` parameter — with a 60-bit hash, signature bits 60-63
+    majority-vote to 0 on both engines, so banding stays correct."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
 def _simhash_bit_counts(word_hashes: Column) -> Column:
     """Packed per-bit set-counts over an array of 64-bit word hashes.
 
@@ -458,11 +472,17 @@ def _simhash_pack(counts_col: Column, n_col: Column, bits: int = 64) -> Column:
     return packed
 
 
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    word_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
     """Attach a 64-bit SimHash signature column.
 
-    Word hashing stays JVM-side (xxhash64 over the distinct-word
-    array); the per-bit majority vote runs as ONE Arrow-batched numpy
+    Word hashing stays JVM-side (``word_hash`` over the distinct-word
+    array — xxhash64 by default, :func:`md5_word_hash` for the
+    oracle-gated variant); the per-bit majority vote runs as ONE Arrow-batched numpy
     pass (flatten the batch's hash arrays, 64 strided popcount-sums
     segmented by ``np.add.reduceat``, pack sign bits). The previous
     pure-Column form (16 scalar SWAR folds + a 64-term packing sum,
@@ -509,11 +529,15 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
             ).view(np.int64)
         return pd.Series(out)
 
-    hashes = F.transform(_simhash_words(F.col(text_col)), lambda w: F.xxhash64(w))
+    hashes = F.transform(_simhash_words(F.col(text_col)), lambda w: word_hash(w))
     return ensure_parallelism(df).withColumn(out_col, pandas_udf(_sig, "long")(hashes))
 
 
-def simhash_signature(col: Column | str, bits: int = 64) -> Column:
+def simhash_signature(
+    col: Column | str,
+    bits: int = 64,
+    word_hash: Callable[[Column], Column] = F.xxhash64,
+) -> Column:
     """Column-expression SimHash (majority vote of word-hash bits).
 
     Prefer :func:`with_simhash` in pipelines — as a single Column the
@@ -523,12 +547,16 @@ def simhash_signature(col: Column | str, bits: int = 64) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     words = _simhash_words(c)
-    word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    word_hashes = F.transform(words, lambda w: word_hash(w))
     return _simhash_pack(_simhash_bit_counts(word_hashes), F.size(words), bits)
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    word_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED recall.
 
@@ -547,7 +575,8 @@ def simhash_near_duplicates(
     n_blocks = max_hamming + 1
     block_bits = 64 // n_blocks
     sigs = with_simhash(
-        df.select(F.col(id_col).alias("_id"), text_col), text_col, "_sig"
+        df.select(F.col(id_col).alias("_id"), text_col), text_col, "_sig",
+        word_hash=word_hash,
     ).select("_id", "_sig")
     banded = sigs.select(
         "_id",

@@ -1274,24 +1274,108 @@ WHERE ((doc_id % 1000003 + 7) * 2654435761) % 1000000007
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hamming<=3 pair set: (max_hamming+1)-block banding has
-    guaranteed recall (pigeonhole), so the output is deterministic —
-    verified against a brute-force cross join in tests (no SQL oracle
-    because DuckDB lacks a compatible xxhash64)."""
+    guaranteed recall (pigeonhole), so the output is deterministic.
+
+    Gate variant hashes words with the md5-derived 60-bit hash
+    (dedup.md5_word_hash) so DuckDB can replay the ENTIRE pipeline —
+    signature majority vote, xor, popcount — from the raw text; the
+    oracle brute-forces all pairs, proving both the signature math and
+    the banded join's guaranteed recall. Production default stays
+    xxhash64 (pinned equal in behavior by tests/test_dedup.py)."""
     docs = _docs(spark, sf_dir)
-    return dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, word_hash=dedup.md5_word_hash
+    )
+
+
+SQL_SIMHASH = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+  FROM documents),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bv
+  FROM hs, range(60) t(b)),
+sig AS (SELECT doc_id, sum(bv)::BIGINT AS sig FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-pruned ANN (no oracle: result depends on probed buckets).
-    tests/test_similarity.py pins the exact-given-candidates property
-    and full recall on clustered data."""
+    """Bucket-pruned ANN with the pruning REPLAYED by the oracle: the
+    hyperplane constants (make_hyperplanes, driver-side deterministic)
+    are inlined into the DuckDB SQL, which recomputes every row's 4
+    sign-buckets, applies the identical Hamming-radius-2 multiprobe
+    admission, and ranks the admitted candidates by exact cosine — the
+    same replicate-the-pruning pattern SQL_IVF_SEARCH uses. Bit j of
+    table t is sign(dot(v, plane_{t,j}) ) in float64 on both engines;
+    sign flips would need |dot| at float-roundoff scale (~1e-13), far
+    below the data's dot magnitudes."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     topk = similarity.cosine_topk_lsh(emb, list(qvec), k=10, exclude_ids=[0])
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _lsh_planes_values(n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """SQL VALUES literal of the hyperplane constants (t, j, p) — the
+    same floats make_hyperplanes feeds the Spark-side bucket UDF
+    (repr() round-trips float64 exactly)."""
+    rows = []
+    for t in range(n_tables):
+        for j, p in enumerate(similarity.make_hyperplanes(dim, n_planes, seed + t)):
+            vec = "[" + ", ".join(repr(x) for x in p) + "]"
+            rows.append(f"({t}, {j}, {vec}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+SQL_ANN_LSH = f"""
+WITH planes(t, j, p) AS (VALUES {_lsh_planes_values()}),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT t, sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> p[i] * qv[i])) >= 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS qb
+  FROM planes, q GROUP BY t),
+rows_ AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id <> 0),
+rb AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> p[i] * v[i])) >= 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS b
+  FROM rows_, planes GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT rb.vec_id FROM rb JOIN qb USING (t)
+  WHERE bit_count(xor(rb.b, qb.qb)) <= 2),
+cos AS (
+  SELECT r.vec_id,
+         list_sum(list_transform(range(1, 65), i -> r.v[i] * q.qv[i]))
+           / (sqrt(list_sum(list_transform(r.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+  FROM rows_ r JOIN cand USING (vec_id), q)
+SELECT vec_id, round(cos, 6) AS cosine
+FROM cos ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media feature extraction, ORACLE-REPLAYED: the
+    default decoder's slot-0 rolling byte hash (acc = (acc*31 + byte)
+    % 997 over bytes at positions 0, 8, 16, ...) is recomputed by
+    DuckDB from the same text via list_reduce over per-char code
+    points (the corpus is pure ASCII — octet_length(encode(text)) ==
+    length(text) for every row, so code point == byte). The feature
+    rides as float32 a/997; multiplying back by 997 and rounding
+    recovers the integer accumulator EXACTLY (float32 eps * 997 <<
+    0.5), so the compare is integer-exact — no float hazards."""
     from duo_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -1307,7 +1391,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = extract_features(media)
-    return feats.select("media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1) * 997).cast("long").alias("f0_acc"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH chars AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substr(text, i, 1))) AS cs
+  FROM documents)
+SELECT doc_id AS media_id, n_bytes,
+       CAST(list_reduce(list_prepend(0, list_filter(cs, (x, i) -> (i - 1) % 8 = 0)),
+                        (a, b) -> (a * 31 + b) % 997) AS BIGINT) AS f0_acc
+FROM chars
+"""
 
 
 def q_timing_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,8 +2109,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
-    # approximate / non-SQL-expressible: rows-only checks
-    "simhash": (q_simhash, None),
-    "ann_lsh": (q_ann_lsh, None),
-    "multimodal_features": (q_multimodal_features, None),
+    # oracle-replayed approximate operators (pruning replicated in SQL)
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -158,20 +158,28 @@ def test_ivf_assign_members_nearest_own_centroid(clustered):
     assert mismatch == 0
 
 
-def test_multimodal_features_golden(spark, sf_dir):
-    """Pin the deterministic fake decoder end to end (mapInPandas
-    plumbing + rolling-byte hash): a content change, batch-shape
-    change, or codec regression flips this hash."""
-    import hashlib
+def test_multimodal_features_independent_recompute(spark, sf_dir):
+    """Verify the mapInPandas decode path against an INDEPENDENT
+    driver-side recomputation of the slot-0 rolling byte hash from the
+    raw parquet text (replacing the old self-referential golden hash;
+    the DuckDB oracle in test_oracle_parity replays the same math in
+    SQL). Catches plumbing bugs (batch boundaries, column order,
+    float32 quantization) and codec regressions alike."""
+    import pyarrow.parquet as pq
 
     from duo_spark.queries import q_multimodal_features
 
-    rows = q_multimodal_features(spark, sf_dir).orderBy("media_id").collect()
-    digest = hashlib.md5(
-        ";".join(f"{r.media_id}:{r.n_bytes}:{r.f0:.6f}" for r in rows).encode()
-    ).hexdigest()
-    assert len(rows) == 500
-    assert digest == "2640250afdcb3f5c50ac2f85deb6cd1b", digest
+    rows = q_multimodal_features(spark, sf_dir).collect()
+    got = {r.media_id: (r.n_bytes, r.f0_acc) for r in rows}
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        data = text.encode("utf-8")
+        acc = 0
+        for byte in data[::8]:  # slot 0 of the 8-slot rolling hash
+            acc = (acc * 31 + byte) % 997
+        want[doc_id] = (len(data), acc)
+    assert got == want
 
 
 def test_ivf_search_equals_restricted_bruteforce(clustered):
