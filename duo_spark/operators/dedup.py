@@ -271,7 +271,10 @@ def minhash_near_duplicates(
     # otherwise re-run the whole shingle+hash pipeline — plan-level
     # exchange reuse does not fire across these differently-pruned
     # subtrees. The materialized set table is small (distinct sets ×
-    # ~shingle count longs).
+    # ~shingle count longs). Retention: the returned lazy plan holds
+    # these checkpointed blocks, so they persist until the caller's
+    # session drops them (clearCache between corpora in a long-lived
+    # service).
     grp = (
         sh.groupBy(F.sort_array("_hs").alias("_hs"))
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))

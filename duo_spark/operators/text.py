@@ -270,7 +270,12 @@ def unigram_lm_score(
     # materialize the vocabulary once: the corpus total then comes from
     # the (small) vocab table and the scoring join reuses it, so the
     # raw token stream is scanned exactly twice (vocab build + scoring)
-    # instead of four times
+    # instead of four times. Retention: the checkpointed blocks are
+    # referenced by the RETURNED lazy plan, so they cannot be
+    # unpersisted here; they live until the caller's session drops
+    # them (spark.catalog.clearCache() / session stop). Long-lived
+    # services re-scoring many corpora should materialize the result
+    # and clear the cache between calls.
     vocab = (
         toks.groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_c"))

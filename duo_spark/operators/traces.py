@@ -104,7 +104,13 @@ def logs_for_traces(logs: DataFrame, trace_ids: DataFrame) -> DataFrame:
     )
 
 
-def correlate_span_logs(spans: DataFrame, logs: DataFrame) -> DataFrame:
+#: default bound on logs materialized per span (counts stay exact).
+MAX_LOGS_PER_SPAN = 1000
+
+
+def correlate_span_logs(
+    spans: DataFrame, logs: DataFrame, max_logs_per_span: int = MAX_LOGS_PER_SPAN
+) -> DataFrame:
     """J1 + A3 — attach per-span log rollups and the error flag.
 
     Reference: duo/src/models.rs:80-94 — for each span, logs with
@@ -112,12 +118,22 @@ def correlate_span_logs(spans: DataFrame, logs: DataFrame) -> DataFrame:
     Aggregating the log side BEFORE the join keeps the join input
     small (one row per span_id) and lets Spark broadcast it when the
     admitted log set is bounded.
+
+    The materialized log array is capped at ``max_logs_per_span``
+    (time-sorted, earliest kept) so one pathological span with
+    millions of logs cannot become a single giant row at scale — the
+    reference has no such bound (models.rs:80-94 collects all) but an
+    unbounded collect_list is a deliberate-deviation fix here (see
+    DEVIATIONS.md). ``log_count``/``error_count`` stay EXACT — they
+    aggregate before the slice.
     """
     per_span = logs.filter(F.col("span_id").isNotNull()).groupBy("span_id").agg(
         F.count(F.lit(1)).alias("log_count"),
         F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
-        F.sort_array(
-            F.collect_list(F.struct("time", "level", "message"))
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("time", "level", "message"))),
+            1,
+            max_logs_per_span,
         ).alias("span_logs"),
     )
     joined = spans.join(per_span, spans["id"] == per_span["span_id"], "left").drop(

@@ -1774,13 +1774,19 @@ a0 AS (
               WHEN sims[3] >= sims[4] THEN 2
               ELSE 3 END AS cell
   FROM s0),
+c1m AS (
+  SELECT cell, list(mv ORDER BY i) AS m
+  FROM (SELECT cell, t.i AS i, avg(CAST(embedding[t.i] AS DOUBLE)) AS mv
+        FROM a0 CROSS JOIN range(1, 65) t(i)
+        GROUP BY cell, t.i)
+  GROUP BY cell),
+-- empty cells keep their previous centroid (kmeans_fit's rule): left
+-- join the recentered means against all 4 cell ids, falling back to c0
 c1 AS (
-  SELECT list(m ORDER BY cell) AS cents
-  FROM (SELECT cell, list(mv ORDER BY i) AS m
-        FROM (SELECT cell, t.i AS i, avg(CAST(embedding[t.i] AS DOUBLE)) AS mv
-              FROM a0 CROSS JOIN range(1, 65) t(i)
-              GROUP BY cell, t.i)
-        GROUP BY cell)),
+  SELECT list(COALESCE(c1m.m,
+              list_transform(c0.cents[g.cell + 1], x -> CAST(x AS DOUBLE)))
+              ORDER BY g.cell) AS cents
+  FROM range(4) g(cell) LEFT JOIN c1m ON c1m.cell = g.cell CROSS JOIN c0),
 s1 AS (
   SELECT e.vec_id, e.embedding,
          list_transform(c1.cents, ce ->

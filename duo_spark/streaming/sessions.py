@@ -6,7 +6,7 @@ Structured Streaming's `session_window` maintains per-key open
 sessions in the state store and emits a session only once the
 watermark passes its close (event-time gap semantics identical to the
 batch `with_session_index` boundary rule: a new session starts when
-the silence EXCEEDS the gap). State is hash-partitioned by the
+the silence REACHES the gap — delta >= gap). State is hash-partitioned by the
 grouping key — the same skew bound as the batch window — and the
 watermark bounds state size: sessions older than the allowed lateness
 are finalized and evicted, so an unbounded stream holds only the open
@@ -31,7 +31,11 @@ def streaming_session_stats(
     ``time_col`` must be a timestamp column; output rows appear once
     the watermark closes a session (append mode). Mirrors the batch
     session_stats columns so downstream sinks can union hot streaming
-    sessions with cold batch recomputes.
+    sessions with cold batch recomputes: Spark's raw
+    ``session_window.end`` is last-event-time + gap, so the gap is
+    subtracted here to yield ``end`` = max event time, exactly the
+    batch operator's definition — the two outputs union without any
+    per-sink offset arithmetic.
     """
     with_wm = events.withWatermark(time_col, watermark)
     return (
@@ -43,7 +47,9 @@ def streaming_session_stats(
         .select(
             key_col,
             F.col("session_window.start").alias("start"),
-            F.col("session_window.end").alias("end"),
+            (
+                F.col("session_window.end") - F.expr(f"INTERVAL {gap_seconds} SECONDS")
+            ).alias("end"),
             "n_events",
         )
     )

@@ -57,6 +57,45 @@ def test_asof_tie_prefers_largest_payload(spark):
     assert asof_join(ldf, rdf, "k", "t", "t").first().rv == 9
 
 
+def test_asof_left_column_collision_raises(spark):
+    import pytest
+
+    ldf = spark.createDataFrame([(1, 10, 7)], "k long, t long, rv long")
+    rdf = spark.createDataFrame([(1, 5, 5)], "k long, t long, rv long")
+    with pytest.raises(ValueError, match="rv"):
+        asof_join(ldf, rdf, "k", "t", "t")
+    ldf2 = spark.createDataFrame([(1, 10, 7)], "k long, t long, _asof_time long")
+    with pytest.raises(ValueError, match="_asof_time"):
+        asof_join(ldf2, rdf, "k", "t", "t")
+
+
+def test_asof_timestamp_times_compare_at_microseconds(spark):
+    # 10.000001 s vs 10.000002 s: a cast('long') would truncate both
+    # to 10 and pick the later right row; µs comparison must not
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    ldf = spark.createDataFrame([(1, base + us, 1)], "k long, t timestamp, lid long")
+    rdf = spark.createDataFrame(
+        [(1, base, 5), (1, base + 2 * us, 9)], "k long, t timestamp, rv long"
+    )
+    row = asof_join(ldf, rdf, "k", "t", "t").first()
+    assert row.rv == 5
+    assert row._asof_time == int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def test_asof_map_payload_supported(spark):
+    # map columns can't be sort keys; the JSON tie-break keeps the
+    # join working (and deterministic) for map payloads
+    ldf = spark.createDataFrame([(1, 10, 1)], "k long, t long, lid long")
+    rdf = spark.createDataFrame(
+        [(1, 5, {"a": "x"}), (1, 7, {"b": "y"})], "k long, t long, tags map<string,string>"
+    )
+    row = asof_join(ldf, rdf, "k", "t", "t").first()
+    assert row._asof_time == 7 and row.tags == {"b": "y"}
+
+
 def _ref_sessions(rows, gap):
     bykey = {}
     for k, t in rows:

@@ -281,7 +281,7 @@ def test_streaming_sessions_match_batch(spark, scratch):
     want = {}
     for r in session_stats(batch, "k", "t", 10).collect():
         start = dt.datetime.utcfromtimestamp(r.start)
-        end = dt.datetime.utcfromtimestamp(r.end + 10)  # window end = last + gap
+        end = dt.datetime.utcfromtimestamp(r.end)  # both sides: max event time
         want[(r.k, start)] = (end, r.n_events)
     assert got == want
 

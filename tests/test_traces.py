@@ -68,6 +68,37 @@ def test_correlate_span_logs_error_flag(spans_df, logs_df):
         assert r["log_count"] == per_span.get(r["id"], 0)
 
 
+def test_correlate_span_logs_bounded_pathological_span(spans_df, logs_df):
+    """One span with a huge log fanout must yield a BOUNDED span_logs
+    array (earliest N by time) while log_count/error_count stay exact."""
+    flood_id = spans_df.first()["id"]
+    flood = logs_df.limit(1).select(
+        F.col("process_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4999))).alias("i"),
+        "trace_id",
+        "level",
+        "target",
+        "file",
+        "line",
+        "message",
+    ).select(
+        "process_id",
+        F.col("i").cast("long").alias("time"),
+        "trace_id",
+        F.lit(flood_id).cast("long").alias("span_id"),
+        "level",
+        "target",
+        "file",
+        "line",
+        "message",
+    )
+    enriched = correlate_span_logs(spans_df, flood, max_logs_per_span=100)
+    row = enriched.filter(F.col("id") == flood_id).first()
+    assert row["log_count"] == 5000  # exact despite the cap
+    assert len(row["span_logs"]) == 100
+    assert [lg["time"] for lg in row["span_logs"]] == list(range(100))  # earliest kept
+
+
 def test_logs_for_traces(spans_df, logs_df):
     sel = filter_traces(spans_df, limit=4)
     got = logs_for_traces(logs_df, sel)
