@@ -72,6 +72,7 @@ class DuoEngine:
         self.span_source = posixpath.join(data_dir, "ingest", "span")
         self.log_source = posixpath.join(data_dir, "ingest", "log")
         self._server: IngestServer | None = None
+        self._http = None
         self._queries: list = []
 
     # ------------------------------------------------------- ingest --
@@ -164,9 +165,25 @@ class DuoEngine:
             processes=self.process_registry.processes(),
         )
 
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0):
+        """Bind the 8 API routes (duo/src/web/mod.rs:72-82) to a real
+        HTTP listener over this engine's live tables. Returns
+        (host, port); port 0 picks a free one."""
+        from duo_spark.web.server import DuoHTTPServer
+
+        if self._http is not None:
+            self._http.stop()
+        self._http = DuoHTTPServer(
+            lambda: self.query_service(), host=host, port=port
+        ).start()
+        return self._http.address
+
     # --------------------------------------------------------- stop --
 
     def stop(self) -> None:
+        if self._http is not None:
+            self._http.stop()
+            self._http = None
         if self._server is not None:
             self._server.stop()
             self._server = None
