@@ -165,16 +165,18 @@ class DuoEngine:
             processes=self.process_registry.processes(),
         )
 
-    def serve_http(self, host: str = "127.0.0.1", port: int = 0):
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0, request_hook=None):
         """Bind the 8 API routes (duo/src/web/mod.rs:72-82) to a real
         HTTP listener over this engine's live tables. Returns
-        (host, port); port 0 picks a free one."""
+        (host, port); port 0 picks a free one. ``request_hook(path)``
+        wraps each request's dispatch (--collect-self tracing)."""
         from duo_spark.web.server import DuoHTTPServer
 
         if self._http is not None:
             self._http.stop()
         self._http = DuoHTTPServer(
-            lambda: self.query_service(), host=host, port=port
+            lambda: self.query_service(), host=host, port=port,
+            request_hook=request_hook,
         ).start()
         return self._http.address
 

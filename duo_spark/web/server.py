@@ -67,15 +67,27 @@ class DuoHTTPServer:
     fixed closure for a static snapshot.
     """
 
-    def __init__(self, service_fn, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, service_fn, host: str = "127.0.0.1", port: int = 0,
+                 request_hook=None):
+        """``request_hook(path)``, when given, must return a context
+        manager entered around each request's dispatch — the
+        --collect-self seam (a subscriber span per request,
+        duo/src/main.rs:97-111)."""
         self._service_fn = service_fn
+        self._request_hook = request_hook
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self) -> None:  # noqa: N802 (http.server API)
                 url = urlparse(self.path)
                 try:
-                    payload = _route(outer._service_fn(), url.path, _params(url.query))
+                    if outer._request_hook is not None:
+                        with outer._request_hook(url.path):
+                            payload = _route(
+                                outer._service_fn(), url.path, _params(url.query)
+                            )
+                    else:
+                        payload = _route(outer._service_fn(), url.path, _params(url.query))
                     status = 200
                 except NotFound as e:
                     payload, status = {"error": str(e)}, 404
