@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "latency_percentiles",
     "pipeline_e2e",
     "lm_score",
+    "semantic_dedup",
 ]
 
 

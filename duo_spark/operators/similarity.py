@@ -534,3 +534,82 @@ def kmeans_fit(
         if shift <= tol:
             break
     return cents
+
+
+# ----------------------------------------------------- semantic dedup --
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    kmeans_iter: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", 2023).
+
+    Pipeline: k-means partitions the corpus into ``k`` cells (trained
+    here with ``kmeans_fit`` unless ``centroids`` is given), pairwise
+    cosine runs ONLY within a cell, pairs >= ``threshold`` resolve to
+    duplicate groups via connected components (operators/graph.py),
+    and the group's minimum id is the canonical keeper.
+
+    Output: one row per input row —
+    (id_col, cell, dup_group, is_canonical).
+
+    Scale: the all-pairs step is bounded per cell, never global — at
+    100 TB you raise ``k`` so the expected cell size stays fixed
+    (k ~ n / target_cell), making within-cell pairing linear in n
+    overall; the cell equi-join shuffles on the cell key whose
+    cardinality is k, so large k also removes key skew. Cross-cell
+    near-dups are missed by design (the SemDeDup approximation).
+    The assignment is one Arrow matmul per batch; pair verification
+    is JVM-side Column algebra; no driver state beyond the k x dim
+    centroid table.
+
+    The reference has no embedding surface (north-star extension).
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k, vec_col=vec_col, id_col=id_col, max_iter=kmeans_iter
+        )
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias("_v"),
+        "_cell",
+    )
+    # the assignment feeds three branches (pair-left, pair-right, final
+    # labeling); checkpoint so the pandas-UDF matmul runs once. Same
+    # retention trade-off as dedup.py's candidate table: the block
+    # lives until the session drops it.
+    assigned = assigned.localCheckpoint(eager=True)
+    left = assigned.select(
+        "_cell", F.col(id_col).alias("_a"), F.col("_v").alias("_va")
+    )
+    right = assigned.select(
+        "_cell", F.col(id_col).alias("_b"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        left.join(right, "_cell")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+    )
+    from duo_spark.operators.graph import connected_components
+
+    labels = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "_nd"
+    )
+    return (
+        assigned.join(labels, F.col(id_col) == F.col("_nd"), "left")
+        .select(
+            id_col,
+            F.col("_cell").alias("cell"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("dup_group"),
+        )
+        .withColumn("is_canonical", F.col("dup_group") == F.col(id_col))
+    )

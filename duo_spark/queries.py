@@ -2051,6 +2051,88 @@ FROM cum GROUP BY 1
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/similarity.py
+    semantic_dedup): one-iteration k-means cells over the embeddings,
+    within-cell cosine pairs at 0.4, pair→group resolution via
+    connected components, canonical keeper = group minimum. The oracle
+    replays the identical kmeans iteration (init → assign → recenter
+    with the empty-cell keep-previous rule → reassign), the within-cell
+    pair pruning, and a recursive-CTE transitive closure — so the gate
+    checks the full composed pipeline, cells included."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.4, k=4, kmeans_iter=1)
+    return out.select("vec_id", "cell", "dup_group", "is_canonical")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE c0 AS (
+  SELECT list(embedding ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+s0 AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(c0.cents, ce ->
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * ce[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*x))))) AS sims
+  FROM embeddings e CROSS JOIN c0),
+a0 AS (
+  SELECT vec_id, embedding,
+         CASE WHEN sims[1] >= sims[2] AND sims[1] >= sims[3] AND sims[1] >= sims[4] THEN 0
+              WHEN sims[2] >= sims[3] AND sims[2] >= sims[4] THEN 1
+              WHEN sims[3] >= sims[4] THEN 2
+              ELSE 3 END AS cell
+  FROM s0),
+c1m AS (
+  SELECT cell, list(mv ORDER BY i) AS m
+  FROM (SELECT cell, t.i AS i, avg(CAST(embedding[t.i] AS DOUBLE)) AS mv
+        FROM a0 CROSS JOIN range(1, 65) t(i)
+        GROUP BY cell, t.i)
+  GROUP BY cell),
+c1 AS (
+  SELECT list(COALESCE(c1m.m,
+              list_transform(c0.cents[g.cell + 1], x -> CAST(x AS DOUBLE)))
+              ORDER BY g.cell) AS cents
+  FROM range(4) g(cell) LEFT JOIN c1m ON c1m.cell = g.cell CROSS JOIN c0),
+s1 AS (
+  SELECT e.vec_id, e.embedding,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x))) AS nrm,
+         list_transform(c1.cents, ce ->
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * ce[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*x))))) AS sims
+  FROM embeddings e CROSS JOIN c1),
+a1 AS (
+  SELECT vec_id, embedding, nrm,
+         CASE WHEN sims[1] >= sims[2] AND sims[1] >= sims[3] AND sims[1] >= sims[4] THEN 0
+              WHEN sims[2] >= sims[3] AND sims[2] >= sims[4] THEN 1
+              WHEN sims[3] >= sims[4] THEN 2
+              ELSE 3 END AS cell
+  FROM s1),
+pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+          / (a.nrm * b.nrm) >= 0.4),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src)
+SELECT a1.vec_id, a1.cell,
+       COALESCE(l.component, a1.vec_id) AS dup_group,
+       COALESCE(l.component, a1.vec_id) = a1.vec_id AS is_canonical
+FROM a1 LEFT JOIN labels l ON a1.vec_id = l.node
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2115,6 +2197,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

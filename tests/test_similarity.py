@@ -247,3 +247,39 @@ def test_kmeans_fit_converges_and_keeps_empty_cell_centroid(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cents = similarity.kmeans_fit(df, 3, max_iter=5)
     assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+def test_semantic_dedup_groups_clustered_data(clustered):
+    """On the clustered fixture (8 tight cones, within-cluster cosine
+    ~0.99, cross-cluster ~0), semantic_dedup with k=8 must put every
+    cone into one dup_group whose canonical is the cone's minimum id,
+    with no cross-cone merges."""
+    out = similarity.semantic_dedup(
+        clustered, threshold=0.9, k=8, kmeans_iter=3
+    ).collect()
+    assert len(out) == 200
+    by_id = {r.vec_id: r for r in out}
+    for vid, r in by_id.items():
+        cone_min = (vid // 25) * 25  # members 25c..25c+24
+        assert r.dup_group == cone_min, (vid, r.dup_group)
+        assert r.is_canonical == (vid == cone_min)
+
+
+def test_semantic_dedup_pairs_only_within_cells(emb):
+    """On the near-orthogonal driver embeddings every dup_group member
+    set must be closed under the cell assignment: a group never spans
+    two cells (the SemDeDup approximation is within-cell only)."""
+    out = similarity.semantic_dedup(emb, threshold=0.35, k=4, kmeans_iter=1)
+    rows = out.collect()
+    cell_of = {r.vec_id: r.cell for r in rows}
+    groups: dict[int, set[int]] = {}
+    for r in rows:
+        groups.setdefault(r.dup_group, set()).add(cell_of[r.vec_id])
+    multi = [g for g, cells in groups.items() if len(cells) > 1]
+    assert multi == []
+    # and the canonical really is the minimum member id
+    mins: dict[int, int] = {}
+    for r in rows:
+        mins[r.dup_group] = min(mins.get(r.dup_group, r.vec_id), r.vec_id)
+    for g, m in mins.items():
+        assert g == m
