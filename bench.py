@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "pipeline_e2e",
     "lm_score",
     "semantic_dedup",
+    "top_ngrams",
+    "weighted_sample",
+    "tfidf_top_terms",
 ]
 
 

@@ -76,3 +76,45 @@ def stratified_hash_sample(
         else default
     )
     return df.filter(hash_bucket(id_col, salt) < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (k rows,
+    inclusion odds proportional to ``weight_col``) — Efraimidis &
+    Spirakis (2006) A-Res reservoir keys, derandomized: the uniform
+    draw is an md5-derived 60-bit hash of (id, salt), so the sample is
+    reproducible, salt-switchable, and oracle-replayable (the same
+    md5/ln arithmetic runs in any SQL engine).
+
+        u_i   = (md5_60(id:salt) + 1) / (2^60 + 1)   in (0, 1]
+        key_i = -ln(u_i) / w_i        (exponential with rate w_i)
+        keep the k SMALLEST keys      (= k largest u^(1/w))
+
+    Scale: pure scan-side arithmetic plus one TakeOrderedAndProject —
+    per-partition k-row heaps, no shuffle of the data itself, no
+    driver state. Rows with weight <= 0 or null are excluded (their
+    exponential never fires).
+    """
+    idc = F.col(id_col)
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(idc.cast("string"), F.lit(f":{int(salt)}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_key", key)
+        .orderBy(F.asc("_key"), F.asc(id_col))
+        .limit(k)
+    )

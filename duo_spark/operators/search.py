@@ -95,3 +95,59 @@ def bm25_topk(
     TakeOrderedAndProject (per-partition heaps, no global sort)."""
     scored = bm25_scores(df, query_terms, id_col, text_col, k1, b)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 3,
+) -> DataFrame:
+    """Per-document top TF-IDF terms — the cheap keyword-extraction /
+    topic-fingerprint pass of a corpus analysis pipeline.
+
+        score(d, t) = tf(d, t) * ln(N / df_t)
+
+    Rank is per document by (rounded score desc, term asc): ranking on
+    the 6-decimal rounding keeps the cut deterministic across engines
+    (the same policy as bm25's gate query — raw ln() can differ in the
+    last ulp between libm implementations).
+
+    Scale: tf is one (doc, term) shuffle with map-side combine; df_t is
+    a term-keyed aggregate of tf joined back on term (big-big equi-join
+    — the term table is NOT assumed broadcastable, same stance as
+    text.unigram_lm_score); the per-document window partitions by doc
+    id, so no global sort exists.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(search_tokens(text_col)).alias("_t")
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_dft"))
+    n_docs = df.select(F.countDistinct(id_col).cast("double").alias("_n"))
+    scored = (
+        tf.join(dft, "_t")
+        .join(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "_t",
+            F.round(F.col("_tf") * F.log(F.col("_n") / F.col("_dft")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("_t"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_t").alias("term"),
+            "score",
+            "rank",
+        )
+    )

@@ -290,3 +290,27 @@ def unigram_lm_score(
             F.avg(F.log(F.lit(total) / F.col("_c"))).alias("lm_score"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level top-k word n-grams: (ngram, count), count desc with
+    lexicographic tiebreak — the frequency table a tokenizer/BPE
+    training run or corpus-drift monitor starts from.
+
+    Scale: one (ngram) hash shuffle with map-side partial counts, then
+    a global top-k that plans as TakeOrderedAndProject (per-partition
+    heaps of k rows, no global sort). The explode fans each document
+    into its gram multiset — linear in corpus token count.
+    """
+    grams = df.select(F.explode(all_ngrams(text_col, n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -2133,6 +2133,90 @@ FROM a1 LEFT JOIN labels l ON a1.vec_id = l.node
 """
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 word bigrams (operators/text.py top_ngrams):
+    the frequency table a tokenizer-training or corpus-drift pass
+    starts from. One map-side-combined (ngram) aggregate + a
+    TakeOrderedAndProject top-k; the count-tie boundary is pinned by
+    the lexicographic tiebreak."""
+    docs = _docs(spark, sf_dir)
+    return text.top_ngrams(docs, "text", n=2, k=50)
+
+
+SQL_TOP_NGRAMS = r"""
+WITH docs AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      ELSE [array_to_string(w, ' ')] END) AS ngram
+  FROM docs)
+SELECT ngram, CAST(count(*) AS BIGINT) AS count
+FROM grams GROUP BY ngram
+ORDER BY count DESC, ngram ASC LIMIT 50
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample): 25 documents with
+    inclusion odds proportional to n_chars, Efraimidis-Spirakis keys
+    from an md5-derived uniform — reproducible and SQL-replayable."""
+    from duo_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample(docs, k=25, weight_col="n_chars", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round("_key", 6).alias("sample_key"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))
+                   AS BIGINT) + 1.0) / 1152921504606846977.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(k, 6) AS sample_key
+FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 25
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/search.py
+    tfidf_top_terms) — keyword extraction over the corpus. Ranking is
+    by the 6-decimal-rounded score (bm25's cross-engine policy) with a
+    term tiebreak, so the cut is deterministic in both engines."""
+    from duo_spark.operators.search import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_top_terms(docs, "doc_id", "text", top=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, t),
+dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, t, round(tf * ln(n / dft), 6) AS score
+  FROM tf JOIN dft USING (t) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, t AS term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, t ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2198,6 +2282,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -114,3 +114,14 @@ def test_parse_duration_unit_table(n, unit):
 def test_parse_duration_never_raises(s):
     r = parse_duration_us(s)
     assert r is None or isinstance(r, int)
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from duo_spark.operators.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [("a b a b",), ("a b c",), ("z",)], "text string"
+    )
+    got = [(r.ngram, r["count"]) for r in top_ngrams(docs, "text", n=2, k=10).collect()]
+    # 'a b' x3 ('a b a b' holds two: 'a b','b a','a b'), then lexicographic
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1), ("z", 1)]

@@ -50,3 +50,30 @@ def test_sample_is_scan_side_filter(spark):
     df = _ids(spark)
     plan = hash_sample(df, 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: pure filter projection
+
+
+def test_weighted_sample_prefix_and_bias(spark):
+    """E-S keys are fixed per row, so the k=5 sample is a prefix of the
+    k=20 sample; a row with overwhelming weight is (near-)surely in."""
+    from duo_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10) for i in range(100)] + [(100, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k5 = [r.doc_id for r in weighted_sample(df, 5, "w").orderBy("_key").collect()]
+    k20 = [r.doc_id for r in weighted_sample(df, 20, "w").orderBy("_key").collect()]
+    assert k20[:5] == k5
+    assert 100 in k20  # weight 1e6x everyone else -> key ~1e-6x smaller
+    # deterministic across invocations
+    again = [r.doc_id for r in weighted_sample(df, 5, "w").orderBy("_key").collect()]
+    assert again == k5
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from duo_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 5)],
+        "doc_id long, w long",
+    )
+    got = {r.doc_id for r in weighted_sample(df, 10, "w").collect()}
+    assert got == {1, 5}

@@ -68,3 +68,26 @@ def test_bm25_topk_order_and_cut(spark, corpus_df):
 def test_bm25_ignores_non_matching_docs(spark, corpus_df):
     ids = {r.doc_id for r in search.bm25_scores(corpus_df, ["zzz"]).collect()}
     assert ids == set()
+
+
+def test_tfidf_top_terms_manual(spark):
+    """Pin tf*ln(N/df) and the (rounded score, term) ranking on a
+    3-doc corpus computed by hand."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = search.tfidf_top_terms(docs, top=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.score) for r in out}
+    ln = math.log
+    # doc 1: apple tf2 df1 -> 2*ln(3); banana tf1 df2 -> ln(1.5)
+    assert got[(1, 1)] == ("apple", round(2 * ln(3.0), 6))
+    assert got[(1, 2)] == ("banana", round(ln(1.5), 6))
+    # doc 3: cherry tf3 df2 -> 3*ln(1.5)=1.216 beats durian tf1 df1 -> ln(3)=1.099
+    assert got[(3, 1)] == ("cherry", round(3 * ln(1.5), 6))
+    assert got[(3, 2)] == ("durian", round(ln(3.0), 6))
+    assert all(r.rank <= 2 for r in out)
