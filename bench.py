@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "weighted_sample",
     "tfidf_top_terms",
+    "corpus_mixture",
 ]
 
 

@@ -539,6 +539,50 @@ def kmeans_fit(
 # ----------------------------------------------------- semantic dedup --
 
 
+def _within_cell_pairs(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold among rows sharing
+    a ``_cell``, one numpy matmul per cell via applyInPandas (Arrow
+    group transfer) — each cell's similarity matrix never leaves its
+    task. Row blocks of 1024 bound the in-flight S-block at
+    1024 x |cell| doubles for large cells. Emits only surviving id
+    pairs, so the output is answer-proportional.
+
+    Float note: numpy's pairwise-summation dot differs from a
+    sequential fold only at ~1e-15 relative — callers gate against
+    SQL oracles on data whose threshold margin is orders of magnitude
+    wider (asserted in tests/test_similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        v = np.array(pdf["_v"].to_list(), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        outs = []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            s = vn[lo:hi] @ vn.T
+            bi, bj = np.nonzero(s >= threshold)
+            gi = bi + lo
+            keep = gi < bj  # strict upper triangle, global positions
+            a, b = ids[gi[keep]], ids[bj[keep]]
+            outs.append((np.minimum(a, b), np.maximum(a, b)))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+            }
+        )
+
+    return assigned.groupBy("_cell").applyInPandas(pairs_of, "id_a long, id_b long")
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,
@@ -582,23 +626,12 @@ def semantic_dedup(
         F.col(vec_col).alias("_v"),
         "_cell",
     )
-    # the assignment feeds three branches (pair-left, pair-right, final
+    # the assignment feeds two branches (pair generation, final
     # labeling); checkpoint so the pandas-UDF matmul runs once. Same
     # retention trade-off as dedup.py's candidate table: the block
     # lives until the session drops it.
     assigned = assigned.localCheckpoint(eager=True)
-    left = assigned.select(
-        "_cell", F.col(id_col).alias("_a"), F.col("_v").alias("_va")
-    )
-    right = assigned.select(
-        "_cell", F.col(id_col).alias("_b"), F.col("_v").alias("_vb")
-    )
-    pairs = (
-        left.join(right, "_cell")
-        .filter(F.col("_a") < F.col("_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
-        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
-    )
+    pairs = _within_cell_pairs(assigned, float(threshold), id_col)
     from duo_spark.operators.graph import connected_components
 
     labels = connected_components(pairs, "id_a", "id_b").withColumnRenamed(

@@ -314,3 +314,56 @@ def top_ngrams(
         .orderBy(F.desc("count"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def corpus_mixture(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum corpus mixture report: the rollup a curation
+    pipeline reads before choosing sampling weights — document share,
+    exact-duplicate rate (distinct normalized-content hashes vs rows),
+    token mass, and the median document length of each stratum.
+
+    Output: (strata_col, n_docs, n_unique, dup_rate, doc_share,
+    total_tokens, p50_chars).
+
+    Scale: one hash aggregate keyed on (stratum, content-hash) feeding
+    a stratum rollup — both map-side combined; the grand total joins
+    back as a broadcast single row. The exact `percentile` is the gate
+    form; swap `percentile_approx` at 100 TB for bounded memory (same
+    plan shape). Stratum count is assumed small (sources/languages),
+    so the final table is dimension-sized.
+    """
+    from duo_spark.operators.dedup import normalize_text
+
+    base = df.select(
+        F.col(strata_col),
+        F.md5(normalize_text(text_col)).alias("_h"),
+        token_count(text_col).cast("long").alias("_tok"),
+        F.col(chars_col).cast("long").alias("_ch"),
+    )
+    per = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_h").alias("n_unique"),
+        F.sum("_tok").alias("total_tokens"),
+        F.expr("percentile(_ch, 0.5)").alias("p50_chars"),
+    )
+    total = df.select(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_unique",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
+            "total_tokens",
+            F.round("p50_chars", 4).alias("p50_chars"),
+        )
+    )

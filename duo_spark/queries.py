@@ -2217,6 +2217,40 @@ SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mixture report (operators/text.py
+    corpus_mixture): doc share, exact-dup rate, token mass, median doc
+    length — the rollup that drives sampling-weight decisions. Exact
+    `percentile` ↔ DuckDB `quantile_cont` (type-7 interpolation) keeps
+    the gate bit-comparable; percentile_approx is the documented
+    100 TB swap."""
+    docs = _docs(spark, sf_dir)
+    return text.corpus_mixture(docs, "source")
+
+
+SQL_CORPUS_MIXTURE = r"""
+WITH base AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+         n_chars
+  FROM documents),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         quantile_cont(n_chars, 0.5) AS p50_chars
+  FROM base GROUP BY source),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents)
+SELECT source, n_docs, n_unique,
+       round(1.0 - n_unique / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+       round(n_docs / t, 6) AS doc_share,
+       total_tokens,
+       round(p50_chars, 4) AS p50_chars
+FROM per CROSS JOIN tot
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2285,6 +2319,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -125,3 +125,26 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     got = [(r.ngram, r["count"]) for r in top_ngrams(docs, "text", n=2, k=10).collect()]
     # 'a b' x3 ('a b a b' holds two: 'a b','b a','a b'), then lexicographic
     assert got == [("a b", 3), ("b a", 1), ("b c", 1), ("z", 1)]
+
+
+def test_corpus_mixture_manual(spark):
+    from duo_spark.operators.text import corpus_mixture
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "Hello  world", 12),
+            (2, "a", "hello world", 11),   # dup of 1 after normalize
+            (3, "a", "three word doc", 14),
+            (4, "b", "solo", 4),
+        ],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    got = {r.source: r for r in corpus_mixture(docs, "source").collect()}
+    a = got["a"]
+    assert (a.n_docs, a.n_unique) == (3, 2)
+    assert a.dup_rate == round(1 - 2 / 3, 6)
+    assert a.doc_share == 0.75
+    assert a.total_tokens == 2 + 2 + 3
+    assert a.p50_chars == 12.0  # median of 12, 11, 14
+    b = got["b"]
+    assert (b.n_docs, b.n_unique, b.dup_rate, b.doc_share) == (1, 1, 0.0, 0.25)
