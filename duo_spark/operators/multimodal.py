@@ -123,3 +123,69 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.expr("percentile_approx(n_bytes, 0.5)").alias("p50_bytes"),
         F.expr("percentile_approx(n_bytes, 0.99)").alias("p99_bytes"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int | None = None,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """One-to-many media explode: split each payload into fixed-size
+    byte frames (video frame-sampling / audio windowing plumbing).
+
+    A real pipeline would decode frames with ffmpeg here
+    (``sample_video_frames`` is the stubbed codec hook); the byte
+    slicing below is the deterministic, library-free stand-in — the
+    Arrow batch shape, the fan-out schema, and the bounded
+    ``max_frames`` cap are the parts that carry over unchanged.
+    Per-frame checksum = sum of frame bytes (exact, oracle-replayable).
+
+    Scale: mapInPandas streams scan batches, each task emits only its
+    own rows (no shuffle); the payload is dropped at this boundary so
+    downstream aggregation never carries binary. ``max_frames`` bounds
+    the fan-out of a pathological payload.
+    """
+    import numpy as np
+
+    step = stride or frame_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            sums: list[int] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                arr = np.frombuffer(content, dtype=np.uint8)
+                n_frames = max(1, -(-len(arr) // step)) if len(arr) else 0
+                if max_frames is not None:
+                    n_frames = min(n_frames, max_frames)
+                for i in range(n_frames):
+                    fr = arr[i * step : i * step + frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    sums.append(int(fr.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(lens, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

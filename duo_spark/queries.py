@@ -2251,6 +2251,42 @@ FROM per CROSS JOIN tot
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators/multimodal.py sample_frames):
+    each document's utf-8 payload split into 64-byte frames (capped at
+    6) with exact per-frame checksums. The corpus is pure ASCII, so
+    DuckDB replays byte slicing as code-point slicing — the compare is
+    integer-exact."""
+    from duo_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video-blob").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return sample_frames(media, frame_bytes=64, max_frames=6)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substr(text, i, 1))) AS cs
+  FROM documents),
+frames AS (
+  SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+         cs[f.i * 64 + 1 : least(f.i * 64 + 64, n)] AS fr
+  FROM chars
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) f
+  WHERE f.i * 64 < n OR (f.i = 0 AND n > 0))
+SELECT doc_id AS media_id, frame_idx,
+       CAST(len(fr) AS BIGINT) AS frame_bytes,
+       CAST(list_sum(fr) AS BIGINT) AS checksum
+FROM frames
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2320,6 +2356,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

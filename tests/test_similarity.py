@@ -283,3 +283,26 @@ def test_semantic_dedup_pairs_only_within_cells(emb):
         mins[r.dup_group] = min(mins.get(r.dup_group, r.vec_id), r.vec_id)
     for g, m in mins.items():
         assert g == m
+
+
+def test_sample_frames_shapes_and_checksums(spark):
+    """Frame fan-out: exact slicing, cap, null-payload drop."""
+    from duo_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, "a", bytes(range(10))),          # 10 bytes -> frames [0..3],[4..7],[8..9]
+        (2, "a", None),                      # dropped
+        (3, "a", b""),                       # zero-length -> no frames
+        (4, "a", bytes(range(100))),         # capped at 2 frames
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {
+        (r.media_id, r.frame_idx): (r.frame_bytes, r.checksum)
+        for r in sample_frames(df, frame_bytes=4, max_frames=2).collect()
+    }
+    assert got[(1, 0)] == (4, 0 + 1 + 2 + 3)
+    assert got[(1, 1)] == (4, 4 + 5 + 6 + 7)
+    assert (1, 2) not in got  # cap
+    assert got[(4, 0)] == (4, 6)
+    assert got[(4, 1)] == (4, 22)
+    assert not any(m in (2, 3) for m, _ in got)
