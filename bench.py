@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "tfidf_top_terms",
     "corpus_mixture",
+    "chunk_documents",
+    "rolling_features",
 ]
 
 

@@ -367,3 +367,46 @@ def corpus_mixture(
             F.round("p50_chars", 4).alias("p50_chars"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-packing primitive
+    that turns long documents into training-window-sized pieces.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span up to
+    ``chunk_tokens``; the final chunk may be shorter (it is emitted as
+    long as its start lies inside the document). Empty/whitespace-only
+    documents yield one empty chunk, keeping every input row
+    represented.
+
+    Output: (id_col, chunk_idx, n_tokens, chunk_text).
+
+    Scale: pure Column algebra (split → sequence → transform → explode)
+    — whole-stage codegen, no shuffle, no UDF; output is
+    token-proportional with the ~overlap/chunk_tokens duplication
+    factor every sliding-window chunker pays.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil(n.cast("double") / step).cast("int"), F.lit(1))
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("_tok"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter((F.col("chunk_idx") * step < F.size("_tok")) | (F.col("chunk_idx") == 0))
+    piece = F.slice(F.col("_tok"), F.col("chunk_idx") * step + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -2287,6 +2287,73 @@ FROM frames
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/text.py chunk_documents):
+    32-token windows every 24 tokens (8-token overlap) — the
+    context-packing primitive. Pure Column algebra; the oracle replays
+    the start/span arithmetic with 1-based list slices."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         greatest(CAST(ceil(len(w) / 24.0) AS INT), 1) AS nc
+  FROM docs),
+e AS (
+  SELECT doc_id, w, CAST(f.i AS INT) AS chunk_idx
+  FROM c CROSS JOIN (SELECT unnest(range(0, 32)) AS i) f
+  WHERE f.i < nc AND (f.i * 24 < len(w) OR f.i = 0))
+SELECT doc_id, chunk_idx,
+       CAST(len(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INT) AS n_tokens,
+       array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+FROM e
+"""
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 72 h per-user event features (operators/features.py
+    rolling_window_features): leakage-free rolling count/sum/mean at
+    every event time. value is scaled to exact integer cents BEFORE
+    the window sum, so both engines aggregate integers and the compare
+    has no float-association hazard."""
+    from duo_spark.operators.features import rolling_window_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _ts_us().alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_window_features(
+        ev, "user_id", "t_us", "cents", window_us=72 * 3_600_000_000
+    )
+    return out.select(
+        "user_id",
+        "t_us",
+        "n_win",
+        F.col("sum_win").cast("long").alias("sum_cents"),
+        F.round("avg_win", 6).alias("avg_cents"),
+    )
+
+
+SQL_ROLLING_FEATURES = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, t_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents,
+       round(avg(CAST(cents AS DOUBLE)) OVER w, 6) AS avg_cents
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2357,6 +2424,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

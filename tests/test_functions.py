@@ -148,3 +148,47 @@ def test_corpus_mixture_manual(spark):
     assert a.p50_chars == 12.0  # median of 12, 11, 14
     b = got["b"]
     assert (b.n_docs, b.n_unique, b.dup_rate, b.doc_share) == (1, 1, 0.0, 0.25)
+
+
+def test_chunk_documents_boundaries(spark):
+    from duo_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: step 3 -> starts 0,3,6,9 (ceil(10/3)=4 chunks)
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert got[(1, 3)] == (1, "t9")
+    assert got[(2, 0)] == (3, "only three tokens")
+    assert (2, 1) not in got
+    # empty doc -> one chunk holding the single empty token
+    assert got[(3, 0)][0] == 1
+
+
+def test_rolling_features_two_pointer_semantics(spark):
+    from duo_spark.operators.features import rolling_window_features
+
+    ev = spark.createDataFrame(
+        [(1, 0, 10), (1, 50, 20), (1, 100, 30), (1, 161, 40), (2, 0, 5)],
+        "user_id long, t_us long, v long",
+    )
+    got = {
+        (r.user_id, r.t_us): (r.n_win, r.sum_win)
+        for r in rolling_window_features(ev, "user_id", "t_us", "v", window_us=100).collect()
+    }
+    assert got[(1, 0)] == (1, 10.0)
+    assert got[(1, 50)] == (2, 30.0)
+    assert got[(1, 100)] == (3, 60.0)   # [0,100] inclusive both ends
+    assert got[(1, 161)] == (2, 70.0)   # [61,161] holds only t=100 and t=161
+    assert got[(2, 0)] == (1, 5.0)
