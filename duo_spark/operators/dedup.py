@@ -190,8 +190,11 @@ def _banded_set_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
+                    # hash the band slice ARRAY directly — xxhash64
+                    # folds array elements natively, skipping the
+                    # per-band string materialization concat_ws paid
                     F.xxhash64(
-                        F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band)),
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
                     ).alias("bucket"),
                 ),
             )
