@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "corpus_mixture",
     "chunk_documents",
     "rolling_features",
+    "gopher_rules",
 ]
 
 

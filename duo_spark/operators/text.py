@@ -410,3 +410,57 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_stopword_ratio: float = 0.06,
+    max_punct_ratio: float = 0.25,
+    max_repetition_ratio: float = 0.2,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021, Table A1 family): each rule is
+    an explicit boolean flag so curation can audit WHY a document was
+    dropped, plus the conjunction ``keep``.
+
+    Output: (id_col, too_short, too_long, bad_token_len, low_stopword,
+    high_punct, too_repetitive, keep).
+
+    Scale: the counter rules are scan-side projections; the repetition
+    rule joins the (doc, gram)-aggregated repetition_ratio back on the
+    id — one shuffle join, AQE-broadcast when the corpus slice is
+    small. All ratio comparisons are IEEE-deterministic (same integer
+    inputs → same double division in any engine).
+    """
+    feats = quality_features(df.select(F.col(id_col), F.col(text_col)), text_col)
+    rep = repetition_ratio(df, id_col, text_col, n=ngram_n).select(
+        id_col, "repetition_ratio"
+    )
+    out = feats.join(rep, id_col).select(
+        id_col,
+        (F.col("n_tokens") < min_tokens).alias("too_short"),
+        (F.col("n_tokens") > max_tokens).alias("too_long"),
+        (
+            (F.col("mean_token_len") < min_mean_token_len)
+            | (F.col("mean_token_len") > max_mean_token_len)
+        ).alias("bad_token_len"),
+        (F.col("stopword_ratio") < min_stopword_ratio).alias("low_stopword"),
+        (F.col("punct_ratio") > max_punct_ratio).alias("high_punct"),
+        (F.col("repetition_ratio") > max_repetition_ratio).alias("too_repetitive"),
+    )
+    keep = ~(
+        F.col("too_short")
+        | F.col("too_long")
+        | F.col("bad_token_len")
+        | F.col("low_stopword")
+        | F.col("high_punct")
+        | F.col("too_repetitive")
+    )
+    return out.withColumn("keep", keep)

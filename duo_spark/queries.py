@@ -2354,6 +2354,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality flags (operators/text.py
+    gopher_rules): auditable boolean reasons plus the keep
+    conjunction. All thresholds compare IEEE-deterministic ratios, so
+    the boolean gate is engine-exact."""
+    docs = _docs(spark, sf_dir)
+    return text.gopher_rules(docs)
+
+
+SQL_GOPHER_RULES = r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(trim(text), '\s+') AS tok,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         CAST(len(list_filter(tok, t -> list_contains(
+             ['the','a','an','or','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+           / greatest(len(tok), 1) AS stopword_ratio,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+           / greatest(len(tok), 1) AS mean_token_len,
+         CASE WHEN len(tok) >= 3
+              THEN list_transform(range(1, len(tok)-1),
+                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+              ELSE [array_to_string(tok, ' ')] END AS grams
+  FROM toks),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS repetition_ratio
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS g FROM feats)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id),
+flags AS (
+  SELECT f.doc_id,
+         f.n_tokens < 50 AS too_short,
+         f.n_tokens > 100000 AS too_long,
+         f.mean_token_len < 3.0 OR f.mean_token_len > 10.0 AS bad_token_len,
+         f.stopword_ratio < 0.06 AS low_stopword,
+         f.punct_ratio > 0.25 AS high_punct,
+         r.repetition_ratio > 0.2 AS too_repetitive
+  FROM feats f JOIN rep r USING (doc_id))
+SELECT doc_id, too_short, too_long, bad_token_len, low_stopword,
+       high_punct, too_repetitive,
+       NOT (too_short OR too_long OR bad_token_len OR low_stopword
+            OR high_punct OR too_repetitive) AS keep
+FROM flags
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2426,6 +2478,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

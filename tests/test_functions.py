@@ -192,3 +192,23 @@ def test_rolling_features_two_pointer_semantics(spark):
     assert got[(1, 100)] == (3, 60.0)   # [0,100] inclusive both ends
     assert got[(1, 161)] == (2, 70.0)   # [61,161] holds only t=100 and t=161
     assert got[(2, 0)] == (1, 5.0)
+
+
+def test_gopher_rules_flags(spark):
+    from duo_spark.operators.text import gopher_rules
+
+    fluent = "the quick brown fox jumps over a lazy dog and it runs to the hills " * 5
+    repetitive = "spam ham spam ham " * 30
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, repetitive), (3, short)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs, min_tokens=20).collect()}
+    assert got[1].keep
+    assert not any(
+        [got[1].too_short, got[1].too_long, got[1].bad_token_len,
+         got[1].low_stopword, got[1].high_punct, got[1].too_repetitive]
+    )
+    assert got[2].too_repetitive and got[2].low_stopword and not got[2].keep
+    assert got[3].too_short and not got[3].keep
