@@ -2406,6 +2406,72 @@ FROM flags
 """
 
 
+def q_streaming_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window features (streaming/features.py)
+    through the REAL Structured Streaming path: events staged as two
+    file-drops (odd/even event ids, so most (user, window) states
+    span both micro-batches), drained availableNow in complete mode.
+    The oracle replays Spark's epoch-aligned hopping windows with
+    integer bucket arithmetic; values are pre-scaled to exact cents."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.features import streaming_hopping_features
+    from duo_spark.streaming.pipeline import _scratch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    run = _scratch("sfeat", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    feats = streaming_hopping_features(
+        stream, "user_id", "ts", "cents", window="72 hours", slide="24 hours"
+    )
+    name = f"sfeat_{_uuid.uuid4().hex[:8]}"
+    q = (
+        feats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        F.unix_micros("w_start").alias("w_start_us"),
+        F.unix_micros("w_end").alias("w_end_us"),
+        "n_win",
+        F.col("sum_win").cast("long").alias("sum_cents"),
+    )
+
+
+SQL_STREAMING_FEATURES = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT user_id,
+         (t // 86400000000 - k.i) * 86400000000 AS w_start_us,
+         cents
+  FROM ev CROSS JOIN (SELECT unnest(range(0, 3)) AS i) k)
+SELECT user_id, w_start_us, w_start_us + 259200000000 AS w_end_us,
+       CAST(count(*) AS BIGINT) AS n_win,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY user_id, w_start_us
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2469,6 +2535,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),

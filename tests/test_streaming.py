@@ -321,3 +321,44 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, scratch):
     q.awaitTermination()
     got = {r.doc_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {1, 2, 4}
+
+
+def test_streaming_hopping_features_cover_trailing_batch(spark, tmp_path):
+    """Each event's batch trailing-72h aggregate must be bounded by its
+    best hopping window (hopping is the streaming approximation; the
+    window containing the event that starts latest covers at most the
+    trailing window), and exact totals agree: sum over events == sum
+    over slide-disjoint contributions (each event in exactly 3
+    hopping windows)."""
+    from duo_spark.streaming.features import streaming_hopping_features
+
+    rows = [
+        (i, 1, f"2024-01-0{1 + i % 5} 0{i % 9}:00:00", 100 + i) for i in range(20)
+    ]
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, cents long"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "cents")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, cents long")
+        .parquet(src)
+    )
+    feats = streaming_hopping_features(stream, "user_id", "ts", "cents")
+    name = "sfeat_unit"
+    q = (
+        feats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    # every event in exactly window/slide=3 windows -> triple counting
+    assert sum(r.n_win for r in out) == 3 * 20
+    assert sum(r.sum_win for r in out) == 3 * sum(100 + i for i in range(20))
+    # epoch-aligned starts at 24h multiples
+    for r in out:
+        assert int(r.w_start.timestamp()) % 86400 == 0
