@@ -646,3 +646,62 @@ def semantic_dedup(
         )
         .withColumn("is_canonical", F.col("dup_group") == F.col(id_col))
     )
+
+
+# ------------------------------------------------------- IVF index --
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF index: Hive-partitioned parquet
+    keyed by nearest-centroid cell. This is the materialized half of
+    the ANN scale story — with the table laid out by cell, a search
+    touches only nprobe/n_cells of the files (Catalyst partition
+    pruning; asserted in tests/test_similarity.py).
+
+    One assignment pass (Arrow matmul) + one partitioned write whose
+    shuffle is the partitionBy repartition — files per cell stay
+    bounded by the writer's task count.
+    """
+    assigned = ivf_assign(df, centroids, vec_col)
+    (
+        assigned.repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN over a persisted IVF index (see build_ivf_index): the probed
+    cell set is computed driver-side (bounded: |queries| x nprobe ints)
+    and applied as a STATIC partition filter, so the parquet scan reads
+    only the probed cells' directories — no full-table pass exists in
+    the plan. Results are identical to the self-contained ivf_search
+    on the same centroids (pytest-pinned).
+    """
+    probed = ivf_probe_cells(queries, centroids, nprobe, query_vec_col)
+    cells = sorted({r["_cell"] for r in probed.select("_cell").distinct().collect()})
+    indexed = spark.read.parquet(path).filter(F.col("_cell").isin(cells))
+    scored = indexed.join(F.broadcast(probed), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    return _topk_two_phase(scored, k, id_col, query_id_col)

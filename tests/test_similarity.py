@@ -306,3 +306,41 @@ def test_sample_frames_shapes_and_checksums(spark):
     assert got[(4, 0)] == (4, 6)
     assert got[(4, 1)] == (4, 22)
     assert not any(m in (2, 3) for m, _ in got)
+
+
+def test_ivf_index_prunes_partitions_and_matches_inline_search(spark, emb, tmp_path):
+    """build_ivf_index + ivf_search_indexed: the persisted-index search
+    must (a) read ONLY the probed cells' partition directories and
+    (b) return exactly what the self-contained ivf_search computes on
+    the same centroids."""
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probed = similarity.ivf_probe_cells(queries, cents, nprobe=1)
+    probe_cells = {r["_cell"] for r in probed.select("_cell").distinct().collect()}
+    assert len(probe_cells) < 4  # the test is vacuous if nothing prunes
+
+    indexed = similarity.ivf_search_indexed(
+        spark, path, queries, cents, k=5, nprobe=1
+    )
+    got = {(r.query_id, r.rank): (r.vec_id, round(r.cosine, 9)) for r in indexed.collect()}
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+        for r in similarity.ivf_search(emb, queries, cents, k=5, nprobe=1).collect()
+    }
+    assert got == want
+
+    # files actually read = only probed-cell directories
+    scan = spark.read.parquet(path).filter(
+        F.col("_cell").isin(sorted(probe_cells))
+    )
+    read_files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert read_files, "scan read no files"
+    for f in read_files:
+        assert any(f"_cell={c}" in f for c in probe_cells), f
