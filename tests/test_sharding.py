@@ -65,3 +65,38 @@ def test_pack_token_shards_budget(spark):
 def test_pack_empty(spark):
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_token_shards(df, 100).count() == 0
+
+
+def test_salted_join_matches_plain_join_and_balances(spark):
+    """salted_join must be row-identical to the plain join on a
+    pathologically skewed key (one key = 90% of rows), while the
+    salted shuffle key spreads the hot key across all salt buckets."""
+    from duo_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(0 if i < 1800 else i % 10, i) for i in range(2000)], "k int, payload long"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(10)], "k int, name string")
+    plain = sorted((r.k, r.payload, r.name) for r in big.join(small, "k").collect())
+    salted = sorted((r.k, r.payload, r.name) for r in salted_join(big, small, "k", salt=8).collect())
+    assert salted == plain
+    # the hot key's rows occupy every salt bucket (fanning really happens)
+    from pyspark.sql import functions as F
+    buckets = (
+        big.withColumn("_salt", (F.rand(42) * 8).cast("int"))
+        .filter(F.col("k") == 0)
+        .groupBy("_salt").count().collect()
+    )
+    assert len(buckets) == 8
+    assert max(r["count"] for r in buckets) < 1800 * 0.35  # no bucket re-concentrates
+
+    # left join keeps unmatched big rows exactly once
+    small_missing = small.filter(F.col("k") < 5)
+    left_plain = sorted(
+        (r.k, r.payload, r.name) for r in big.join(small_missing, "k", "left").collect()
+    )
+    left_salted = sorted(
+        (r.k, r.payload, r.name)
+        for r in salted_join(big, small_missing, "k", salt=4, how="left").collect()
+    )
+    assert left_salted == left_plain
