@@ -1,0 +1,108 @@
+"""Physical-plan quality gates: the 100 TB design claims as asserts.
+
+Each test pins the plan SHAPE Catalyst must produce — broadcasts on
+dimension joins, filters pushed into scans, top-k as
+TakeOrderedAndProject (per-partition heaps), two-phase aggregation,
+and the absence of the classic scale killers (cartesian products,
+single-partition global Window sorts) in the headline operators.
+A regression here is a silent 100x at scale even while results stay
+correct, which is exactly why it gets its own suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duo_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_process_enrich_broadcasts_dimension(spark, sf):
+    plan = _plan(QUERIES["process_enrich"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_logs_search_pushes_filters_into_scan(spark, sf):
+    plan = _plan(QUERIES["logs_search"][0](spark, sf))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1][:300]
+    # the log view derives process_id from a computed column, so the
+    # pushable predicates are the time gate + value filter
+    assert "IsNotNull" in pushed and ("ts" in pushed or "value" in pushed)
+
+
+def test_ann_cosine_is_take_ordered(spark, sf):
+    plan = _plan(QUERIES["ann_cosine"][0](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_batch_has_no_global_window_sort(spark, sf):
+    plan = _plan(QUERIES["topk_batch"][0](spark, sf))
+    # two-phase partial/final top-k: no Window operator, no global Sort
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_span_merge_aggregates_partially(spark, sf):
+    plan = _plan(QUERIES["span_merge"][0](spark, sf))
+    # partial + final aggregation around one exchange: map-side combine
+    # (string min/max plans as SortAggregate; the partial_ phase is
+    # what bounds the shuffle at O(distinct ids))
+    assert "partial_min" in plan and plan.count("Aggregate(") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_field_stats_is_partial_top_k(spark, sf):
+    plan = _plan(QUERIES["field_stats_trace"][0](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark, sf):
+    plan = _plan(QUERIES["bm25"][0](spark, sf))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_never_shuffles_corpus_for_candidates(spark, sf):
+    plan = _plan(QUERIES["decontam"][0](spark, sf))
+    assert "BroadcastExchange" in plan  # probe index broadcast
+
+
+def test_no_headline_query_plans_a_cartesian(spark, sf):
+    """The bench headline must never contain a cartesian product —
+    the one operator shape with no 100 TB story at all. (The stats
+    cross joins are single-row broadcasts, which plan as
+    BroadcastNestedLoopJoin over one row, not CartesianProduct.)"""
+    from bench import BENCH_QUERIES
+
+    offenders = []
+    for name in BENCH_QUERIES:
+        if name.startswith(("streaming_", "multimodal_")):
+            continue
+        try:
+            if "CartesianProduct" in _plan(QUERIES[name][0](spark, sf)):
+                offenders.append(name)
+        except Exception as e:  # noqa: BLE001 — surface as failure, not error
+            offenders.append(f"{name} (plan failed: {e})")
+    assert offenders == []
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf):
+    plan = _plan(QUERIES["chunk_documents"][0](spark, sf))
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_weighted_sample_is_scan_plus_topk(spark, sf):
+    plan = _plan(QUERIES["weighted_sample"][0](spark, sf))
+    assert "TakeOrderedAndProject" in plan
