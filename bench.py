@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "orders_with_returns",
     "topk_orders_per_customer",
     "events_daily",
+    "events_props_rollup",
     "dedup_exact",
     "minhash_lsh",
     "ngram_jaccard_strong",

@@ -2472,6 +2472,41 @@ FROM b GROUP BY user_id, w_start_us
 """
 
 
+def q_events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    events table's JSON ``props`` column (get_json_object — the same
+    engine surface that serves duo's dynamic log fields and span tags)
+    and roll it up per event type. The JSON parse is scan-side and
+    codegen'd; at 100 TB prefer from_json with an explicit schema once
+    the shape is known (identical plan placement)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_ROLLUP = """
+WITH ev AS (
+  SELECT event_type, CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ev GROUP BY event_type
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2506,6 +2541,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     # north-star
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
