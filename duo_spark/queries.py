@@ -1529,6 +1529,60 @@ FROM logs GROUP BY process_id, level
 """
 
 
+#: retention cutoff: mid-minute (…T00:00:30Z) so the boundary minute
+#: partition is only PARTIALLY aged and must survive with all its rows
+RETENTION_CUTOFF_US = 1_705_276_830_000_000  # 2024-01-15T00:00:30Z
+
+
+def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention end-to-end (PartitionedStore.expire): logs written
+    minute-grained, every fully-aged minute directory dropped via FS
+    metadata deletes, survivors read back. The oracle replays the
+    partition-granular cutoff arithmetically — a row survives iff its
+    minute's END lies after the cutoff, so the boundary minute keeps
+    its older-than-cutoff rows (the documented semantics)."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch
+
+    day_us = 86_400_000_000
+    # a 4-day slice around the cutoff: two fully-aged days (whole-date
+    # deletes), the boundary day (minute-level deletes + the partially
+    # aged survivor minute), one fully-live day — full semantics
+    # coverage without materializing a month of minute directories
+    lo = RETENTION_CUTOFF_US - 2 * day_us
+    hi = RETENTION_CUTOFF_US + day_us
+    logs = events_as_logs(spark, sf_dir).filter(
+        (F.col("time") >= lo) & (F.col("time") < hi)
+    )
+    store = PartitionedStore(
+        spark, _scratch("gate-retention", _uuid.uuid4().hex), granularity="minute"
+    )
+    store.write(logs, "log", time_col="time")
+    store.expire("log", RETENTION_CUTOFF_US)
+    return store.read("log").groupBy("level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    )
+
+
+SQL_STORE_RETENTION = f"""
+WITH {LOGS_CTE},
+win AS (
+  SELECT * FROM logs
+  WHERE "time" >= {RETENTION_CUTOFF_US - 2 * 86_400_000_000}
+    AND "time" < {RETENTION_CUTOFF_US + 86_400_000_000}),
+kept AS (
+  SELECT * FROM win
+  WHERE ("time" // 60000000) * 60000000 + 60000000 > {RETENTION_CUTOFF_US})
+SELECT level, CAST(count(*) AS BIGINT) AS n,
+       MIN("time") AS min_time, MAX("time") AS max_time
+FROM kept GROUP BY level
+"""
+
+
 #: prefix-pruned range endpoints: deliberately mid-hour / mid-minute so
 #: the enumerator's floor/ceil edges AND the residual µs filter both bite
 PRUNE_START_US = T_2024_01_05 + (3 * 3600 + 27 * 60) * 1_000_000 + 500_000
@@ -2532,6 +2586,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
     "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
     "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
     # analytics
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

@@ -212,6 +212,84 @@ class PartitionedStore:
             stream.close()
         return json.loads(bytes(data).decode("utf-8"))
 
+    # ------------------------------------------------------ retention --
+    def expire(self, table: str, before_us: int) -> list[str]:
+        """Retention: drop every partition directory whose time range
+        lies ENTIRELY before ``before_us``. Pure filesystem metadata
+        deletes — no data is read or rewritten, and the walk prunes:
+        a fully-expired date directory is removed without descending
+        into its hours/minutes. Rows older than the cutoff inside the
+        boundary (partially-expired) directory are retained — standard
+        partition-granular retention; run compact/rewrite if exact
+        row-level trimming is ever needed.
+
+        Returns the deleted partition prefixes (relative to the table
+        root). The reference has no retention story (duo keeps minute
+        partitions forever); this is the operational half every
+        observability store needs at 100 TB — without it the listing
+        itself becomes the bottleneck.
+        """
+        from datetime import datetime, timedelta, timezone
+
+        root = self.table_path(table)
+        fs, rootp = self._fs(root)
+        if not fs.exists(rootp):
+            return []
+        jPath = self.spark._jvm.org.apache.hadoop.fs.Path
+        deleted: list[str] = []
+
+        def span_end_us(date_s: str, hour_s: str | None, minute_s: str | None) -> int:
+            base = datetime.strptime(date_s, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+            if hour_s is None:
+                delta = timedelta(days=1)
+            elif minute_s is None:
+                base += timedelta(hours=int(hour_s))
+                delta = timedelta(hours=1)
+            else:
+                base += timedelta(hours=int(hour_s), minutes=int(minute_s))
+                delta = timedelta(minutes=1)
+            end = base + delta
+            return int(end.timestamp() * 1_000_000)
+
+        def walk(parent, date_s=None, hour_s=None):
+            for st in fs.listStatus(parent):
+                name = st.getPath().getName()
+                if "=" not in name:
+                    continue
+                val = name.split("=", 1)[1]
+                if date_s is None:
+                    d, h, m = val, None, None
+                elif hour_s is None:
+                    d, h, m = date_s, val, None
+                else:
+                    d, h, m = date_s, hour_s, val
+                if span_end_us(d, h, m) <= before_us:
+                    fs.delete(st.getPath(), True)
+                    deleted.append(
+                        "/".join(
+                            x
+                            for x in (
+                                f"date={d}",
+                                f"hour={h}" if h is not None else None,
+                                f"minute={m}" if m is not None else None,
+                            )
+                            if x
+                        )
+                    )
+                elif st.isDirectory() and (
+                    (date_s is None and self.granularity != "date")
+                    or (date_s is not None and hour_s is None and self.granularity == "minute")
+                ):
+                    # boundary directory: descend one level, then prune
+                    # it if expiring its children emptied it (so stale
+                    # empty date=/hour= shells never accumulate)
+                    walk(st.getPath(), d, h)
+                    if len(fs.listStatus(st.getPath())) == 0:
+                        fs.delete(st.getPath(), False)
+
+        walk(rootp)
+        return deleted
+
     # ----------------------------------------------------- compaction --
 
     def compact(self, table: str, to_granularity: str = "hour") -> None:

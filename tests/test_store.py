@@ -259,3 +259,39 @@ def test_write_time_sorted_within_files(spark, store):
         assert starts == sorted(starts), path
         checked += len(starts)
     assert checked == 50
+
+
+def test_expire_drops_only_fully_aged_partitions(spark, store):
+    """Retention: directories entirely before the cutoff vanish, the
+    boundary minute keeps all its rows (partition-granular semantics),
+    and the surviving data is exactly the tail."""
+    store.write(_spans(spark), "span", time_col="start")
+    # cutoff inside minute #10's span: minutes 1..9 fully expired
+    cutoff = BASE + 10 * US_PER_MIN + 30_000_000
+    deleted = store.expire("span", cutoff)
+    assert deleted, "nothing expired"
+    assert all(d.startswith("date=") and "minute=" in d for d in deleted)
+    got = sorted(r.id for r in store.read("span").collect())
+    # span i lives at minute i; minute 10 starts exactly at BASE+10min,
+    # which is < cutoff but its minute is only partially aged -> kept
+    assert got == list(range(10, 51))
+    # idempotent + advancing cutoff clears more
+    assert store.expire("span", cutoff) == []
+    store.expire("span", BASE + 51 * US_PER_MIN)
+    assert not store.exists("span") or store.read("span").count() == 0
+
+
+def test_expire_prunes_whole_date_dirs_without_descending(spark, tmp_path):
+    """A fully-aged date directory is removed at date level (one
+    delete), not minute by minute."""
+    st = PartitionedStore(spark, str(tmp_path / "s2"), granularity="minute")
+    day_us = 86_400_000_000
+    early = _spans(spark, 5)
+    st.write(early, "span", time_col="start")
+    late = early.withColumn("start", F.col("start") + F.lit(3 * day_us)).withColumn(
+        "end", F.col("end") + F.lit(3 * day_us)
+    )
+    st.write(late, "span", time_col="start")
+    deleted = st.expire("span", BASE + 2 * day_us)
+    assert deleted == ["date=2023-11-14"]  # one whole-day delete
+    assert st.read("span").count() == 5
