@@ -212,3 +212,40 @@ def test_gopher_rules_flags(spark):
     )
     assert got[2].too_repetitive and got[2].low_stopword and not got[2].keep
     assert got[3].too_short and not got[3].keep
+
+
+def test_chunk_documents_reconstruction_invariant(spark):
+    """For ANY document, dropping each non-first chunk's first
+    ``overlap`` tokens and concatenating in chunk order must
+    reconstruct the original token sequence exactly — the lossless
+    property context-packing relies on."""
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 57))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from duo_spark.operators.text import chunk_documents
+
+    chunk_tokens, overlap = 16, 4
+    step = chunk_tokens - overlap
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        orig = text.split() if text.strip() else [""]
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        rebuilt: list[str] = []
+        for r in rows:
+            toks = r.chunk_text.split(" ") if r.chunk_text != "" else [""]
+            assert len(toks) == r.n_tokens, (doc_id, r.chunk_idx)
+            rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
+        # the trailing chunk may be shorter than overlap only when it
+        # is the document tail; reconstruction must still be exact
+        assert rebuilt == orig, (doc_id, len(rebuilt), len(orig))
+        # chunk starts advance by step
+        for k, r in enumerate(rows):
+            assert r.chunk_idx == k
