@@ -99,7 +99,9 @@ def weighted_sample(
     Scale: pure scan-side arithmetic plus one TakeOrderedAndProject —
     per-partition k-row heaps, no shuffle of the data itself, no
     driver state. Rows with weight <= 0 or null are excluded (their
-    exponential never fires).
+    exponential never fires), and so are null ids — a null id would
+    hash to a null key, which Spark's ascending sort would otherwise
+    place FIRST (nulls-first default) and silently crowd the sample.
     """
     idc = F.col(id_col)
     w = F.col(weight_col).cast("double")
@@ -114,6 +116,7 @@ def weighted_sample(
     key = -F.log(u) / w
     return (
         df.filter(w > 0)
+        .filter(idc.isNotNull())
         .withColumn("_key", key)
         .orderBy(F.asc("_key"), F.asc(id_col))
         .limit(k)

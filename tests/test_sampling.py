@@ -77,3 +77,15 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r.doc_id for r in weighted_sample(df, 10, "w").collect()}
     assert got == {1, 5}
+
+
+def test_weighted_sample_excludes_null_ids(spark):
+    """A null id hashes to a null key, which Spark's ascending sort
+    would place FIRST — the row must be excluded, not sampled."""
+    from duo_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(None, 1000), (1, 5), (2, 5)], "doc_id long, w long"
+    )
+    got = {r.doc_id for r in weighted_sample(df, 2, "w").collect()}
+    assert got == {1, 2}
