@@ -393,3 +393,32 @@ class HotColdTable:
         if cold is not None:
             return cold.drop(*PARTITION_COLS)
         raise ValueError(f"table {self.table!r} has neither hot nor cold data")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sorted_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed table (hash-bucketed by ``key``
+    into ``buckets`` files per partition, catalog-registered).
+
+    Bucketing is the co-located-join primitive: two tables bucketed by
+    the same key into the same bucket count join WITHOUT a shuffle —
+    Catalyst reads matching buckets side by side (plan shows
+    SortMergeJoin over two bucketed scans, no Exchange; asserted in
+    tests/test_store.py). At 100 TB this turns every recurring join on
+    a stable key (doc_id, vec_id, trace_id) from a full-data shuffle
+    into a scan, amortizing ONE bucketing write across every
+    subsequent join, aggregation, and dedup keyed on it.
+
+    Spark requires bucketed data to go through the catalog
+    (saveAsTable) — a plain parquet path write silently drops bucket
+    metadata.
+    """
+    w = df.write.bucketBy(buckets, key)
+    if sorted_by is not None:
+        w = w.sortBy(sorted_by)
+    w.mode("overwrite").format("parquet").saveAsTable(table)

@@ -295,3 +295,30 @@ def test_expire_prunes_whole_date_dirs_without_descending(spark, tmp_path):
     deleted = st.expire("span", BASE + 2 * day_us)
     assert deleted == ["date=2023-11-14"]  # one whole-day delete
     assert st.read("span").count() == 5
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key with the
+    same bucket count must join with NO shuffle exchange in the plan,
+    and results must equal the plain join."""
+    from duo_spark.sources.store import write_bucketed
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    )
+    scores = spark.range(0, 1000, 2).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("score")
+    )
+    write_bucketed(docs, "b_docs", "doc_id", buckets=8)
+    write_bucketed(scores, "b_scores", "doc_id", buckets=8)
+    try:
+        j = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        core = plan.replace("BroadcastExchange", "")
+        assert "Exchange" not in core, plan[:800]
+        got = sorted((r.doc_id, r.grp, r.score) for r in j.collect())
+        want = sorted((r.doc_id, r.grp, r.score) for r in docs.join(scores, "doc_id").collect())
+        assert got == want and len(got) == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
