@@ -344,3 +344,17 @@ def test_ivf_index_prunes_partitions_and_matches_inline_search(spark, emb, tmp_p
     assert read_files, "scan read no files"
     for f in read_files:
         assert any(f"_cell={c}" in f for c in probe_cells), f
+
+
+def test_semantic_dedup_threshold_margin_dominates_float_noise(emb):
+    """The gate data's closest cosine to the 0.4 threshold must sit
+    orders of magnitude above pairwise-vs-sequential summation noise
+    (~1e-15 relative) — the precondition for swapping the matmul pair
+    kernel in without oracle risk (see _within_cell_pairs)."""
+    import numpy as np
+
+    rows = emb.select("embedding").collect()
+    v = np.array([r[0] for r in rows], dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    s = (vn @ vn.T)[np.triu_indices(len(rows), 1)]
+    assert np.abs(s - 0.4).min() > 1e-7
