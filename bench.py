@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "rolling_features",
     "gopher_rules",
+    "service_deps",
+    "trace_waterfall",
+    "substring_dedup",
 ]
 
 

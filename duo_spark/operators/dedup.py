@@ -654,3 +654,137 @@ def near_dup_clusters(
         )
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
+
+
+# ---------------------------------------------------------------------
+# substring-level (window) duplication — the exact-substring family of
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499): find maximal token spans that appear
+# verbatim in more than one document, rather than flagging whole
+# documents. Beyond the reference's surface (north-star operator).
+# ---------------------------------------------------------------------
+
+
+def _ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text — identical to DuckDB's
+    ``string_split_regex(trim(text), '\\s+')`` so window hashes agree
+    across engines."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def duplicated_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    window_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """(id, pos) of every ``window``-token sliding window whose token
+    sequence also occurs in at least one OTHER document.
+
+    The window inventory is built in ONE projection — no join: the
+    token array is sliced by a ``transform`` over ``sequence(0,
+    n_tokens - window)`` and each slice hashed JVM-side (``window_hash``
+    — xxhash64 by default; :func:`md5_word_hash` over the joined slice
+    for the cross-engine oracle gate). Cross-document duplication is
+    decided by a (hash → distinct-doc count) aggregate and a semi-join
+    of the windows against the duplicated-hash set: both shuffles are
+    hash-partitioned on the window hash, so the exchange is reused
+    between the aggregate and the join.
+
+    Scale: rows explode ×(tokens-window+1) but carry only (id, pos,
+    hash) — 24 bytes — not text; the duplicated-hash set is usually a
+    small fraction and AQE broadcasts it when it fits.
+    """
+    toks = _ws_tokens(text_col)
+    n = F.size(toks)
+    idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: window_hash(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    wins = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.posexplode(hashes).alias("pos", "_h")
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_h")
+    )
+    return wins.join(dup, "_h", "left_semi").select(
+        F.col("_id").alias(id_col), "pos"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    window_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: one row per
+    (document, span), ``span_start``/``span_end`` inclusive 0-based
+    token positions, built by merging overlapping/adjacent duplicated
+    windows (gaps-and-islands: a window starting at p covers
+    [p, p+window-1], so windows chain while the next start is within
+    ``window`` of the previous).
+
+    Scale: the island merge is a per-document window function —
+    partitioned by document id, never a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    dw = duplicated_windows(df, id_col, text_col, window, window_hash)
+    w = W.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    brk = F.when(lagp.isNull() | (F.col("pos") > lagp + window), 1).otherwise(0)
+    run = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dw.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(run))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    window_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Per-document duplicated-substring report: (id, n_tokens,
+    dup_spans, dup_tokens, dup_ratio) for every document containing at
+    least one cross-document duplicated span — the remove-or-keep
+    decision table of substring-level corpus dedup.
+
+    Scale: span stats aggregate to one row per affected document; the
+    token-count side strips text down to (id, n_tokens) before the
+    join, and AQE broadcasts whichever side is small.
+    """
+    spans = duplicated_spans(df, id_col, text_col, window, window_hash)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    ntok = df.select(
+        F.col(id_col), F.size(_ws_tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(ntok, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
+        )
+    )

@@ -186,3 +186,117 @@ def enrich_process(df: DataFrame, processes: DataFrame) -> DataFrame:
     if "tags" in dim.columns:
         dim = dim.withColumnRenamed("tags", "process_tags")
     return df.join(F.broadcast(dim), "process_id", "left")
+
+
+def service_dependencies(spans: DataFrame) -> DataFrame:
+    """Service dependency graph: one row per (parent_service,
+    child_service) edge with call and latency rollups — the service
+    map a tracing UI draws from the span tree (the reference stores
+    the parent link, duo/src/models.rs:14-26 ``parent_id``, but never
+    aggregates it; this is the canonical query over it).
+
+    Scale: ONE equi-join of child spans against (id, process_id) of
+    all spans — the parent side is column-pruned to 16 bytes/row
+    before the shuffle — then a hash aggregate on the (tiny) service
+    pair key with map-side partials. Skew is bounded by the fan-out of
+    the hottest single parent span, not by service volume.
+    """
+    child = spans.filter(F.col("parent_id").isNotNull()).select(
+        F.col("parent_id").alias("_pid"),
+        F.col("process_id").alias("child_service"),
+        (F.col("end") - F.col("start")).alias("_dur"),
+    )
+    parent = spans.select(
+        F.col("id").alias("_pid"), F.col("process_id").alias("parent_service")
+    )
+    return (
+        child.join(parent, "_pid")
+        .groupBy("parent_service", "child_service")
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.sum("_dur").alias("sum_duration_us"),
+            F.max("_dur").alias("max_duration_us"),
+        )
+    )
+
+
+def span_depths(spans: DataFrame, max_depth: int = 16) -> DataFrame:
+    """(id, depth) for every span reachable from a root (parent_id
+    NULL = depth 0) — breadth-first over the parent links, one
+    equi-join per level with an early exit when a level comes back
+    empty, ``max_depth`` as the runaway bound (cycles / orphan chains
+    never terminate a naive recursion).
+
+    Scale: each round joins the remaining child set against only the
+    PREVIOUS level's frontier (localCheckpointed so lineage stays flat
+    and re-execution can't cascade); real trace trees are ≤ ~10 deep,
+    so this is a handful of hash joins, each no bigger than the child
+    table. Spans whose parent chain never reaches a root (dropped
+    roots, cycles) are absent from the output — callers decide whether
+    to coalesce them to a sentinel depth.
+    """
+    children = spans.filter(F.col("parent_id").isNotNull()).select(
+        "id", "parent_id"
+    )
+    frontier = (
+        spans.filter(F.col("parent_id").isNull())
+        .select("id", F.lit(0).alias("depth"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    for d in range(1, max_depth + 1):
+        nxt = (
+            children.join(
+                frontier.select(F.col("id").alias("parent_id")), "parent_id"
+            )
+            .select("id", F.lit(d).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    # distinct: duplicate span ids (partial span records before a
+    # span_merge pass) would otherwise fan out the depth join
+    return out.distinct()
+
+
+def trace_waterfall(spans: DataFrame, max_depth: int = 16) -> DataFrame:
+    """The Jaeger waterfall, engine-side: every span with its tree
+    ``depth`` and its per-trace display position ``pos`` (1-based,
+    start-time order, id tie-break) — the reference leaves both to the
+    UI client (duo-ui), which caps trace size; computing them in the
+    engine makes the view pageable at any trace size.
+
+    Scale: depth is the bounded BFS of :func:`span_depths`; ``pos`` is
+    a window function partitioned by trace_id — a per-trace sort,
+    never global.
+    """
+    from pyspark.sql import Window as W
+
+    depths = span_depths(spans, max_depth)
+    # (start, id) alone is not a total order when duplicate span ids
+    # exist (partial records pre-merge) — end breaks the remaining tie
+    # so pos↔row pairing is engine-independent; fully identical rows
+    # may still swap positions, which is value-invisible
+    w = W.partitionBy("trace_id").orderBy(
+        F.asc("start"), F.asc("id"), F.asc("end")
+    )
+    return (
+        spans.join(depths, "id")
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            "trace_id",
+            "pos",
+            "id",
+            "parent_id",
+            "name",
+            "process_id",
+            "start",
+            (F.col("end") - F.col("start")).alias("duration_us"),
+            "depth",
+        )
+    )

@@ -2561,6 +2561,109 @@ FROM ev GROUP BY event_type
 """
 
 
+def q_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service dependency graph (operators/traces.py
+    service_dependencies): per (parent_service, child_service) edge,
+    call count and latency rollups over the span parent links. One
+    column-pruned equi-join on span id + a tiny-key hash aggregate."""
+    from duo_spark.operators.traces import service_dependencies
+
+    return service_dependencies(spans_view(spark, sf_dir)).select(
+        "parent_service",
+        "child_service",
+        "calls",
+        "sum_duration_us",
+        "max_duration_us",
+    )
+
+
+SQL_SERVICE_DEPS = f"""
+WITH {SPANS_CTE}
+SELECT p.process_id AS parent_service, c.process_id AS child_service,
+       CAST(count(*) AS BIGINT) AS calls,
+       CAST(sum(c."end" - c."start") AS BIGINT) AS sum_duration_us,
+       CAST(max(c."end" - c."start") AS BIGINT) AS max_duration_us
+FROM spans c JOIN spans p ON c.parent_id = p.id
+GROUP BY 1, 2
+"""
+
+
+def q_trace_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side Jaeger waterfall (operators/traces.py
+    trace_waterfall): every span with its BFS tree depth and 1-based
+    per-trace display position — depth via bounded level joins, pos
+    via a trace-partitioned window (never a global sort). The oracle
+    replays the depth with a recursive CTE."""
+    from duo_spark.operators.traces import trace_waterfall
+
+    return trace_waterfall(spans_view(spark, sf_dir))
+
+
+SQL_TRACE_WATERFALL = f"""
+WITH RECURSIVE {SPANS_CTE},
+d0 AS (
+  SELECT id, 0 AS depth FROM spans WHERE parent_id IS NULL
+  UNION ALL
+  SELECT s.id, d0.depth + 1 FROM spans s JOIN d0 ON s.parent_id = d0.id),
+d AS (SELECT DISTINCT id, depth FROM d0)
+SELECT s.trace_id,
+       CAST(row_number() OVER (
+            PARTITION BY s.trace_id
+            ORDER BY s."start", s.id, s."end") AS INT) AS pos,
+       s.id, s.parent_id, s.name, s.process_id, s."start",
+       s."end" - s."start" AS duration_us,
+       CAST(d.depth AS INT) AS depth
+FROM spans s JOIN d USING (id)
+"""
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup report (operators/dedup.py
+    substring_dedup_stats — the Lee et al. exact-substring family):
+    per document, the merged maximal 8-token spans that appear
+    verbatim in other documents. Gate variant hashes windows with the
+    cross-engine md5-long; production default is xxhash64 (pinned
+    equal in tests/test_dedup.py)."""
+    from duo_spark.operators.dedup import md5_word_hash, substring_dedup_stats
+
+    return substring_dedup_stats(
+        _docs(spark, sf_dir), "doc_id", "text", window=8, window_hash=md5_word_hash
+    )
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS pos, t FROM toks),
+w2 AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15))::BIGINT AS h
+  FROM wins),
+dup AS (SELECT h FROM w2 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+d AS (SELECT doc_id, pos FROM w2 WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl2 GROUP BY doc_id, island),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT p.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, p.dup_spans, p.dup_tokens,
+       round(p.dup_tokens / CAST(len(t.t) AS DOUBLE), 6) AS dup_ratio
+FROM per p JOIN toks t USING (doc_id)
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2597,6 +2700,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
+    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
+    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
     # north-star
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -2614,6 +2719,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "bm25": (q_bm25, SQL_BM25),
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -140,3 +140,65 @@ def test_simhash_giant_doc_no_ansi_overflow(spark):
     df = spark.createDataFrame([(1, big), (2, capped)], "doc_id: long, text: string")
     rows = {r.doc_id: r.sig for r in dedup.with_simhash(df, "text", "sig").collect()}
     assert rows[1] == rows[2], "truncated giant doc must hash like its first 32,767 words"
+
+
+# ------------------------------------------------- substring dedup (r4)
+
+
+def _sub_docs(spark):
+    """Two docs sharing a verbatim 10-token run (cross-doc dup), a doc
+    whose only repetition is INTERNAL (must not count), a short doc
+    (< window tokens), and an unrelated doc."""
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 tokens
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} zeta eta theta iota kappa"),
+        (3, "self self self self self self self self self self"),
+        (4, "tiny doc"),
+        (5, "completely different words that appear exactly once here today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_duplicated_spans_cross_doc_only(spark):
+    spans = dedup.duplicated_spans(_sub_docs(spark), window=8)
+    got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in spans.collect()}
+    # doc 1: shared run is tokens 2..11; windows starting 2,3,4 dup -> span [2, 11]
+    # doc 2: tokens 0..9; windows 0,1,2 -> span [0, 9]
+    assert got == {1: (2, 11), 2: (0, 9)}
+    # internal-only repetition (doc 3: its windows are identical to each
+    # other but exist in no OTHER doc) and short docs produce nothing
+
+
+def test_substring_dedup_stats_values(spark):
+    stats = {r["doc_id"]: r for r in dedup.substring_dedup_stats(_sub_docs(spark), window=8).collect()}
+    assert set(stats) == {1, 2}
+    assert stats[1]["n_tokens"] == 14 and stats[1]["dup_tokens"] == 10
+    assert stats[2]["n_tokens"] == 15 and stats[2]["dup_tokens"] == 10
+    assert stats[1]["dup_spans"] == 1
+    assert abs(stats[1]["dup_ratio"] - 10 / 14) < 1e-6
+
+
+def test_substring_dedup_hash_invariant(spark, docs):
+    """Span results are hash-choice-invariant on the fixture corpus:
+    xxhash64 (production) and md5-long (oracle gate) flag identical
+    (doc, span) sets."""
+    a = sorted(map(tuple, dedup.duplicated_spans(docs, window=8).collect()))
+    b = sorted(map(tuple, dedup.duplicated_spans(
+        docs, window=8, window_hash=dedup.md5_word_hash).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_duplicated_spans_merges_disjoint_runs(spark):
+    """Two separate shared runs in one doc yield two spans, not one."""
+    run1 = "one two three four five six seven eight"        # 8 tokens
+    run2 = "red orange yellow green blue indigo violet pink"  # 8 tokens
+    rows = [
+        (1, f"{run1} xxa xxb xxc {run2}"),
+        (2, f"{run1} qqa qqb qqc qqd qqe"),
+        (3, f"ppa ppb ppc ppd ppe {run2}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spans = dedup.duplicated_spans(df, window=8)
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect())
+    assert got == [(1, 0, 7), (1, 11, 18), (2, 0, 7), (3, 5, 12)]

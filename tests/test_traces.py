@@ -14,7 +14,7 @@ from duo_spark.operators.traces import (
     logs_for_traces,
     select_root_spans,
 )
-from duo_spark.schemas import PROCESS_SCHEMA
+from duo_spark.schemas import PROCESS_SCHEMA, SPAN_SCHEMA
 
 
 def test_filter_traces_roots_and_children(spans_df):
@@ -139,3 +139,73 @@ def test_enrich_process(spark, spans_df):
     )
     got = enrich_process(spans_df, procs)
     assert got.filter(F.col("service_name").isNull()).count() == 0
+
+
+# --------------------------------------------------------------- new in r4
+from duo_spark.operators.traces import (  # noqa: E402
+    service_dependencies,
+    span_depths,
+    trace_waterfall,
+)
+
+
+def _tree_spans(spark):
+    """One 4-level chain + a 2-span trace + a duplicated child id
+    (partial records pre-merge) + an orphan whose parent never
+    arrives."""
+    rows = [
+        # trace 1: a(root,svc-a) -> b(svc-b) -> c(svc-c) -> d(svc-b)
+        (10, None, 1, "a", "svc-a", 100, 500, None),
+        (11, 10, 1, "b", "svc-b", 110, 400, None),
+        (12, 11, 1, "c", "svc-c", 120, 300, None),
+        (13, 12, 1, "d", "svc-b", 130, 200, None),
+        # trace 2: root + child recorded TWICE (same id, differing end)
+        (20, None, 2, "r", "svc-a", 100, 900, None),
+        (21, 20, 2, "x", "svc-b", 150, 300, None),
+        (21, 20, 2, "x", "svc-b", 150, 350, None),
+        # orphan: parent 99 never arrives
+        (30, 99, 3, "lost", "svc-z", 100, 200, None),
+    ]
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+def test_service_dependencies_edges(spark):
+    got = {
+        (r["parent_service"], r["child_service"]): (
+            r["calls"], r["sum_duration_us"], r["max_duration_us"])
+        for r in service_dependencies(_tree_spans(spark)).collect()
+    }
+    assert got[("svc-a", "svc-b")] == (3, 290 + 150 + 200, 290)  # 11 + dup 21
+    assert got[("svc-b", "svc-c")] == (1, 180, 180)
+    assert got[("svc-c", "svc-b")] == (1, 70, 70)
+    # orphan child's parent is absent -> no edge
+    assert ("svc-z", "svc-z") not in got and len(got) == 3
+
+
+def test_span_depths_bfs(spark):
+    got = {(r["id"], r["depth"]) for r in span_depths(_tree_spans(spark)).collect()}
+    assert got == {(10, 0), (11, 1), (12, 2), (13, 3), (20, 0), (21, 1)}
+    # orphan 30 unreachable from any root -> absent
+    # max_depth truncates the walk
+    shallow = {(r["id"], r["depth"]) for r in span_depths(_tree_spans(spark), max_depth=2).collect()}
+    assert shallow == {(10, 0), (11, 1), (12, 2), (20, 0), (21, 1)}
+
+
+def test_trace_waterfall_order_and_depth(spark):
+    rows = trace_waterfall(_tree_spans(spark)).orderBy("trace_id", "pos").collect()
+    t1 = [(r["pos"], r["id"], r["depth"]) for r in rows if r["trace_id"] == 1]
+    assert t1 == [(1, 10, 0), (2, 11, 1), (3, 12, 2), (4, 13, 3)]
+    # duplicate-id partials both appear, tie broken by end
+    t2 = [(r["pos"], r["id"], r["duration_us"]) for r in rows if r["trace_id"] == 2]
+    assert t2 == [(1, 20, 800), (2, 21, 150), (3, 21, 200)]
+
+
+def test_trace_waterfall_on_fixture(spans_df):
+    wf = trace_waterfall(spans_df)
+    assert wf.count() == spans_df.count()
+    # pos is 1..n_spans within each trace; every root has depth 0
+    per = wf.groupBy("trace_id").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn"))
+    assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+    assert wf.filter(F.col("parent_id").isNull() & (F.col("depth") != 0)).count() == 0
+    assert wf.filter(F.col("parent_id").isNotNull() & (F.col("depth") != 1)).count() == 0
