@@ -227,20 +227,29 @@ def span_depths(spans: DataFrame, max_depth: int = 16) -> DataFrame:
     empty, ``max_depth`` as the runaway bound (cycles / orphan chains
     never terminate a naive recursion).
 
-    Scale: each round joins the remaining child set against only the
-    PREVIOUS level's frontier (localCheckpointed so lineage stays flat
-    and re-execution can't cascade); real trace trees are ≤ ~10 deep,
-    so this is a handful of hash joins, each no bigger than the child
-    table. Spans whose parent chain never reaches a root (dropped
-    roots, cycles) are absent from the output — callers decide whether
-    to coalesce them to a sentinel depth.
+    Scale: the (id, parent_id) child set is localCheckpointed ONCE —
+    every BFS round re-reads those 16-byte rows from block storage
+    instead of re-scanning source parquet — and each round joins it
+    against only the PREVIOUS level's frontier (also checkpointed, so
+    lineage stays flat and re-execution can't cascade); real trace
+    trees are ≤ ~10 deep, so this is a handful of hash joins, each no
+    bigger than the child table. Levels are deduped as they are built:
+    duplicate span ids (partial records before a span_merge pass)
+    would otherwise fan out each subsequent round multiplicatively.
+    Spans whose parent chain never reaches a root (dropped roots,
+    cycles) are absent from the output — callers decide whether to
+    coalesce them to a sentinel depth; an id recorded with parents at
+    DIFFERENT depths (corrupt graph) keeps one row per depth.
     """
-    children = spans.filter(F.col("parent_id").isNotNull()).select(
-        "id", "parent_id"
+    children = (
+        spans.filter(F.col("parent_id").isNotNull())
+        .select("id", "parent_id")
+        .localCheckpoint(eager=True)
     )
     frontier = (
         spans.filter(F.col("parent_id").isNull())
         .select("id", F.lit(0).alias("depth"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     levels = [frontier]
@@ -250,6 +259,7 @@ def span_depths(spans: DataFrame, max_depth: int = 16) -> DataFrame:
                 frontier.select(F.col("id").alias("parent_id")), "parent_id"
             )
             .select("id", F.lit(d).alias("depth"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
@@ -259,9 +269,7 @@ def span_depths(spans: DataFrame, max_depth: int = 16) -> DataFrame:
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    # distinct: duplicate span ids (partial span records before a
-    # span_merge pass) would otherwise fan out the depth join
-    return out.distinct()
+    return out
 
 
 def trace_waterfall(spans: DataFrame, max_depth: int = 16) -> DataFrame:
