@@ -672,30 +672,18 @@ def _ws_tokens(col: Column | str) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def duplicated_windows(
+def _window_inventory(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 8,
-    window_hash: Callable[[Column], Column] = F.xxhash64,
+    id_col: str,
+    text_col: str,
+    window: int,
+    window_hash: Callable[[Column], Column],
 ) -> DataFrame:
-    """(id, pos) of every ``window``-token sliding window whose token
-    sequence also occurs in at least one OTHER document.
-
-    The window inventory is built in ONE projection — no join: the
-    token array is sliced by a ``transform`` over ``sequence(0,
-    n_tokens - window)`` and each slice hashed JVM-side (``window_hash``
-    — xxhash64 by default; :func:`md5_word_hash` over the joined slice
-    for the cross-engine oracle gate). Cross-document duplication is
-    decided by a (hash → distinct-doc count) aggregate and a semi-join
-    of the windows against the duplicated-hash set: both shuffles are
-    hash-partitioned on the window hash, so the exchange is reused
-    between the aggregate and the join.
-
-    Scale: rows explode ×(tokens-window+1) but carry only (id, pos,
-    hash) — 24 bytes — not text; the duplicated-hash set is usually a
-    small fraction and AQE broadcasts it when it fits.
-    """
+    """(_id, pos, _h): every ``window``-token sliding window, built in
+    ONE projection — the token array is sliced by a ``transform`` over
+    ``sequence(0, n_tokens - window)`` and each slice hashed JVM-side.
+    Rows explode ×(tokens-window+1) but carry only 24 bytes, not
+    text."""
     toks = _ws_tokens(text_col)
     n = F.size(toks)
     idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
@@ -704,13 +692,56 @@ def duplicated_windows(
     hashes = F.transform(
         idx, lambda i: window_hash(F.concat_ws(" ", F.slice(toks, i + 1, window)))
     )
-    wins = ensure_parallelism(df).select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.posexplode(hashes).alias("pos", "_h")
     )
+
+
+def duplicated_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    window_hash: Callable[[Column], Column] = F.xxhash64,
+    method: str = "window",
+) -> DataFrame:
+    """(id, pos) of every ``window``-token sliding window whose token
+    sequence also occurs in at least one OTHER document. ``window_hash``
+    is xxhash64 by default; :func:`md5_word_hash` over the joined slice
+    for the cross-engine oracle gate.
+
+    A window is cross-document iff its hash group spans more than one
+    doc id ⟺ min(id) != max(id) within the group. Two plans, pinned
+    equal in tests:
+
+    - ``method="window"`` (default): min/max as window functions over
+      ``partitionBy(_h)`` — the inventory is computed ONCE and decided
+      in-place with a single hash exchange, no join. Each hash group
+      co-locates in one task, so a degenerate mass-duplicated window
+      (boilerplate repeated 10⁸×) would buffer one giant group.
+    - ``method="agg"``: skew-safe — (hash → min/max id) partial-agged
+      aggregate, then a semi-join of the inventory against the (small)
+      duplicated-hash set, which AQE broadcasts when it fits. Costs a
+      second inventory computation for the probe side; use for corpora
+      with pathological boilerplate mass-duplication.
+    """
+    wins = _window_inventory(df, id_col, text_col, window, window_hash)
+    if method == "window":
+        from pyspark.sql import Window as W
+
+        wh = W.partitionBy("_h")
+        return (
+            wins.withColumn("_mn", F.min("_id").over(wh))
+            .withColumn("_mx", F.max("_id").over(wh))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select(F.col("_id").alias(id_col), "pos")
+        )
+    if method != "agg":
+        raise ValueError(f"method must be 'window' or 'agg', got {method!r}")
     dup = (
         wins.groupBy("_h")
-        .agg(F.count_distinct("_id").alias("_nd"))
-        .filter(F.col("_nd") > 1)
+        .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("_h")
     )
     return wins.join(dup, "_h", "left_semi").select(

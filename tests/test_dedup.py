@@ -189,6 +189,16 @@ def test_substring_dedup_hash_invariant(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_duplicated_windows_methods_agree(spark, docs):
+    """The one-pass min/max window plan (default) and the skew-safe
+    agg+semijoin plan must flag identical (doc, pos) sets."""
+    a = sorted(map(tuple, dedup.duplicated_windows(docs, method="window").collect()))
+    b = sorted(map(tuple, dedup.duplicated_windows(docs, method="agg").collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="method"):
+        dedup.duplicated_windows(docs, method="bogus")
+
+
 def test_duplicated_spans_merges_disjoint_runs(spark):
     """Two separate shared runs in one doc yield two spans, not one."""
     run1 = "one two three four five six seven eight"        # 8 tokens
