@@ -1,0 +1,151 @@
+"""Interval (range) joins and concurrency analysis over time spans.
+
+The reference's span model is intervals (`duo-api` Span start/end;
+assembled per-trace in `duo/src/web/services.rs`), but it never joins
+intervals against each other — overlap questions ("which spans ran
+concurrently", "peak in-flight spans per service") are the natural
+next analytics step and a classic hard case for distributed engines:
+Spark has no native range-join optimization, so a naive
+`l.start <= r.end AND r.start <= l.end` join on a shared key degrades
+to a per-key cross product.
+
+Two scale-correct formulations:
+
+- :func:`interval_join` — *bucketed* range join: each interval
+  replicates to the fixed-width time buckets it touches, the join
+  runs as a plain equi-join on (key, bucket), and each qualifying
+  pair is emitted exactly once (in the bucket containing the later
+  start), so no dedup shuffle is needed. Replication factor is
+  duration/bucket_width + 1 — pick the width near the typical
+  interval length. Per-(key, bucket) fanout is bounded by how many
+  intervals genuinely coexist in one window, not by the key's total
+  row count.
+- :func:`max_concurrency` — sweep line: intervals become +1/-1
+  boundary events, a per-key ordered window computes the running
+  in-flight count, and the max per key is the answer. One key-hash
+  shuffle + per-key sort; never materializes pairs at all, so it
+  scales to keys where the pair set would be quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Pairs (one row per qualifying pair) whose CLOSED intervals
+    overlap: ``l.start <= r.end AND r.start <= l.end``, equi-keyed on
+    ``on``.
+
+    Both inputs must carry integer (µs) interval columns with
+    ``start <= end``. Left columns keep their names; right columns are
+    suffixed ``_r`` (including the key, which is dropped). The pair is
+    emitted in the single bucket that contains ``greatest(l.start,
+    r.start)`` — every overlapping pair shares at least that bucket
+    (the later start lies inside both intervals), and only one bucket
+    matches the equality, so the output is exactly-once without a
+    distinct.
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_b", F.explode(F.sequence(F.expr(f"`{s}` div {w}"), F.expr(f"`{e}` div {w}")))
+        )
+
+    lb = burst(left, l_start, l_end)
+    rb = burst(right, r_start, r_end)
+    rb = rb.select(
+        F.col("_b"),
+        F.col(on).alias("_k_r"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns if c != on],
+    )
+    # exact integer `div` (float division on 1e15-µs epochs can round
+    # across a bucket boundary)
+    emit_once = F.expr(f"greatest(`{l_start}`, `{r_start}_r`) div {w}")
+    return (
+        lb.join(rb, (F.col(on) == F.col("_k_r")) & (lb["_b"] == rb["_b"]))
+        .filter(
+            (F.col(l_start) <= F.col(f"{r_end}_r"))
+            & (F.col(f"{r_start}_r") <= F.col(l_end))
+        )
+        .filter(lb["_b"] == emit_once)
+        .drop("_b", "_k_r")
+    )
+
+
+def overlap_pairs(
+    spans: DataFrame,
+    key: str,
+    id_col: str = "id",
+    start: str = "start",
+    end: str = "end",
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Unordered self-pairs of overlapping intervals within each key:
+    one row per pair with ``id < id_r``, plus the exact overlap length
+    ``overlap_us = least(ends) - greatest(starts)`` (closed-interval
+    convention, so a shared endpoint counts as overlap 0).
+    """
+    cols = [key, id_col, start, end]
+    base = spans.select(*cols)
+    out = interval_join(
+        base, base, on=key, l_start=start, l_end=end, r_start=start, r_end=end,
+        bucket_width=bucket_width,
+    ).filter(F.col(id_col) < F.col(f"{id_col}_r"))
+    return out.withColumn(
+        "overlap_us",
+        F.least(F.col(end), F.col(f"{end}_r"))
+        - F.greatest(F.col(start), F.col(f"{start}_r")),
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key: str,
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Per-key peak number of simultaneously-open CLOSED intervals.
+
+    Sweep line: every interval contributes (+1 at start, -1 just
+    after end); the running sum ordered by (time, +1-before--1) is the
+    in-flight count and its max is the peak. Ordering opens before
+    closes at the same µs implements the closed-interval rule (an
+    interval ending at t still overlaps one starting at t). The
+    running value at interior tie rows depends on row order, but the
+    maximum does not: equal-time deltas of the same sign reach the
+    same extreme regardless of order, and opposite signs sort apart.
+
+    Output: (key, peak) — one row per key, exact.
+    """
+    ev = df.select(
+        F.col(key), F.col(start).alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        df.select(F.col(key), (F.col(end) + 1).alias("_t"), F.lit(-1).alias("_d"))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("_run", F.sum("_d").over(w))
+        .groupBy(key)
+        .agg(F.max("_run").cast("long").alias("peak"))
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 _P1 = 1_000_003          # pre-mix modulus (keeps the product in 2^52)
 _MULT = 2_654_435_761    # Knuth's 2^32 * golden-ratio multiplier
@@ -120,4 +121,38 @@ def weighted_sample(
         .withColumn("_key", key)
         .orderBy(F.asc("_key"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def sample_per_key(
+    df: DataFrame,
+    key: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly min(n, group size) rows
+    per ``key`` group, selected by hash rank — the distributed stand-in
+    for per-key reservoir sampling.
+
+    A true reservoir is stream-order-dependent (irreproducible under
+    Spark's nondeterministic row order); ranking by :func:`hash_bucket`
+    of the id gives the same statistical effect (each group's rows get
+    pseudo-random priorities) while being exactly reproducible across
+    runs, partitionings, and engines. Consistency under corpus growth:
+    a row is evicted only when n new rows hash below it, never by
+    reordering.
+
+    One key-hash shuffle + per-group sort (bounded groups assumed —
+    per-key windows are fine when no single key dominates; for
+    pathological keys compose with :func:`hash_sample` first to thin
+    the group below the window threshold). Adds ``sample_rank``
+    (1-based hash rank within the group).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = Window.partitionBy(key).orderBy(hash_bucket(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
     )

@@ -21,6 +21,7 @@ No global sort anywhere.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -96,4 +97,70 @@ def pack_token_shards(
         out.withColumn("_start", start)
         .withColumn(shard_col, F.expr(f"_start div {int(budget)}"))
         .drop("_rt", "_start")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    num_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Next-fit sequence packing: place documents into training
+    sequences ("bins") of at most ``capacity`` tokens, never splitting
+    a document — the step that turns a cleaned corpus into fixed-size
+    context windows for an LLM data loader.
+
+    Unlike :func:`pack_token_shards` (offset bucketing, documents may
+    straddle a boundary), bin-close packing has a true sequential
+    dependency: where sequence i+1 starts depends on how full sequence
+    i was. The distributed shape is therefore two-level:
+
+    - documents are hash-sharded by ``id_col % num_shards`` (a
+      deterministic, oracle-replayable partitioner);
+    - within a shard, a single sequential next-fit pass runs in one
+      ``applyInPandas`` task over documents in ``id_col`` order.
+
+    Parallelism is across shards — pick ``num_shards`` so one shard's
+    (id, n_tokens) pairs fit a task (~tens of millions of rows); the
+    per-shard pass itself is O(rows) with no Spark shuffle beyond the
+    one hash exchange. A document longer than ``capacity`` gets a
+    sequence of its own (standard next-fit: it is placed, overflowing
+    its bin, and the next document opens a new bin).
+
+    Output: (id_col, shard, seq, seq_fill) — ``seq`` is the bin index
+    within the shard, ``seq_fill`` the bin's running token total after
+    this document.
+    """
+    if capacity <= 0 or num_shards <= 0:
+        raise ValueError("capacity and num_shards must be positive")
+
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seqs, fills = [], []
+        seq, fill = 0, 0
+        for tok in pdf[tokens_col].astype("int64"):
+            if fill > 0 and fill + tok > cap:
+                seq, fill = seq + 1, 0
+            fill += int(tok)
+            seqs.append(seq)
+            fills.append(fill)
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["_shard"],
+                "seq": pd.Series(seqs, dtype="int64"),
+                "seq_fill": pd.Series(fills, dtype="int64"),
+            }
+        )
+        return out
+
+    shard = (F.col(id_col) % F.lit(int(num_shards))).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(tokens_col), shard.alias("_shard"))
+        .groupBy("_shard")
+        .applyInPandas(pack, schema=f"{id_col} long, shard long, seq long, seq_fill long")
     )

@@ -2664,6 +2664,161 @@ FROM per p JOIN toks t USING (doc_id)
 """
 
 
+def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval self-join (operators/intervals.py): pairs of
+    spans in the same trace whose [start, end] intervals overlap, with
+    the exact overlap length — 'which spans actually ran concurrently'.
+    The oracle is the naive inequality join; the Spark plan is the
+    bucketed equi-join with exactly-once pair emission."""
+    from duo_spark.operators.intervals import overlap_pairs
+
+    spans = spans_view(spark, sf_dir)
+    out = overlap_pairs(spans, key="trace_id", id_col="id", bucket_width=3_600_000_000)
+    return out.select(
+        "trace_id",
+        F.col("id").alias("id_a"),
+        F.col("id_r").alias("id_b"),
+        "overlap_us",
+    )
+
+
+SQL_SPAN_OVERLAP = f"""
+WITH {SPANS_CTE}
+SELECT a.trace_id, a.id AS id_a, b.id AS id_b,
+       least(a."end", b."end") - greatest(a."start", b."start") AS overlap_us
+FROM spans a JOIN spans b
+  ON a.trace_id = b.trace_id AND a.id < b.id
+ AND a."start" <= b."end" AND b."start" <= a."end"
+"""
+
+
+def q_service_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per service (operators/intervals.py
+    max_concurrency): the in-flight span count a service's executor
+    pool actually saw — computed without ever materializing the
+    (quadratic) overlapping-pair set."""
+    from duo_spark.operators.intervals import max_concurrency
+
+    spans = spans_view(spark, sf_dir)
+    peaks = max_concurrency(spans, key="process_id")
+    n = spans.groupBy("process_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return n.join(peaks, "process_id").select("process_id", "n_spans", "peak")
+
+
+SQL_SERVICE_CONCURRENCY = f"""
+WITH {SPANS_CTE},
+ev AS (
+  SELECT process_id, "start" AS t, 1 AS d FROM spans
+  UNION ALL
+  SELECT process_id, "end" + 1, -1 FROM spans),
+r AS (
+  SELECT process_id,
+         sum(d) OVER (PARTITION BY process_id ORDER BY t, d DESC
+                      ROWS UNBOUNDED PRECEDING) AS run
+  FROM ev)
+SELECT s.process_id, CAST(s.n_spans AS BIGINT) AS n_spans,
+       CAST(p.peak AS BIGINT) AS peak
+FROM (SELECT process_id, count(*) AS n_spans FROM spans GROUP BY 1) s
+JOIN (SELECT process_id, max(run) AS peak FROM r GROUP BY 1) p USING (process_id)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing (operators/sharding.py) of documents
+    into 256-token training sequences across 8 hash shards. The
+    sequential bin-close dependency runs inside one applyInPandas task
+    per shard; the oracle replays it with a recursive CTE."""
+    from duo_spark.operators.sharding import pack_sequences
+
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", n_ws.cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, capacity=256, num_shards=8)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+  FROM documents),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM d),
+p AS (
+  SELECT shard, rn, doc_id, tok,
+         CAST(0 AS BIGINT) AS seq, tok AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.tok,
+         CASE WHEN p.fill + o.tok <= 256 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + o.tok <= 256 THEN p.fill + o.tok ELSE o.tok END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+SELECT doc_id, shard, seq, fill AS seq_fill FROM p
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/frequent.py): word bigrams
+    occurring more than 1/1000th of the corpus, via per-partition
+    Misra-Gries candidates + a candidate-only exact count — never a
+    full distinct-sized shuffle."""
+    from duo_spark.operators.frequent import heavy_hitters
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = _docs(spark, sf_dir).select(F.explode(bigrams).alias("bigram"))
+    return heavy_hitters(grams, "bigram", k=1000)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH d AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         AS bigram
+  FROM d)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY bigram
+HAVING count(*) * 1000 > (SELECT count(*) FROM g)
+"""
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key deterministic fixed-size sample (operators/sampling.py
+    sample_per_key): exactly 5 documents per language, ranked by the
+    oracle-replayable multiplicative hash — the reproducible stand-in
+    for per-key reservoir sampling."""
+    from duo_spark.operators.sampling import sample_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sample_per_key(docs, key="lang", n=5, id_col="doc_id")
+    return out.select("lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+SQL_SAMPLE_PER_KEY = """
+WITH h AS (
+  SELECT lang, doc_id,
+         ((doc_id % 1000003) * 2654435761) % 1000000007 AS hb
+  FROM documents),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id)
+         AS sample_rank
+  FROM h)
+SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2743,6 +2898,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -1,0 +1,108 @@
+"""Interval join / concurrency (operators/intervals.py).
+
+Reference parity: duo has no interval operators (spans are assembled
+per-trace in `duo/src/web/services.rs` but never joined on time);
+these tests pin the *distributed* formulations — bucketed equi-join
+and sweep line — against naive oracles computed in-process.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from duo_spark.operators.intervals import interval_join, max_concurrency, overlap_pairs
+
+
+@pytest.fixture(scope="module")
+def ivals(spark):
+    """~300 random closed intervals over 3 keys with wildly mixed
+    durations (1 µs dots to multi-bucket monsters)."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        k = f"k{rng.randint(0, 2)}"
+        s = rng.randint(0, 10_000)
+        d = rng.choice([0, 1, 5, 50, 500, 5_000])
+        rows.append((k, i, s, s + d))
+    return spark.createDataFrame(rows, "key string, id long, start long, end long")
+
+
+def _naive_pairs(rows):
+    out = set()
+    for a in rows:
+        for b in rows:
+            if a.key == b.key and a.id < b.id and a.start <= b.end and b.start <= a.end:
+                out.add((a.key, a.id, b.id))
+    return out
+
+
+@pytest.mark.parametrize("width", [7, 100, 1_000, 100_000])
+def test_overlap_pairs_exactly_once_any_width(spark, ivals, width):
+    """The bucketed join emits every overlapping pair EXACTLY once,
+    for bucket widths smaller than, near, and far larger than the
+    interval lengths."""
+    rows = ivals.collect()
+    want = _naive_pairs(rows)
+    got = overlap_pairs(ivals, key="key", id_col="id", bucket_width=width).collect()
+    got_keys = [(r.key, r.id, r.id_r) for r in got]
+    assert len(got_keys) == len(set(got_keys)), "duplicate pair emitted"
+    assert set(got_keys) == want
+
+
+def test_overlap_us_is_exact(spark, ivals):
+    got = overlap_pairs(ivals, key="key", id_col="id", bucket_width=100).collect()
+    by_id = {r.id: r for r in ivals.collect()}
+    for r in got:
+        a, b = by_id[r.id], by_id[r.id_r]
+        assert r.overlap_us == min(a.end, b.end) - max(a.start, b.start)
+        assert r.overlap_us >= 0
+
+
+def test_interval_join_left_right_roles(spark):
+    """Asymmetric left/right inputs: right payload is suffixed, key
+    kept once, non-overlapping pairs absent."""
+    left = spark.createDataFrame(
+        [("a", 1, 0, 10), ("a", 2, 50, 60)], "key string, id long, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [("a", 7, 10, 20), ("a", 8, 100, 110)],
+        "key string, rid long, start long, end long",
+    )
+    out = interval_join(left, right, on="key", bucket_width=8).collect()
+    assert [(r.id, r.rid_r) for r in out] == [(1, 7)]
+    assert set(out[0].asDict()) == {"key", "id", "start", "end", "rid_r", "start_r", "end_r"}
+
+
+def test_interval_join_rejects_bad_width(spark, ivals):
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(ivals, ivals, on="key", bucket_width=0)
+
+
+def test_max_concurrency_matches_sweep(spark, ivals):
+    rows = ivals.collect()
+    want = {}
+    for k in {r.key for r in rows}:
+        events = []
+        for r in rows:
+            if r.key == k:
+                events.append((r.start, 1))
+                events.append((r.end + 1, -1))
+        run = peak = 0
+        for _, d in sorted(events, key=lambda e: (e[0], -e[1])):
+            run += d
+            peak = max(peak, run)
+        want[k] = peak
+    got = {r.key: r.peak for r in max_concurrency(ivals, key="key").collect()}
+    assert got == want
+
+
+def test_max_concurrency_closed_interval_touch(spark):
+    """A span ending at t overlaps one starting at t (closed
+    intervals): peak 2, not 1."""
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 10, 20)], "key string, start long, end long"
+    )
+    assert max_concurrency(df, key="key").collect()[0].peak == 2

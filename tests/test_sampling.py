@@ -89,3 +89,45 @@ def test_weighted_sample_excludes_null_ids(spark):
     )
     got = {r.doc_id for r in weighted_sample(df, 2, "w").collect()}
     assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------
+# sample_per_key (deterministic per-key fixed-size sample)
+# ---------------------------------------------------------------------
+
+def test_sample_per_key_exact_size_and_determinism(spark):
+    from duo_spark.operators.sampling import sample_per_key
+
+    rows = [(i, f"k{i % 3}") for i in range(90)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    out = sample_per_key(df, key="key", n=4, id_col="doc_id")
+    got = sorted((r.key, r.doc_id, r.sample_rank) for r in out.collect())
+    # exact n per key, min(n, size) for small groups
+    from collections import Counter
+    sizes = Counter(k for k, _, _ in got)
+    assert sizes == {"k0": 4, "k1": 4, "k2": 4, "rare": 1}
+    assert got == sorted((r.key, r.doc_id, r.sample_rank) for r in out.collect())
+
+
+def test_sample_per_key_growth_consistency(spark):
+    """Adding rows can only evict by better hash rank — selections
+    from the small corpus that still rank <= n stay selected; ranks of
+    surviving rows never improve by removal of others."""
+    from duo_spark.operators.sampling import sample_per_key
+    from duo_spark.operators.sampling import hash_bucket
+
+    small = spark.createDataFrame([(i, "k") for i in range(40)], "doc_id long, key string")
+    big = spark.createDataFrame([(i, "k") for i in range(80)], "doc_id long, key string")
+    s = {r.doc_id for r in sample_per_key(small, "key", 6, "doc_id").collect()}
+    b = {r.doc_id for r in sample_per_key(big, "key", 6, "doc_id").collect()}
+    # every selected-in-big doc that existed in small was selected in small
+    assert {d for d in b if d < 40} <= s
+
+
+def test_sample_per_key_rejects_bad_n(spark):
+    from duo_spark.operators.sampling import sample_per_key
+
+    df = spark.createDataFrame([(1, "k")], "doc_id long, key string")
+    import pytest
+    with pytest.raises(ValueError, match="n must be"):
+        sample_per_key(df, "key", 0, "doc_id")

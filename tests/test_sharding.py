@@ -100,3 +100,66 @@ def test_salted_join_matches_plain_join_and_balances(spark):
         for r in salted_join(big, small_missing, "k", salt=4, how="left").collect()
     )
     assert left_salted == left_plain
+
+
+# ---------------------------------------------------------------------
+# pack_sequences (next-fit bin-close packing)
+# ---------------------------------------------------------------------
+
+def test_pack_sequences_capacity_and_order(spark):
+    """No sequence exceeds capacity unless it holds a single oversized
+    doc; seq indexes are dense per shard; packing follows doc_id order."""
+    from duo_spark.operators.sharding import pack_sequences
+
+    import random
+    rng = random.Random(5)
+    rows = [(i, rng.randint(10, 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, capacity=256, num_shards=4).collect()
+    assert len(out) == 400
+    toks = dict(rows)
+    by_bin: dict = {}
+    for r in out:
+        assert r.shard == r.doc_id % 4
+        by_bin.setdefault((r.shard, r.seq), []).append(r.doc_id)
+    for (shard, seq), ids in sorted(by_bin.items()):
+        fill = sum(toks[i] for i in ids)
+        assert fill <= 256 or len(ids) == 1  # oversized doc sits alone
+        # next-fit replay: bins per shard are contiguous doc_id runs
+        prev = by_bin.get((shard, seq - 1))
+        if prev is not None:
+            assert max(prev) < min(ids)
+    # dense bin ids from 0
+    for shard in range(4):
+        seqs = sorted({s for (sh, s) in by_bin if sh == shard})
+        assert seqs == list(range(len(seqs)))
+
+
+def test_pack_sequences_matches_serial_replay(spark):
+    """Distributed result == a serial next-fit pass per shard."""
+    from duo_spark.operators.sharding import pack_sequences
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(7)
+    got = {r.doc_id: (r.shard, r.seq, r.seq_fill)
+           for r in pack_sequences(df, capacity=100, num_shards=3).collect()}
+    for shard in range(3):
+        seq = fill = 0
+        first = True
+        for i, t in [r for r in rows if r[0] % 3 == shard]:
+            if not first and fill + t > 100:
+                seq, fill = seq + 1, 0
+            fill += t
+            first = False
+            assert got[i] == (shard, seq, fill)
+
+
+def test_pack_sequences_validates_params(spark):
+    from duo_spark.operators.sharding import pack_sequences
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long")
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(df, capacity=0, num_shards=2)
+    with pytest.raises(ValueError):
+        pack_sequences(df, capacity=10, num_shards=0)
