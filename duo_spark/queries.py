@@ -2819,6 +2819,79 @@ FROM r WHERE sample_rank <= 5
 """
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (streaming/joins.py) through the
+    REAL Structured Streaming path: root spans (orders) and span logs
+    (lineitem) each staged as two file-drops so matches must pair
+    across micro-batches, joined on trace_id with the log time bounded
+    to [span start, +120 days], drained availableNow. The oracle is
+    the identical batch inner join; stream-stream state buffering must
+    not lose or duplicate a single pair on any micro-batch schedule."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.joins import streaming_span_log_join
+    from duo_spark.streaming.pipeline import _scratch
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("trace_id"),
+        (F.col("o_orderkey") * 10).alias("id"),
+        F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0).select(
+        F.col("l_orderkey").alias("trace_id"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_shipdate").cast("timestamp").alias("time_ts"),
+        F.when(F.col("l_returnflag") == "R", "ERROR").otherwise("INFO").alias("level"),
+    )
+    run = _scratch("sjoin", _uuid.uuid4().hex)
+    half = F.expr("(trace_id div 20) % 2")
+    for df, sub in ((o, "spans"), (li, "logs")):
+        df.filter(half == 1).coalesce(1).write.parquet(f"{run}/{sub}")
+        df.filter(half == 0).coalesce(1).write.mode("append").parquet(f"{run}/{sub}")
+    spans = (
+        spark.readStream.schema("trace_id long, id long, start_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{run}/spans")
+    )
+    logs = (
+        spark.readStream.schema("trace_id long, line long, time_ts timestamp, level string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{run}/logs")
+    )
+    joined = streaming_span_log_join(spans, logs, window="120 days")
+    name = f"sjoin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "trace_id",
+        "id",
+        F.unix_micros("start_ts").alias("start_us"),
+        "line",
+        F.unix_micros("time_ts").alias("log_time_us"),
+        "level",
+    )
+
+
+SQL_STREAMING_JOIN = """
+SELECT o_orderkey AS trace_id, o_orderkey * 10 AS id,
+       epoch_us(o_orderdate) AS start_us,
+       l_linenumber AS line,
+       epoch_us(l_shipdate) AS log_time_us,
+       CASE WHEN l_returnflag = 'R' THEN 'ERROR' ELSE 'INFO' END AS level
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey % 20 = 0
+  AND l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -2903,6 +2976,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

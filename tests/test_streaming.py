@@ -362,3 +362,47 @@ def test_streaming_hopping_features_cover_trailing_batch(spark, tmp_path):
     # epoch-aligned starts at 24h multiples
     for r in out:
         assert int(r.w_start.timestamp()) % 86400 == 0
+
+
+# ---------------------------------------------------------------------
+# stream-stream join (streaming/joins.py)
+# ---------------------------------------------------------------------
+
+def test_streaming_join_pairs_across_batches(spark, tmp_path):
+    """A span arriving in micro-batch 1 must pair with its log arriving
+    in micro-batch 2 (state buffering), range bound enforced, out-of-
+    range logs dropped, colliding log columns suffixed _log."""
+    from duo_spark.streaming.joins import streaming_span_log_join
+
+    base = "2024-01-01 00:00:00"
+    spans_rows = [(1, 100, base), (2, 200, "2024-01-01 02:00:00")]
+    logs_rows = [
+        (1, "in-range", "2024-01-01 00:30:00"),   # batch 2, joins span batch 1
+        (1, "too-late", "2024-01-05 00:00:00"),   # outside 1-hour window
+        (3, "no-span", "2024-01-01 00:10:00"),    # no matching span
+        (2, "same-batch", "2024-01-01 02:30:00"),
+    ]
+    sdir, ldir = str(tmp_path / "spans"), str(tmp_path / "logs")
+    spark.createDataFrame(spans_rows, "trace_id long, id long, start_ts string") \
+        .withColumn("start_ts", F.col("start_ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(sdir)
+    ldf = spark.createDataFrame(logs_rows, "trace_id long, msg string, time_ts string") \
+        .withColumn("time_ts", F.col("time_ts").cast("timestamp"))
+    # two file drops: first only the trace-2 log, then the rest
+    ldf.filter(F.col("trace_id") == 2).coalesce(1).write.parquet(ldir)
+    ldf.filter(F.col("trace_id") != 2).coalesce(1).write.mode("append").parquet(ldir)
+
+    spans = (spark.readStream.schema("trace_id long, id long, start_ts timestamp")
+             .option("maxFilesPerTrigger", "1").parquet(sdir))
+    logs = (spark.readStream.schema("trace_id long, msg string, time_ts timestamp")
+            .option("maxFilesPerTrigger", "1").parquet(ldir))
+    out = streaming_span_log_join(spans, logs, window="1 hour", watermark="10 minutes")
+
+    name = "sjoin_unit"
+    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = sorted((r.trace_id, r.id, r.msg) for r in rows)
+    assert got == [(1, 100, "in-range"), (2, 200, "same-batch")]
