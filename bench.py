@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "service_deps",
     "trace_waterfall",
     "substring_dedup",
+    "span_overlap",
+    "service_concurrency",
+    "pack_sequences",
+    "heavy_hitters",
+    "sample_per_key",
 ]
 
 

