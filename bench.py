@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "heavy_hitters",
     "sample_per_key",
+    "incremental_dedup",
 ]
 
 

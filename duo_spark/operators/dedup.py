@@ -159,6 +159,39 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) 
     )
 
 
+def _band_rows(
+    sh: DataFrame, num_hashes: int, bands: int, with_n: bool = False
+) -> DataFrame:
+    """(_id[, _n], band, bucket) LSH band rows over (_id, _hs) input —
+    one row per (document, band), bucket = xxhash64 of the band's
+    signature slice (hashed as an ARRAY — xxhash64 folds array
+    elements natively, skipping per-band string materialization).
+    ``_n`` (shingle-set size) feeds the exact PPJoin length filter."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    carry = ["_id", "_n"] if with_n else ["_id"]
+    key_cols = [F.col("_id")]
+    if with_n:
+        key_cols.append(F.size("_hs").alias("_n"))
+    with_sig = sh.select(
+        *key_cols, minhash_signature_from_hashes(F.col("_hs"), num_hashes).alias("_sig")
+    )
+    return with_sig.select(
+        *carry,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(*carry, "bb.band", "bb.bucket")
+
+
 def _banded_set_candidates(
     sh: DataFrame, num_hashes: int, bands: int, size_ratio: float | None = None
 ) -> DataFrame:
@@ -174,32 +207,7 @@ def _banded_set_candidates(
     candidates ~62% with zero recall loss (the bound is exact, not
     probabilistic).
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    carry = ["_id"] if size_ratio is None else ["_id", "_n"]
-    key_cols = [F.col("_id")]
-    if size_ratio is not None:
-        key_cols.append(F.size("_hs").alias("_n"))
-    with_sig = sh.select(
-        *key_cols, minhash_signature_from_hashes(F.col("_hs"), num_hashes).alias("_sig")
-    )
-    banded = with_sig.select(
-        *carry,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # hash the band slice ARRAY directly — xxhash64
-                    # folds array elements natively, skipping the
-                    # per-band string materialization concat_ws paid
-                    F.xxhash64(
-                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(*carry, "bb.band", "bb.bucket")
+    banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None)
     left = banded.alias("l")
     right = banded.alias("r")
     cond = (
@@ -326,6 +334,113 @@ def minhash_near_duplicates(
         )
     )
     return intra.unionByName(cross).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable MinHash-LSH index of a corpus: ``(bands_df,
+    sets_df)`` where bands_df = (_id, _n, band, bucket) LSH band rows
+    and sets_df = (_id, _hs) canonical sorted hashed-shingle sets.
+
+    Both are plain DataFrames — write them as parquet (bucket the
+    bands table by (band, bucket) for a shuffle-free probe join) and
+    a growing corpus never re-shingles old documents:
+    :func:`incremental_near_duplicates` checks each new batch against
+    the stored index, then the batch's own rows are appended to it.
+    The sets table is the verify-side corpus representation (~8 bytes
+    per distinct shingle — far smaller than the text).
+    """
+    sh = _hashed_shingles(df, id_col, text_col, shingle_n)
+    sets = sh.select("_id", F.sort_array("_hs").alias("_hs"))
+    return _band_rows(sh, num_hashes, bands, with_n=True), sets
+
+
+def incremental_near_duplicates(
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs INVOLVING a new batch: new↔corpus and
+    new↔new, verified with exact shingle-set Jaccard — the
+    incremental step of a continuously-growing deduped corpus.
+
+    The corpus side comes entirely from a prebuilt :func:`minhash_index`
+    — old documents are never re-shingled or re-banded; the batch's
+    band rows probe the index on (band, bucket) with the exact PPJoin
+    length filter, and only candidate corpus sets are fetched for
+    verification. Corpus-internal pairs are by construction already
+    known (they were found when their younger member was the new
+    batch), so none are recomputed or emitted.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, exact Jaccard ≥
+    ``threshold``. ``num_hashes``/``bands``/``shingle_n`` must match
+    the index build. Unlike :func:`minhash_near_duplicates`, no
+    identical-set collapse runs here — batches are assumed small
+    relative to the corpus; exact-dedup the batch first if it carries
+    heavy internal duplication.
+    """
+    new_sh = _hashed_shingles(new_df, id_col, text_col, shingle_n)
+    new_sets = new_sh.select("_id", F.sort_array("_hs").alias("_hs"))
+    new_bands = _band_rows(new_sh, num_hashes, bands, with_n=True)
+
+    nb = new_bands.alias("n")
+    ob = index_bands.alias("o")
+    cand_no = (
+        nb.join(
+            ob,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n._id") != F.col("o._id"))
+            & (
+                F.least("n._n", "o._n")
+                >= F.lit(float(threshold)) * F.greatest("n._n", "o._n")
+            ),
+        )
+        .select(F.col("n._id").alias("_na"), F.col("o._id").alias("_ob"))
+        .distinct()
+    )
+    a = new_sets.alias("a")
+    b = index_sets.alias("b")
+    verified_no = (
+        cand_no.join(a, cand_no["_na"] == F.col("a._id"))
+        .join(b, cand_no["_ob"] == F.col("b._id"))
+        .select(
+            F.least("_na", "_ob").alias("id_a"),
+            F.greatest("_na", "_ob").alias("id_b"),
+            (
+                F.size(F.array_intersect("a._hs", "b._hs"))
+                / F.size(F.array_union("a._hs", "b._hs"))
+            ).alias("jaccard"),
+        )
+    )
+    cand_nn = _banded_set_candidates(new_sh, num_hashes, bands, size_ratio=threshold)
+    va = new_sets.withColumnRenamed("_id", "_vid").alias("va")
+    vb = new_sets.withColumnRenamed("_id", "_vid").alias("vb")
+    verified_nn = (
+        cand_nn.join(va, cand_nn["id_a"] == F.col("va._vid"))
+        .join(vb, cand_nn["id_b"] == F.col("vb._vid"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("va._hs", "vb._hs"))
+                / F.size(F.array_union("va._hs", "vb._hs"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified_no.unionByName(verified_nn).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

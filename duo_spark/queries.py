@@ -2819,6 +2819,42 @@ FROM r WHERE sample_rank <= 5
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.py
+    minhash_index + incremental_near_duplicates): the corpus (doc_id %
+    4 != 0) is banded ONCE into a persistable LSH index; the new batch
+    (doc_id % 4 == 0) probes it and self-checks, never re-shingling
+    old documents. The oracle is the exhaustive exact-Jaccard pair set
+    restricted to pairs touching the batch — banding recall at these
+    similarities is ~1 (see q_minhash_lsh)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    bands_df, sets_df = dedup.minhash_index(corpus, "doc_id", "text")
+    pairs = dedup.incremental_near_duplicates(
+        bands_df, sets_df, batch, "doc_id", "text", threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM docs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+WHERE j >= 0.5 AND (id_a % 4 = 0 OR id_b % 4 = 0)
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (streaming/joins.py) through the
     REAL Structured Streaming path: root spans (orders) and span logs
@@ -2977,6 +3013,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -212,3 +212,45 @@ def test_duplicated_spans_merges_disjoint_runs(spark):
     spans = dedup.duplicated_spans(df, window=8)
     got = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect())
     assert got == [(1, 0, 7), (1, 11, 18), (2, 0, 7), (3, 5, 12)]
+
+
+def test_incremental_matches_full_restricted(spark, docs):
+    """Index + incremental probe must find exactly the full-corpus
+    near-dup pairs that touch the new batch (old↔old pairs excluded
+    by construction, not by filtering)."""
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    bands_df, sets_df = dedup.minhash_index(corpus, "doc_id", "text")
+    inc = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.incremental_near_duplicates(
+            bands_df, sets_df, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+        if r.id_a % 3 == 0 or r.id_b % 3 == 0
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_index_roundtrips_parquet(spark, docs, tmp_path):
+    """The index is persistable: write/read through parquet and probe
+    the reloaded copy — identical pairs."""
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    bands_df, sets_df = dedup.minhash_index(corpus, "doc_id", "text")
+    bands_df.write.parquet(str(tmp_path / "bands"))
+    sets_df.write.parquet(str(tmp_path / "sets"))
+    direct = dedup.incremental_near_duplicates(
+        bands_df, sets_df, batch, "doc_id", "text", threshold=0.5)
+    reloaded = dedup.incremental_near_duplicates(
+        spark.read.parquet(str(tmp_path / "bands")),
+        spark.read.parquet(str(tmp_path / "sets")),
+        batch, "doc_id", "text", threshold=0.5)
+    a = sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in direct.collect())
+    b = sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in reloaded.collect())
+    assert a == b and len(a) > 0
