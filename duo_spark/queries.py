@@ -2730,8 +2730,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard; the oracle replays it with a recursive CTE."""
     from duo_spark.operators.sharding import pack_sequences
 
+    # _t, not _docs: the shard hash exchange already spreads the rows,
+    # so _docs' round-robin repartition would be a second, wasted
+    # shuffle (pinned to one exchange in tests/test_plans.py)
     n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    docs = _docs(spark, sf_dir).select(
+    docs = _t(spark, sf_dir, "documents").select(
         "doc_id", n_ws.cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, capacity=256, num_shards=8)

@@ -106,3 +106,45 @@ def test_chunk_documents_is_shuffle_free(spark, sf):
 def test_weighted_sample_is_scan_plus_topk(spark, sf):
     plan = _plan(QUERIES["weighted_sample"][0](spark, sf))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_overlap_is_equi_join_on_buckets(spark, sf):
+    """The bucketed interval join must plan as a hash/merge equi-join
+    on (key, bucket) — never a nested-loop over the inequality."""
+    plan = _plan(QUERIES["span_overlap"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_service_concurrency_windows_per_key(spark, sf):
+    """Sweep line = per-key window: hash exchange on the key, no
+    global (range-partitioned) sort anywhere."""
+    plan = _plan(QUERIES["service_concurrency"][0](spark, sf))
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf):
+    """The verify pass joins the stream against the (tiny) candidate
+    set via broadcast, and the exact count aggregates partially."""
+    plan = _plan(QUERIES["heavy_hitters"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf):
+    """Next-fit packing costs exactly ONE hash exchange (the shard
+    partitioner) — no sorts or extra shuffles around the Python pass."""
+    plan = _plan(QUERIES["pack_sequences"][0](spark, sf))
+    non_broadcast = [ln for ln in plan.splitlines()
+                     if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(non_broadcast) == 1, non_broadcast
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_sample_per_key_no_global_sort(spark, sf):
+    plan = _plan(QUERIES["sample_per_key"][0](spark, sf))
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
