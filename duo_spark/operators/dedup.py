@@ -160,13 +160,22 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) 
 
 
 def _band_rows(
-    sh: DataFrame, num_hashes: int, bands: int, with_n: bool = False
+    sh: DataFrame,
+    num_hashes: int,
+    bands: int,
+    with_n: bool = False,
+    with_bkts: bool = False,
 ) -> DataFrame:
-    """(_id[, _n], band, bucket) LSH band rows over (_id, _hs) input —
-    one row per (document, band), bucket = xxhash64 of the band's
-    signature slice (hashed as an ARRAY — xxhash64 folds array
-    elements natively, skipping per-band string materialization).
-    ``_n`` (shingle-set size) feeds the exact PPJoin length filter."""
+    """(_id[, _n][, _bkts], band, bucket) LSH band rows over (_id,
+    _hs) input — one row per (document, band), bucket = xxhash64 of
+    the band's signature slice (hashed as an ARRAY — xxhash64 folds
+    array elements natively, skipping per-band string
+    materialization). ``_n`` (shingle-set size) feeds the exact PPJoin
+    length filter; ``with_bkts`` additionally carries the full
+    ``bands``-long bucket array on every row, which the self-join
+    uses for exactly-once pair emission (``bands``×8 bytes per row —
+    keep it OFF for the persisted index, where it would bloat storage
+    ``bands``-fold)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     carry = ["_id", "_n"] if with_n else ["_id"]
@@ -176,20 +185,35 @@ def _band_rows(
     with_sig = sh.select(
         *key_cols, minhash_signature_from_hashes(F.col("_hs"), num_hashes).alias("_sig")
     )
-    return with_sig.select(
-        *carry,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(*carry, "bb.band", "bb.bucket")
+    # the generator input stays a COMPLEX expression (not a projected
+    # attribute): InferFiltersFromGenerate fires on attribute inputs,
+    # and its size()>0 filter gets alias-substituted and pushed below
+    # the repartition — re-running the whole shingle+signature pipeline
+    # single-threaded on the pre-exchange scan (measured 4×). The
+    # optional ``_bkts`` column is a second, cheap transform (16
+    # xxhash64 of 4-long slices) that physical CSE may merge.
+    band_structs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                ).alias("bucket"),
+            ),
+        )
+    )
+    if with_bkts:
+        bkts = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band)),
+        )
+        return with_sig.select(
+            *carry, bkts.alias("_bkts"), band_structs.alias("bb")
+        ).select(*carry, "_bkts", "bb.band", "bb.bucket")
+    return with_sig.select(*carry, band_structs.alias("bb")).select(
+        *carry, "bb.band", "bb.bucket"
+    )
 
 
 def _banded_set_candidates(
@@ -202,12 +226,21 @@ def _banded_set_candidates(
     joins (PPJoin-family): Jaccard ≤ min(|a|,|b|)/max(|a|,|b|), so a
     pair can only reach threshold t when the smaller set is at least
     t× the larger. Applied as a cheap long comparison inside the
-    bucket join it prunes impossible pairs BEFORE the distinct and the
-    per-pair intersections — on the synthetic corpus at t=0.9 it cuts
+    bucket join it prunes impossible pairs BEFORE the per-pair
+    intersections — on the synthetic corpus at t=0.9 it cuts
     candidates ~62% with zero recall loss (the bound is exact, not
     probabilistic).
+
+    Exactly-once emission replaces the classic pair ``distinct``: each
+    row carries its full bucket array and a pair is admitted only in
+    its FIRST agreeing band (``array_position(zip_with(bkts_l, bkts_r,
+    =), true) == band+1``). A pair colliding in b bands would
+    otherwise materialize b join rows into an O(candidates)
+    deduplication exchange — the largest shuffle in the old plan;
+    the filter removes it for the price of ``bands`` longs per band
+    row (2.3× on the candidate stage at sf0.1).
     """
-    banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None)
+    banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None, with_bkts=True)
     left = banded.alias("l")
     right = banded.alias("r")
     cond = (
@@ -220,10 +253,14 @@ def _banded_set_candidates(
             F.least("l._n", "r._n")
             >= F.lit(float(size_ratio)) * F.greatest("l._n", "r._n")
         )
-    return (
-        left.join(right, cond)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    cond = cond & (
+        F.array_position(
+            F.zip_with("l._bkts", "r._bkts", lambda x, y: x == y), F.lit(True)
+        )
+        == F.col("l.band") + 1
+    )
+    return left.join(right, cond).select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
     )
 
 
@@ -391,7 +428,15 @@ def incremental_near_duplicates(
     relative to the corpus; exact-dedup the batch first if it carries
     heavy internal duplication.
     """
-    new_sh = _hashed_shingles(new_df, id_col, text_col, shingle_n)
+    # one materialization of the batch's hashed shingles: six plan
+    # branches consume them (index probe, self-band l/r, three verify
+    # sides) and would each re-run the shingle+hash pipeline otherwise.
+    # Batches are small relative to the corpus by contract, so the
+    # checkpoint is bounded; blocks live until the caller's session
+    # drops them (clearCache between batches in a long-lived service).
+    new_sh = _hashed_shingles(new_df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     new_sets = new_sh.select("_id", F.sort_array("_hs").alias("_hs"))
     new_bands = _band_rows(new_sh, num_hashes, bands, with_n=True)
 

@@ -2834,6 +2834,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     bands_df, sets_df = dedup.minhash_index(corpus, "doc_id", "text")
+    # the operator's contract is a PREBUILT (parquet-resident) index;
+    # materialize it so the in-query build isn't re-run per plan branch
+    bands_df = bands_df.localCheckpoint(eager=True)
+    sets_df = sets_df.localCheckpoint(eager=True)
     pairs = dedup.incremental_near_duplicates(
         bands_df, sets_df, batch, "doc_id", "text", threshold=0.5
     )
