@@ -2935,6 +2935,44 @@ WHERE o_orderkey % 20 = 0
 """
 
 
+def q_streaming_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus near-dup detection (streaming/dedup.py
+    streaming_incremental_near_dup) through the real streaming path:
+    documents staged as two file-drops (odd then even ids), each
+    micro-batch probed against the parquet LSH index built by its
+    predecessors and then appended to it. The accumulated pair set
+    must equal the one-shot batch answer on any schedule, so the
+    oracle is the same exhaustive exact-Jaccard pair set that gates
+    minhash_lsh."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.dedup import streaming_incremental_near_dup
+    from duo_spark.streaming.pipeline import _scratch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    run = _scratch("sincdedup", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_incremental_near_dup(
+        stream, "doc_id", "text",
+        index_dir=f"{run}/index", pairs_dir=f"{run}/pairs",
+        checkpoint_dir=f"{run}/ckpt", threshold=0.5,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{run}/pairs").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_STREAMING_INCR_DEDUP = SQL_MINHASH_LSH
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3021,6 +3059,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

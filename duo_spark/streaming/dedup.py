@@ -46,3 +46,75 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def streaming_incremental_near_dup(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+):
+    """Continuous corpus-level near-dup detection: every micro-batch is
+    checked against the ENTIRE corpus seen so far, not just the
+    watermark horizon — the streaming composition of
+    `operators/dedup.py` minhash_index + incremental_near_duplicates.
+
+    Per batch (foreachBatch, serialized by Structured Streaming):
+
+    1. read the parquet LSH index accumulated by earlier batches
+       (band rows + canonical hashed-shingle sets);
+    2. emit exact-Jaccard pairs for batch↔corpus and batch↔batch to
+       ``pairs_dir``;
+    3. append the batch's own index rows to ``index_dir``.
+
+    Every pair of documents is emitted exactly once — in the batch of
+    its LATER member — so the accumulated pair set equals the batch
+    ``minhash_near_duplicates`` over the full corpus on ANY batch
+    schedule (pinned in tests and the oracle gate). All writes land
+    under ``batch=<id>`` subdirectories with overwrite, so a replayed
+    batch (failure recovery) rewrites its own output instead of
+    duplicating it — idempotent without a transactional sink.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from duo_spark.operators.dedup import incremental_near_duplicates, minhash_index
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        empty_bands, empty_sets = minhash_index(
+            batch.limit(0), id_col, text_col, num_hashes, bands, shingle_n
+        )
+        # clean first-batch probe via the Hadoop FS (any scheme) — a
+        # read-then-catch would log a WARN stack trace per batch
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/bands")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            idx_bands = spark.read.schema(empty_bands.schema).parquet(
+                f"{index_dir}/bands"
+            )
+            idx_sets = spark.read.schema(empty_sets.schema).parquet(f"{index_dir}/sets")
+        else:
+            idx_bands, idx_sets = empty_bands, empty_sets
+        pairs = incremental_near_duplicates(
+            idx_bands, idx_sets, batch, id_col, text_col,
+            threshold, num_hashes, bands, shingle_n,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        b_bands, b_sets = minhash_index(
+            batch, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        b_bands.write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
+        b_sets.write.mode("overwrite").parquet(f"{index_dir}/sets/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -406,3 +406,31 @@ def test_streaming_join_pairs_across_batches(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     got = sorted((r.trace_id, r.id, r.msg) for r in rows)
     assert got == [(1, 100, "in-range"), (2, 200, "same-batch")]
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path, docs_small=None):
+    """3-batch replay of a corpus through the foreachBatch incremental
+    LSH pipeline must yield EXACTLY the one-shot batch pair set —
+    each pair found once, in the batch of its later member."""
+    from duo_spark.operators import dedup as ddp
+    from duo_spark.streaming.dedup import streaming_incremental_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text")
+    src = str(tmp_path / "in")
+    for k in (0, 1, 2):  # three uneven file drops
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = streaming_incremental_near_dup(
+        stream, "doc_id", "text",
+        index_dir=str(tmp_path / "idx"), pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5)
+    q.awaitTermination()
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6)
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    want = {(r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in ddp.minhash_near_duplicates(
+                docs, "doc_id", "text", threshold=0.5).collect()}
+    assert got == want and len(got) > 0
