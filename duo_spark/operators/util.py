@@ -39,3 +39,53 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if est_bytes < target * _SMALL_INPUT_BYTES_PER_CORE * min_fraction * 2:
         return df.repartition(target)
     return df
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs currently holding storage (cached relations AND
+    eager localCheckpoints — the blocks several operators materialize
+    for plan reuse)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(int(it.next()._1()))
+    return out
+
+
+class checkpoint_scope:
+    """Context manager releasing the checkpoint/cache blocks created
+    inside it — the retention answer for long-lived services.
+
+    Several operators eagerly localCheckpoint intermediates (minhash
+    set tables, CC edge rounds, LM vocabularies, running-sum inputs)
+    because multiple plan branches reuse them. The blocks are owned by
+    the RETURNED lazy plans, so the operators cannot free them; in a
+    service that runs corpus after corpus they accumulate in executor
+    storage. Wrap each unit of work::
+
+        with checkpoint_scope(spark):
+            result = minhash_near_duplicates(...)
+            result.write.parquet(...)      # materialize INSIDE the scope
+
+    On exit, every RDD that gained storage inside the scope is
+    unpersisted (non-blocking). Results must be materialized before
+    exit — after it, their plans would recompute from source. Scopes
+    nest (inner exits release only inner blocks); blocks persisted
+    before entry are untouched.
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._before: set[int] = set()
+
+    def __enter__(self):
+        self._before = persistent_rdd_ids(self.spark)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        sc = self.spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            if int(t._1()) not in self._before:
+                t._2().unpersist(False)

@@ -163,3 +163,30 @@ def test_pack_sequences_validates_params(spark):
         pack_sequences(df, capacity=0, num_shards=2)
     with pytest.raises(ValueError):
         pack_sequences(df, capacity=10, num_shards=0)
+
+
+# ---------------------------------------------------------------------
+# checkpoint_scope (operators/util.py) — service retention hygiene
+# ---------------------------------------------------------------------
+
+def test_checkpoint_scope_releases_blocks(spark):
+    """Blocks checkpointed inside the scope are gone after exit;
+    pre-existing blocks survive; results materialized inside stay
+    correct."""
+    from pyspark.sql import functions as F
+    from duo_spark.operators import dedup
+    from duo_spark.operators.util import checkpoint_scope, persistent_rdd_ids
+
+    outer = (spark.range(10).localCheckpoint(eager=True))
+    base = persistent_rdd_ids(spark)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3}") for i in range(60)],
+        "doc_id long, text string")
+    with checkpoint_scope(spark):
+        pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        got = pairs.count()
+        assert persistent_rdd_ids(spark) > base  # something was pinned
+    assert persistent_rdd_ids(spark) == base     # …and released
+    assert outer.count() == 10                   # pre-existing block intact
+    assert got > 0
+    outer.unpersist()
