@@ -140,6 +140,7 @@ def sample_frames(
     frame_bytes: int = 64,
     stride: int | None = None,
     max_frames: int | None = None,
+    with_hash: bool = False,
 ) -> DataFrame:
     """One-to-many media explode: split each payload into fixed-size
     byte frames (video frame-sampling / audio windowing plumbing).
@@ -149,13 +150,18 @@ def sample_frames(
     slicing below is the deterministic, library-free stand-in — the
     Arrow batch shape, the fan-out schema, and the bounded
     ``max_frames`` cap are the parts that carry over unchanged.
-    Per-frame checksum = sum of frame bytes (exact, oracle-replayable).
+    Per-frame checksum = sum of frame bytes (exact, oracle-replayable);
+    ``with_hash`` adds a per-frame md5 hex digest — the collision-safe
+    identity that cross-asset frame dedup (:func:`duplicate_frames`)
+    groups on.
 
     Scale: mapInPandas streams scan batches, each task emits only its
     own rows (no shuffle); the payload is dropped at this boundary so
     downstream aggregation never carries binary. ``max_frames`` bounds
     the fan-out of a pathological payload.
     """
+    import hashlib
+
     import numpy as np
 
     step = stride or frame_bytes
@@ -166,6 +172,7 @@ def sample_frames(
             idxs: list[int] = []
             lens: list[int] = []
             sums: list[int] = []
+            digs: list[str] = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
@@ -179,13 +186,64 @@ def sample_frames(
                     idxs.append(i)
                     lens.append(len(fr))
                     sums.append(int(fr.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_bytes": pd.Series(lens, dtype="int64"),
-                    "checksum": pd.Series(sums, dtype="int64"),
-                }
-            )
+                    if with_hash:
+                        digs.append(hashlib.md5(fr.tobytes()).hexdigest())
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_bytes": pd.Series(lens, dtype="int64"),
+                "checksum": pd.Series(sums, dtype="int64"),
+            }
+            if with_hash:
+                out["frame_md5"] = pd.Series(digs, dtype="object")
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, FRAME_SCHEMA)
+    schema = FRAME_SCHEMA
+    if with_hash:
+        schema = T.StructType(
+            [*FRAME_SCHEMA.fields, T.StructField("frame_md5", T.StringType(), False)]
+        )
+    return media.mapInPandas(run, schema)
+
+
+def duplicate_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int | None = None,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Cross-asset duplicate-frame report: per media item, how many of
+    its frames also occur (byte-identical) in at least one OTHER item —
+    the frame-hash near-dup detector of video pipelines (shared intro/
+    outro/black frames), on the same sampled-frame plumbing.
+
+    Shape: frame hashes from one mapInPandas pass (binary never
+    shuffles); a (hash → min/max media) aggregate marks cross-asset
+    hashes; a semi-join + per-media aggregate yields exact counts.
+    Both shuffles are hash-partitioned on the frame digest — uniform
+    by construction.
+
+    Output: (media_id, n_frames, n_dup_frames, dup_ratio).
+    """
+    fr = sample_frames(media, frame_bytes, stride, max_frames, with_hash=True)
+    dup = (
+        fr.groupBy("frame_md5")
+        .agg(F.min("media_id").alias("_mn"), F.max("media_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("frame_md5")
+    )
+    flagged = fr.join(dup, "frame_md5", "left_semi").groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_dup_frames")
+    )
+    per = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        per.join(flagged, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            F.coalesce("n_dup_frames", F.lit(0)).alias("n_dup_frames"),
+            F.round(
+                F.coalesce("n_dup_frames", F.lit(0)) / F.col("n_frames"), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -2973,6 +2973,43 @@ def q_streaming_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_INCR_DEDUP = SQL_MINHASH_LSH
 
 
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset duplicate-frame detection (operators/multimodal.py
+    duplicate_frames): byte-identical 64-byte frames shared across
+    media items, per-item exact counts. The corpus is pure ASCII, so
+    DuckDB replays the frame bytes as text substrings and md5 agrees
+    across engines."""
+    from duo_spark.operators.multimodal import duplicate_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return duplicate_frames(media, frame_bytes=64, max_frames=6)
+
+
+SQL_MULTIMODAL_FRAME_DEDUP = """
+WITH frames AS (
+  SELECT doc_id AS media_id, f.i AS idx, substr(text, f.i*64 + 1, 64) AS fr
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) f
+  WHERE f.i*64 < length(text) OR (f.i = 0 AND length(text) > 0)),
+dup AS (
+  SELECT fr FROM frames GROUP BY fr
+  HAVING min(media_id) != max(media_id)),
+flagged AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_dup_frames
+  FROM frames WHERE fr IN (SELECT fr FROM dup) GROUP BY media_id),
+per AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames FROM frames GROUP BY media_id)
+SELECT p.media_id, p.n_frames,
+       COALESCE(f.n_dup_frames, 0) AS n_dup_frames,
+       round(COALESCE(f.n_dup_frames, 0) / CAST(p.n_frames AS DOUBLE), 6) AS dup_ratio
+FROM per p LEFT JOIN flagged f USING (media_id)
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3060,6 +3097,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
+    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

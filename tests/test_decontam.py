@@ -102,3 +102,26 @@ def test_scrub_pii(spark):
     assert "<NUMBER>" in got[2] and "4111111111111111" not in got[2]
     assert "pin 123 ok" in got[2]  # short digit runs survive
     assert got[3] == "clean text stays clean"
+
+
+# ---------------------------------------------------------------------
+# duplicate_frames (operators/multimodal.py)
+# ---------------------------------------------------------------------
+
+def test_duplicate_frames_cross_asset_only(spark):
+    """Frames shared WITHIN one asset don't count; byte-identical
+    frames across assets do; counts and ratios exact."""
+    from duo_spark.operators.multimodal import duplicate_frames
+
+    a = b"A" * 8 + b"B" * 8          # frames: AAAA.., BBBB..
+    b_ = b"A" * 8 + b"C" * 8         # shares frame A with a
+    c = b"D" * 8 + b"D" * 8          # internal repeat only
+    media = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b_)), (3, bytearray(c))],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: (r.n_frames, r.n_dup_frames, r.dup_ratio)
+           for r in duplicate_frames(media, frame_bytes=8).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)     # self-duplicate frames not flagged
