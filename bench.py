@@ -32,8 +32,10 @@ from duo_spark.session import get_spark  # noqa: E402
 #: - streaming_* / compaction_roundtrip / store_* queries: they time
 #:   sink + checkpoint setup, not query execution, and are gated for
 #:   correctness instead.
-#: - multimodal_*: the decode step is a stub in this container, so its
-#:   runtime is not meaningful.
+#: - multimodal_stats/features/frames: the decode step is a stub in
+#:   this container, so their runtime is not meaningful.
+#:   multimodal_frame_dedup IS included — its frame hashing and dedup
+#:   aggregates are real byte-level work.
 BENCH_QUERIES = [
     "logs_search",
     "logs_pagination",
@@ -89,6 +91,10 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "sample_per_key",
     "incremental_dedup",
+    "events_rollup",
+    "events_pivot",
+    "customer_set_ops",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -3010,6 +3010,97 @@ FROM per p LEFT JOIN flagged f USING (media_id)
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (§2.4 breadth): event counts and value sums
+    at (event_type, day), (event_type), and grand-total levels in one
+    pass — Spark's rollup() is a single shuffle producing all three
+    grouping sets (partial-aggregated), vs three separate scans.
+    NULL grouping columns are coalesced to sentinels so the hash
+    compare is unambiguous."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum("value"), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (§2.4): per-user event counts pivoted by event type —
+    Spark's pivot() with an explicit value list stays one shuffle with
+    map-side partial aggregation (an unlisted-values pivot would need
+    a driver round-trip to discover columns). The oracle replays it as
+    conditional aggregation, which is also the plan Spark generates."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7): customers who ordered in 1996 but
+    not 1997, and in both years — set semantics (DISTINCT rows), which
+    Spark plans as aggregates/anti-joins, never a cartesian. One row
+    per customer with its set membership."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    y96 = o.filter(F.col("y") == 1996).select("o_custkey").distinct()
+    y97 = o.filter(F.col("y") == 1997).select("o_custkey").distinct()
+    only96 = y96.exceptAll(y97).select(
+        "o_custkey", F.lit("1996_only").alias("membership")
+    )
+    both = y96.intersect(y97).select(
+        "o_custkey", F.lit("both").alias("membership")
+    )
+    return only96.unionByName(both)
+
+
+SQL_CUSTOMER_SET_OPS = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT o_custkey, '1996_only' AS membership FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+UNION ALL
+SELECT o_custkey, 'both' FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3098,6 +3189,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
