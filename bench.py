@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_pivot",
     "customer_set_ops",
     "multimodal_frame_dedup",
+    "ann_quantized",
 ]
 
 

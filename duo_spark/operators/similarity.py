@@ -705,3 +705,76 @@ def ivf_search_indexed(
         F.spark_partition_id().alias("_pid"),
     )
     return _topk_two_phase(scored, k, id_col, query_id_col)
+
+
+# ---------------------------------------------------------------------
+# int8 quantization + exact-rescore ANN
+# ---------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[i] = round(x[i]/s),
+    s = max|x|/127 — the standard 4× storage/bandwidth reduction for
+    embedding tables (float32 → int8 + one float scale).
+
+    For COSINE the scales cancel (cos(q_a, q_b) needs no dequant), so
+    a quantized index answers similarity queries without touching the
+    float vectors; :func:`cosine_topk_quantized` uses that for its
+    coarse pass. Pure Column arithmetic, scan-side, no shuffle.
+    A zero vector gets scale 1 (all-zero codes) rather than a 0/0.
+    """
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    s = F.when(max_abs > 0.0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    df = df.withColumn(scale_col, s)
+    q = F.transform(v, lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"))
+    return df.withColumn(q_col, q)
+
+
+def cosine_topk_quantized(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+) -> DataFrame:
+    """Two-pass ANN over an int8-quantized table: coarse cosine on the
+    int8 codes admits ``k*refine`` candidates (scan + per-partition
+    heap, zero shuffle — same TakeOrderedAndProject shape as the
+    float brute force, but streaming 4× fewer bytes), then the exact
+    float cosine re-scores ONLY those candidates and keeps the top k.
+
+    At 100 TB the coarse pass is the whole scan cost and the refine
+    pass is k·refine rows — the quantization error only matters if a
+    true top-k vector falls outside the top k·refine coarse window,
+    which int8's ~0.2% code error makes vanishingly unlikely for any
+    real margin; ``refine`` is the knob when it isn't.
+    """
+    if k <= 0 or refine < 1:
+        raise ValueError("k must be positive and refine >= 1")
+    import math
+
+    qs = max(abs(float(v)) for v in query_vec) / 127.0 or 1.0
+    # HALF_UP (away from zero), matching F.round / SQL round — python's
+    # built-in round is banker's and would flip .5 codes cross-engine
+    qq = [math.copysign(math.floor(abs(float(x) / qs) + 0.5), x) for x in query_vec]
+    qlit = F.array(*[F.lit(int(x)) for x in qq])
+    coarse = (
+        df.select(id_col, vec_col, cosine(F.col(q_col), qlit).alias("_coarse"))
+        .orderBy(F.col("_coarse").desc(), F.col(id_col).asc())
+        .limit(k * refine)
+    )
+    fq = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        coarse.select(F.col(id_col), cosine(F.col(vec_col), fq).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

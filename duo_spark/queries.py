@@ -3101,6 +3101,56 @@ SELECT o_custkey, 'both' FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN with exact rescore (operators/similarity.py
+    quantize_embeddings + cosine_topk_quantized): the coarse pass
+    streams 4×-smaller codes (scales cancel in cosine), the refine
+    pass re-scores k·refine candidates with the float vectors. The
+    oracle replays the quantization arithmetic AND the coarse pruning
+    exactly — the same replicate-the-pruning pattern as ivf_search."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qt = similarity.quantize_embeddings(emb.filter(F.col("vec_id") != 0))
+    topk = similarity.cosine_topk_quantized(qt, list(qvec), k=10, refine=4)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_ANN_QUANTIZED = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qmax AS (SELECT greatest(list_max(list_transform(qe, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM q),
+qq AS (
+  SELECT list_transform(q.qe, x -> round(CAST(x AS DOUBLE) / (CASE WHEN qmax.m > 0 THEN qmax.m/127.0 ELSE 1.0 END)))
+         AS qv
+  FROM q, qmax),
+t AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0
+              ELSE 1.0 END AS s
+  FROM embeddings WHERE vec_id <> 0),
+codes AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)/s)) AS c
+  FROM t),
+coarse AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, 65), i -> c[i] * qq.qv[i]))
+         / (sqrt(list_sum(list_transform(c, x -> x*x)))
+          * sqrt(list_sum(list_transform(qq.qv, x -> x*x)))) AS cc
+  FROM codes, qq
+  ORDER BY cc DESC, vec_id ASC LIMIT 40),
+fine AS (
+  SELECT coarse.vec_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(coarse.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(coarse.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+  FROM coarse, q)
+SELECT vec_id, round(cos, 6) AS cosine
+FROM fine ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3192,6 +3242,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

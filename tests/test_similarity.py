@@ -358,3 +358,48 @@ def test_semantic_dedup_threshold_margin_dominates_float_noise(emb):
     vn = v / np.linalg.norm(v, axis=1, keepdims=True)
     s = (vn @ vn.T)[np.triu_indices(len(rows), 1)]
     assert np.abs(s - 0.4).min() > 1e-7
+
+
+# ---------------------------------------------------------------------
+# int8 quantization + rescore ANN
+# ---------------------------------------------------------------------
+
+def test_quantized_topk_matches_exact(spark):
+    """On the gate embeddings, the quantized coarse pass + float
+    rescore returns the SAME top-10 as the float brute force."""
+    from duo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [(r.vec_id, round(r.cosine, 6)) for r in
+             sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).collect()]
+    qt = sim.quantize_embeddings(emb.filter(F.col("vec_id") != 0))
+    quant = [(r.vec_id, round(r.cosine, 6)) for r in
+             sim.cosine_topk_quantized(qt, qvec, k=10, refine=4).collect()]
+    assert quant == exact
+
+
+def test_quantize_embeddings_codes_and_zero_vector(spark):
+    from duo_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [127.0, -63.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in sim.quantize_embeddings(df).collect()}
+    assert rows[1].q_embedding == [127, -64, 0]   # HALF_UP away from zero
+    assert rows[1].q_scale == 1.0
+    assert rows[2].q_embedding == [0, 0, 0]       # zero vector -> scale 1
+    assert rows[2].q_scale == 1.0
+
+
+def test_quantized_topk_validates_params(spark):
+    from duo_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    qt = sim.quantize_embeddings(df)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sim.cosine_topk_quantized(qt, [1.0], k=0)
+    with _pytest.raises(ValueError):
+        sim.cosine_topk_quantized(qt, [1.0], k=1, refine=0)
