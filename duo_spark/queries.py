@@ -3151,6 +3151,62 @@ FROM fine ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/joins.py
+    streaming_enrich_static): a span stream joined per-micro-batch to
+    the static customer dimension — the stream never shuffles, the
+    dimension broadcasts. Two file-drops exercise re-broadcast across
+    triggers; oracle = the equivalent batch left join."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.joins import streaming_enrich_static
+    from duo_spark.streaming.pipeline import _scratch
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("trace_id"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("name"),
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    run = _scratch("senrich", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    half = F.expr("(trace_id div 50) % 2")
+    o.filter(half == 1).coalesce(1).write.parquet(src)
+    o.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("trace_id long, custkey long, name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_enrich_static(stream, dim, on="custkey", how="left")
+    name = f"senrich_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT trace_id, custkey, name, segment, nationkey FROM {name}"
+    )
+
+
+SQL_STREAMING_ENRICH = """
+SELECT o_orderkey AS trace_id, o_custkey AS custkey,
+       o_orderpriority AS name, c_mktsegment AS segment,
+       c_nationkey AS nationkey
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 50 = 0
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3243,6 +3299,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -63,3 +63,23 @@ def streaming_span_log_join(
         & (F.col(f"l.{l_time}") <= F.col(f"s.{span_time}") + F.expr(f"INTERVAL {window}"))
     )
     return left.join(right, cond, "inner").drop(F.col(f"l.{key}"))
+
+
+def streaming_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a streaming DataFrame with a batch
+    dimension table — the streaming counterpart of the batch process
+    enrichment (operators/traces.py enrich_process; reference joins
+    spans to their Process at render time, `duo/src/web/services.rs`).
+
+    Spark broadcasts the static side into every micro-batch, so the
+    stream never shuffles and the dimension is re-read per trigger
+    (a dimension UPDATE is picked up on the next batch — unlike a
+    broadcast variable, which would freeze it). Keep the dimension
+    small or pre-filtered: it is scanned per micro-batch.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -434,3 +434,25 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path, docs_small=No
             for r in ddp.minhash_near_duplicates(
                 docs, "doc_id", "text", threshold=0.5).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_enrich_static_rebroadcast(spark, tmp_path):
+    """Stream-static left join: every batch sees the dimension;
+    unmatched stream rows keep NULLs; plan never shuffles the stream."""
+    from duo_spark.streaming.joins import streaming_enrich_static
+
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "k long, tier string")
+    rows = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9)], "event long, k long")
+    src = str(tmp_path / "in")
+    rows.filter(F.col("event") != 12).coalesce(1).write.parquet(src)
+    rows.filter(F.col("event") == 12).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("event long, k long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = streaming_enrich_static(stream, dim, on="k", how="left")
+    q = (out.writeStream.format("memory").queryName("senr_unit")
+         .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.event, r.tier) for r in spark.sql("SELECT * FROM senr_unit").collect()}
+    assert got == {(10, "gold"), (11, "silver"), (12, None)}
