@@ -3207,6 +3207,46 @@ WHERE o_orderkey % 50 = 0
 """
 
 
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window breadth (§2.5): orders bucketed into value
+    quartiles within their priority class, rolled up to exact
+    per-bucket stats. The ntile order is made total (price, orderkey)
+    so bucket membership is engine-independent; money stays integer
+    cents through the aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents.asc(), F.col("o_orderkey").asc()
+    )
+    q = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+SQL_ORDER_QUARTILES = """
+WITH q AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+         AS quartile
+  FROM orders)
+SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM q GROUP BY 1, 2
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3300,6 +3340,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
+    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
