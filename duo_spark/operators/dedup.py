@@ -164,18 +164,18 @@ def _band_rows(
     num_hashes: int,
     bands: int,
     with_n: bool = False,
-    with_bkts: bool = False,
 ) -> DataFrame:
-    """(_id[, _n][, _bkts], band, bucket) LSH band rows over (_id,
-    _hs) input — one row per (document, band), bucket = xxhash64 of
-    the band's signature slice (hashed as an ARRAY — xxhash64 folds
-    array elements natively, skipping per-band string
-    materialization). ``_n`` (shingle-set size) feeds the exact PPJoin
-    length filter; ``with_bkts`` additionally carries the full
-    ``bands``-long bucket array on every row, which the self-join
-    uses for exactly-once pair emission (``bands``×8 bytes per row —
-    keep it OFF for the persisted index, where it would bloat storage
-    ``bands``-fold)."""
+    """(_id[, _n], band, bucket) LSH band rows over (_id, _hs) input —
+    one row per (document, band), bucket = xxhash64 of the band's
+    signature slice (hashed as an ARRAY — xxhash64 folds array
+    elements natively, skipping per-band string materialization).
+    ``_n`` (shingle-set size) feeds the exact PPJoin length filter.
+
+    The generator input stays a COMPLEX expression (not a projected
+    attribute): InferFiltersFromGenerate fires on attribute inputs,
+    and its size()>0 filter gets alias-substituted and pushed below
+    the repartition — re-running the whole shingle+signature pipeline
+    single-threaded on the pre-exchange scan (measured 4×)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     carry = ["_id", "_n"] if with_n else ["_id"]
@@ -185,13 +185,6 @@ def _band_rows(
     with_sig = sh.select(
         *key_cols, minhash_signature_from_hashes(F.col("_hs"), num_hashes).alias("_sig")
     )
-    # the generator input stays a COMPLEX expression (not a projected
-    # attribute): InferFiltersFromGenerate fires on attribute inputs,
-    # and its size()>0 filter gets alias-substituted and pushed below
-    # the repartition — re-running the whole shingle+signature pipeline
-    # single-threaded on the pre-exchange scan (measured 4×). The
-    # optional ``_bkts`` column is a second, cheap transform (16
-    # xxhash64 of 4-long slices) that physical CSE may merge.
     band_structs = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -203,14 +196,6 @@ def _band_rows(
             ),
         )
     )
-    if with_bkts:
-        bkts = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band)),
-        )
-        return with_sig.select(
-            *carry, bkts.alias("_bkts"), band_structs.alias("bb")
-        ).select(*carry, "_bkts", "bb.band", "bb.bucket")
     return with_sig.select(*carry, band_structs.alias("bb")).select(
         *carry, "bb.band", "bb.bucket"
     )
@@ -226,21 +211,22 @@ def _banded_set_candidates(
     joins (PPJoin-family): Jaccard ≤ min(|a|,|b|)/max(|a|,|b|), so a
     pair can only reach threshold t when the smaller set is at least
     t× the larger. Applied as a cheap long comparison inside the
-    bucket join it prunes impossible pairs BEFORE the per-pair
-    intersections — on the synthetic corpus at t=0.9 it cuts
+    bucket join it prunes impossible pairs BEFORE the distinct and the
+    per-pair intersections — on the synthetic corpus at t=0.9 it cuts
     candidates ~62% with zero recall loss (the bound is exact, not
     probabilistic).
 
-    Exactly-once emission replaces the classic pair ``distinct``: each
-    row carries its full bucket array and a pair is admitted only in
-    its FIRST agreeing band (``array_position(zip_with(bkts_l, bkts_r,
-    =), true) == band+1``). A pair colliding in b bands would
-    otherwise materialize b join rows into an O(candidates)
-    deduplication exchange — the largest shuffle in the old plan;
-    the filter removes it for the price of ``bands`` longs per band
-    row (2.3× on the candidate stage at sf0.1).
+    Pair dedup is the classic two-phase ``distinct`` — measured
+    DELIBERATELY against the "emit only in the first agreeing band"
+    alternative (carry the full bucket array per row, filter
+    ``array_position(zip_with(bkts_l, bkts_r, =), true) == band+1``,
+    no distinct): a wash at sf0.1 and 3× SLOWER on a 10×-replica
+    corpus (19M candidate pairs) — the per-probed-row zip_with CPU
+    and the ``bands``-long arrays riding through the join cost more
+    than the distinct's map-side-combined 16-byte-pair exchange ever
+    does. Interleaved min-of-3 A/B, round 4.
     """
-    banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None, with_bkts=True)
+    banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None)
     left = banded.alias("l")
     right = banded.alias("r")
     cond = (
@@ -253,14 +239,10 @@ def _banded_set_candidates(
             F.least("l._n", "r._n")
             >= F.lit(float(size_ratio)) * F.greatest("l._n", "r._n")
         )
-    cond = cond & (
-        F.array_position(
-            F.zip_with("l._bkts", "r._bkts", lambda x, y: x == y), F.lit(True)
-        )
-        == F.col("l.band") + 1
-    )
-    return left.join(right, cond).select(
-        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+    return (
+        left.join(right, cond)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
     )
 
 
