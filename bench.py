@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "customer_set_ops",
     "multimodal_frame_dedup",
     "ann_quantized",
+    "service_pagerank",
 ]
 
 

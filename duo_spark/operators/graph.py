@@ -191,3 +191,76 @@ def connected_components(
         )
     )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over an edge list — e.g. ranking services by
+    how much call traffic flows INTO them through the dependency graph
+    (operators/traces.py service_dependencies), the "criticality"
+    score a service map colors by.
+
+    Standard iteration: r'(v) = (1-d)/n + d·(Σ_{u→v} r(u)·w(u,v)/W(u)
+    + dangling_mass/n), where W(u) is u's total out-weight and the
+    rank of dangling nodes (no out-edges) is redistributed uniformly,
+    so Σr = 1 at every step (asserted in tests). Unweighted graphs
+    pass ``weight=None`` (every edge counts 1).
+
+    Scale: the rank vector is (node, double) rows — joins against the
+    edge list are plain equi-joins on the node id, partial-aggregated;
+    each iteration localCheckpoints the new vector (k rows, k = node
+    count) so lineage stays flat, and the dangling mass is ONE driver
+    scalar per iteration. ``iterations`` is fixed (the usual
+    production choice) — convergence-tested variants can compare
+    successive vectors with the same machinery.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_tot"))
+    # out-normalized transition weights, built once
+    trans = e.join(outw, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_tot")).alias("_p")
+    ).localCheckpoint(eager=True)
+    sources = trans.select(F.col("_s").alias("node")).distinct()
+    d = float(damping)
+    pr = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        dangling = (
+            pr.join(sources, "node", "left_anti").agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contrib = (
+            pr.join(trans, pr["node"] == trans["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * (F.coalesce("_c", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pr.unpersist()
+        pr = nxt
+    return pr

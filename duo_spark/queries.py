@@ -3247,6 +3247,57 @@ FROM q GROUP BY 1, 2
 """
 
 
+def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the service dependency graph
+    (operators/graph.py pagerank ∘ operators/traces.py
+    service_dependencies): services ranked by call-traffic flow, 5
+    iterations at damping 0.85, dangling mass redistributed. The
+    oracle replays the identical iteration as chained CTEs."""
+    from duo_spark.operators.graph import pagerank
+    from duo_spark.operators.traces import service_dependencies
+
+    deps = service_dependencies(spans_view(spark, sf_dir))
+    pr = pagerank(
+        deps, src="parent_service", dst="child_service", weight="calls",
+        damping=0.85, iterations=5,
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+dg{i} AS (SELECT COALESCE(sum(r), 0) AS m FROM {prev}
+          WHERE node NOT IN (SELECT _s FROM trans)),
+c{i} AS (SELECT t._d AS node, sum(p.r * t._p) AS c
+         FROM {prev} p JOIN trans t ON p.node = t._s GROUP BY 1),
+p{i} AS (SELECT n.node,
+                (1 - {d})/nn.n + {d} * (COALESCE(c.c, 0) + dg{i}.m/nn.n) AS r
+         FROM nodes n CROSS JOIN nn
+         LEFT JOIN c{i} c ON c.node = n.node CROSS JOIN dg{i})""")
+        prev = f"p{i}"
+    return f"""
+WITH {{spans_cte}},
+deps AS (
+  SELECT p.process_id AS _s, c.process_id AS _d,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM spans c JOIN spans p ON c.parent_id = p.id
+  GROUP BY 1, 2),
+trans AS (
+  SELECT _s, _d, w / sum(w) OVER (PARTITION BY _s) AS _p FROM deps),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT _s AS node FROM deps UNION ALL SELECT _d FROM deps)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+p0 AS (SELECT node, 1.0/nn.n AS r FROM nodes CROSS JOIN nn),{",".join(steps)}
+SELECT node, round(r, 6) AS rank FROM {prev}
+"""
+
+
+SQL_SERVICE_PAGERANK = _pagerank_sql().format(spans_cte=SPANS_CTE.strip())
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3341,6 +3392,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
+    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

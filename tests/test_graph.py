@@ -94,3 +94,47 @@ def test_near_dup_clusters_singletons_and_canonicals(spark):
         7: (7, True),
     }
     assert len(rows) == 7
+
+
+# ---------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Distributed PR == dense numpy power iteration on a graph with a
+    dangling node, weighted edges, and a cycle; ranks sum to 1."""
+    import numpy as np
+    from duo_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+             ("c", "a", 1.0), ("b", "d", 2.0)]  # d is dangling
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r["rank"] for r in
+           pagerank(df, weight="w", damping=0.85, iterations=7).collect()}
+    nodes = ["a", "b", "c", "d"]
+    P = np.zeros((4, 4))
+    idx = {n: i for i, n in enumerate(nodes)}
+    outw = {}
+    for s, t, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, t, w in edges:
+        P[idx[t], idx[s]] = w / outw[s]
+    r = np.full(4, 0.25)
+    for _ in range(7):
+        dang = sum(r[idx[n]] for n in nodes if n not in outw)
+        r = 0.15 / 4 + 0.85 * (P @ r + dang / 4)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, (n, got[n], r[idx[n]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_unweighted_and_validation(spark):
+    from duo_spark.operators.graph import pagerank
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got = {r.node: r["rank"] for r in pagerank(df, iterations=1).collect()}
+    # n=2: y gets (1-d)/2 + d*(0.5 + 0)  [x's full rank, no dangling->x had outedge; y dangling]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
