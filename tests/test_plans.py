@@ -148,3 +148,30 @@ def test_sample_per_key_no_global_sort(spark, sf):
     plan = _plan(QUERIES["sample_per_key"][0](spark, sf))
     assert "Window" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ann_quantized_is_double_take_ordered(spark, sf):
+    """Coarse pass and refine pass are both per-partition heaps
+    (TakeOrderedAndProject); no shuffle joins, no cartesians."""
+    plan = _plan(QUERIES["ann_quantized"][0](spark, sf))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_order_quartiles_windows_per_priority(spark, sf):
+    plan = _plan(QUERIES["order_quartiles"][0](spark, sf))
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_events_pivot_two_stage_aggregate(spark, sf):
+    """Explicit-values pivot is Spark's standard two-stage shape: a
+    pre-aggregate on (key, pivot value) then the pivot aggregate on
+    the key — exactly two hash exchanges, no per-column scans, no
+    global sort."""
+    plan = _plan(QUERIES["events_pivot"][0](spark, sf))
+    non_broadcast = [ln for ln in plan.splitlines()
+                     if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(non_broadcast) == 2, non_broadcast
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("FileScan") == 1
