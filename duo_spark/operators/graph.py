@@ -242,8 +242,12 @@ def pagerank(
     d = float(damping)
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
     for _ in range(iterations):
+        # dangling mass stays IN the plan: a one-row aggregate cross
+        # joined onto the update, so each iteration is a single action
+        # (the checkpoint) with no driver round-trip
         dangling = (
-            pr.join(sources, "node", "left_anti").agg(F.sum("rank")).first()[0] or 0.0
+            pr.join(sources, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             pr.join(trans, pr["node"] == trans["_s"])
@@ -252,11 +256,13 @@ def pagerank(
         )
         nxt = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1.0 - d) / n)
-                    + F.lit(d) * (F.coalesce("_c", F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(d)
+                    * (F.coalesce("_c", F.lit(0.0)) + F.col("_dang") / F.lit(float(n)))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
