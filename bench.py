@@ -129,18 +129,31 @@ def main() -> None:
 
     # per-query fault isolation: one broken operator must not zero out
     # the whole round's perf signal — record the error, keep going, and
-    # ALWAYS emit the summary JSON line
+    # ALWAYS emit the summary JSON line.
+    #
+    # min of TWO measured runs per query (since round 4): the sf0.001
+    # warmup compiles the sf0.001-shaped plan, but AQE picks different
+    # join strategies at sf0.1, so the first sf0.1 run of a query still
+    # pays Janino codegen for plan variants it has never seen (measured
+    # ±40% on the LSH family). The second run is steady state — which
+    # is what a long-lived engine's latency actually is.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
-        t0 = time.perf_counter()
-        try:
-            _force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                _force(fn(spark, sf_dir))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+                break
+        if best is not None and name not in errors:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
