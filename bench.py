@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "multimodal_frame_dedup",
     "ann_quantized",
     "service_pagerank",
+    "events_latest",
 ]
 
 

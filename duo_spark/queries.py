@@ -3298,6 +3298,36 @@ SELECT node, round(r, 6) AS rank FROM {prev}
 SQL_SERVICE_PAGERANK = _pagerank_sql().format(spans_cte=SPANS_CTE.strip())
 
 
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation (§2.4): each user's latest event — the
+    materialized 'current state' view of a change stream, computed
+    with max_by in ONE hash aggregate (no per-key window sort, no
+    self-join on max ts). Ties on ts broken by event_id via the
+    (ts, event_id) struct ordering, so the row choice is total."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(_ts_us().alias("t"), F.col("event_id").alias("e"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max(_ts_us()).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id", "last_type",
+        F.round("last_value", 4).alias("last_value"),
+        "last_ts", "n_events",
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id,
+       first(event_type ORDER BY epoch_us(ts) DESC, event_id DESC) AS last_type,
+       round(first("value" ORDER BY epoch_us(ts) DESC, event_id DESC), 4) AS last_value,
+       max(epoch_us(ts)) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3393,6 +3423,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
