@@ -77,3 +77,35 @@ def test_mg_merge_weighted_feed():
     _mg_merge(w, ["a", "b"] + [f"z{i}" for i in range(40)], [50, 30] + [1] * 40, cap)
     assert len(w) <= cap
     assert "a" in w and "b" in w
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=10),
+)
+def test_mg_merge_properties(chunks, cap, chunk_size):
+    """For ANY weighted stream, chunking, and capacity: the summary
+    never exceeds capacity, and every value with total weight >
+    total/(cap+1) survives."""
+    cnt: dict = {}
+    for i in range(0, len(chunks), chunk_size):
+        part = chunks[i : i + chunk_size]
+        _mg_merge(cnt, [v for v, _ in part], [w for _, w in part], cap)
+        assert len(cnt) <= cap
+    totals = Counter()
+    for v, w in chunks:
+        totals[v] += w
+    grand = sum(totals.values())
+    for v, w in totals.items():
+        if w * (cap + 1) > grand:
+            assert v in cnt, (v, w, grand, cap, cnt)
