@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ann_quantized",
     "service_pagerank",
     "events_latest",
+    "hybrid_rrf",
 ]
 
 

