@@ -120,6 +120,8 @@ def max_concurrency(
     key: str,
     start: str = "start",
     end: str = "end",
+    method: str = "chunked",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-key peak number of simultaneously-open CLOSED intervals.
 
@@ -132,6 +134,23 @@ def max_concurrency(
     maximum does not: equal-time deltas of the same sign reach the
     same extreme regardless of order, and opposite signs sort apart.
 
+    Two formulations, pinned equal in tests:
+
+    - ``"chunked"`` (default): the two-level running-sum
+      decomposition (same machinery as sharding.with_running_total,
+      keyed). Events range-partition by (key, t, d desc), so one
+      key's sweep splits across MANY tasks; per-(key, partition)
+      local running sums are shifted by driver-computed chunk offsets
+      (≤ partitions + keys rows collected — the partitioner gives
+      each key a contiguous partition range). Parallelism is the
+      cluster width, not the key count — a 10×-replica probe showed
+      the per-key window serializing on 3 service keys (3 tasks on 32
+      cores, linear wall growth) while this path keeps every core
+      busy.
+    - ``"window"``: one hash shuffle + a per-key ordered window.
+      Simplest plan; right when keys are plentiful and individually
+      small.
+
     Output: (key, peak) — one row per key, exact.
     """
     ev = df.select(
@@ -139,13 +158,60 @@ def max_concurrency(
     ).unionByName(
         df.select(F.col(key), (F.col(end) + 1).alias("_t"), F.lit(-1).alias("_d"))
     )
-    w = (
-        Window.partitionBy(key)
+    if method == "window":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("_t"), F.col("_d").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            ev.withColumn("_run", F.sum("_d").over(w))
+            .groupBy(key)
+            .agg(F.max("_run").cast("long").alias("peak"))
+        )
+    if method != "chunked":
+        raise ValueError(f"method must be 'chunked' or 'window', got {method!r}")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # ties across a chunk boundary must split consistently with the
+    # sweep order, so d desc participates in the range partitioning
+    d = (
+        ev.repartitionByRange(n, F.col(key), F.col("_t"), F.col("_d").desc())
+        .sortWithinPartitions(F.col(key), F.col("_t"), F.col("_d").desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    chunk_totals = (
+        d.groupBy("_pid", key).agg(F.sum("_d").alias("_tot")).collect()
+    )
+    # exclusive per-key prefix over partition-ordered chunks
+    by_key: dict = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(chunk_totals, key=lambda r: (str(r[key]), r["_pid"])):
+        k = r[key]
+        offsets[(r["_pid"], k)] = by_key.get(k, 0)
+        by_key[k] = by_key.get(k, 0) + int(r["_tot"])
+    entries = list(offsets.items()) or [((-1, ""), 0)]
+    off = F.create_map(
+        *[
+            x
+            for (pid, k), v in entries
+            for x in (
+                F.concat_ws("", F.lit(str(pid)), F.lit(str(k))),
+                F.lit(v),
+            )
+        ]
+    )
+    lw = (
+        Window.partitionBy("_pid", key)
         .orderBy(F.col("_t"), F.col("_d").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    run = F.sum("_d").over(lw) + F.coalesce(
+        off[F.concat_ws("", F.col("_pid").cast("string"), F.col(key).cast("string"))],
+        F.lit(0),
+    ).cast("long")
     return (
-        ev.withColumn("_run", F.sum("_d").over(w))
+        d.withColumn("_run", run)
         .groupBy(key)
         .agg(F.max("_run").cast("long").alias("peak"))
     )

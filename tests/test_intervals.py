@@ -106,3 +106,28 @@ def test_max_concurrency_closed_interval_touch(spark):
         [("a", 0, 10), ("a", 10, 20)], "key string, start long, end long"
     )
     assert max_concurrency(df, key="key").collect()[0].peak == 2
+
+
+def test_max_concurrency_methods_agree(spark, ivals):
+    """Chunked two-level sweep == per-key window sweep, across chunk
+    counts that force keys to straddle partition boundaries."""
+    want = {r.key: r.peak for r in
+            max_concurrency(ivals, key="key", method="window").collect()}
+    for n in (2, 5, 17):
+        got = {r.key: r.peak for r in
+               max_concurrency(ivals, key="key", method="chunked",
+                               num_partitions=n).collect()}
+        assert got == want, n
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        max_concurrency(ivals, key="key", method="nope")
+
+
+def test_max_concurrency_chunked_tie_at_boundary(spark):
+    """Massive same-timestamp event group spanning chunk boundaries:
+    the (key, t, d desc) range split keeps opens before closes, so the
+    peak is exact."""
+    rows = [("k", 100, 100 + i % 3) for i in range(500)]  # all open at t=100
+    df = spark.createDataFrame(rows, "key string, start long, end long")
+    got = max_concurrency(df, key="key", method="chunked", num_partitions=8).collect()
+    assert got[0].peak == 500
