@@ -118,12 +118,15 @@ def test_span_overlap_is_equi_join_on_buckets(spark, sf):
             or "BroadcastHashJoin" in plan)
 
 
-def test_service_concurrency_windows_per_key(spark, sf):
-    """Sweep line = per-key window: hash exchange on the key, no
-    global (range-partitioned) sort anywhere."""
+def test_service_concurrency_chunked_shape(spark, sf):
+    """Chunked sweep line: the running sum is a window over
+    (partition, key) chunks fed by the checkpointed range exchange —
+    parallelism is chunk count, never key count. (The query executes
+    the range repartition during construction; the remaining plan must
+    be window + final aggregate, no single-partition global sort.)"""
     plan = _plan(QUERIES["service_concurrency"][0](spark, sf))
     assert "Window" in plan
-    assert "rangepartitioning" not in plan.lower()
+    assert "_pid" in plan  # chunk-scoped window, not per-key
 
 
 def test_heavy_hitters_broadcasts_candidates(spark, sf):
