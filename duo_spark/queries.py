@@ -3212,7 +3212,13 @@ def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles within their priority class, rolled up to exact
     per-bucket stats. The ntile order is made total (price, orderkey)
     so bucket membership is engine-independent; money stays integer
-    cents through the aggregate."""
+    cents through the aggregate.
+
+    Scale note: exact NTILE needs each partition class's total order,
+    so parallelism is bounded by class count (5 here) — fine for
+    low-volume classes; for a rank over few huge keys use the chunked
+    two-level decomposition (operators/intervals.py max_concurrency
+    'chunked' shows the pattern) or percentile_approx buckets."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_orderpriority").orderBy(
