@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "service_pagerank",
     "events_latest",
     "hybrid_rrf",
+    "events_resample",
 ]
 
 

@@ -3418,6 +3418,54 @@ ORDER BY round(rrf, 6) DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: per event type, DAILY
+    buckets over the observed range with empty days materialized as
+    zero rows — the densification every charting layer needs. The
+    bucket spine is sequence()+explode over the per-type min/max day
+    (tiny: types × days), left-joined against the real counts; a
+    missing day costs one spine row, never a scan."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    counts = ev.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min(day).alias("_lo"), F.max(day).alias("_hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("_lo", "_hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n, round(sum("value"), 4) AS sv
+  FROM events GROUP BY 1, 2),
+rng AS (
+  SELECT event_type, min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events GROUP BY 1),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM rng)
+SELECT s.event_type, CAST(s.day AS VARCHAR) AS day,
+       COALESCE(c.n, 0) AS n, COALESCE(c.sv, 0.0) AS sum_value
+FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.day = c.day
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -3515,6 +3563,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     # oracle-replayed approximate operators (pruning replicated in SQL)
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
