@@ -235,3 +235,21 @@ def test_trace_waterfall_local_semantics(spark):
     assert not [r for r in rows if r["trace_id"] == 3]  # orphan dropped
     shallow = trace_waterfall(_tree_spans(spark), max_depth=2, method="local").collect()
     assert {r["id"] for r in shallow} == {10, 11, 12, 20, 21}
+
+
+def test_span_depths_distincts_are_load_bearing(spark, sf_dir):
+    """The driver's synthetic lineitem carries duplicate
+    (orderkey, linenumber) pairs, so spans_view has duplicate span ids
+    — span_depths' per-level distincts are semantics, not overhead: a
+    dedup-free BFS measured 0.4s faster and returned 1.09M rows for
+    750k spans at sf0.1. Pin: one (id, depth) row per distinct id, and
+    the waterfall returns exactly one row per INPUT span row."""
+    from duo_spark.queries import spans_view
+
+    sv = spans_view(spark, sf_dir)
+    n_rows = sv.count()
+    n_ids = sv.select("id").distinct().count()
+    assert n_ids < n_rows  # the duplicate-id property actually holds
+    d = span_depths(sv)
+    assert d.count() == d.select("id").distinct().count()
+    assert trace_waterfall(sv).count() == n_rows
