@@ -143,16 +143,25 @@ def sample_per_key(
     a row is evicted only when n new rows hash below it, never by
     reordering.
 
-    One key-hash shuffle + per-group sort (bounded groups assumed —
-    per-key windows are fine when no single key dominates; for
-    pathological keys compose with :func:`hash_sample` first to thin
-    the group below the window threshold). Adds ``sample_rank``
-    (1-based hash rank within the group).
+    Two-phase top-n (the cosine_topk_many pattern): phase 1 keeps each
+    SCAN partition's n best rows per key via a (partition, key) window
+    — no shuffle, every core busy regardless of key count; phase 2
+    ranks only the surviving ≤ n × partitions rows per key. A single
+    hot key never serializes the full corpus through one task — only
+    its bounded survivor set. Adds ``sample_rank`` (1-based hash rank
+    within the group).
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    w = Window.partitionBy(key).orderBy(hash_bucket(id_col, salt), F.col(id_col))
+    order = [hash_bucket(id_col, salt), F.col(id_col)]
+    local = Window.partitionBy(F.spark_partition_id(), key).orderBy(*order)
+    survivors = (
+        df.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= n)
+        .drop("_lr")
+    )
+    w = Window.partitionBy(key).orderBy(*order)
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
+        survivors.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )

@@ -131,3 +131,19 @@ def test_sample_per_key_rejects_bad_n(spark):
     import pytest
     with pytest.raises(ValueError, match="n must be"):
         sample_per_key(df, "key", 0, "doc_id")
+
+
+def test_sample_per_key_partitioning_invariant(spark):
+    """The two-phase prefilter must not change the result under any
+    input partitioning (phase-1 locality is an optimization, never a
+    semantics change)."""
+    from duo_spark.operators.sampling import sample_per_key
+
+    rows = [(i, f"k{i % 2}") for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, key string")
+    want = sorted((r.key, r.doc_id, r.sample_rank) for r in
+                  sample_per_key(base.coalesce(1), "key", 7, "doc_id").collect())
+    for parts in (3, 16, 64):
+        got = sorted((r.key, r.doc_id, r.sample_rank) for r in
+                     sample_per_key(base.repartition(parts), "key", 7, "doc_id").collect())
+        assert got == want, parts
