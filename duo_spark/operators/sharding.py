@@ -164,3 +164,82 @@ def pack_sequences(
         .groupBy("_shard")
         .applyInPandas(pack, schema=f"{id_col} long, shard long, seq long, seq_fill long")
     )
+
+
+def keyed_row_number(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key 1-based rank in ``order_cols`` order WITHOUT a per-key
+    window — the keyed generalization of :func:`with_running_total`'s
+    two-level trick, for ranking a FEW HUGE keys (where
+    ``Window.partitionBy(key)`` serializes each key through one task).
+
+    Events range-partition by (key, *order), so one key's rows spread
+    over many chunks; each chunk computes local row numbers and the
+    driver turns per-(chunk, key) counts (≤ partitions + keys rows)
+    into exclusive offsets. (key, *order) must be a total order —
+    equal sort keys land in one chunk but their relative rank would
+    be partitioner-dependent across reruns.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, F.col(key), *order_cols)
+        .sortWithinPartitions(F.col(key), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = d.groupBy("_pid", key).agg(F.count(F.lit(1)).alias("_c")).collect()
+    seen: dict = {}
+    offsets: dict = {}
+    for r in sorted(counts, key=lambda r: (str(r[key]), r["_pid"])):
+        k = r[key]
+        offsets[(r["_pid"], k)] = seen.get(k, 0)
+        seen[k] = seen.get(k, 0) + int(r["_c"])
+    entries = list(offsets.items()) or [((-1, ""), 0)]
+    off = F.create_map(
+        *[x for (pid, k), v in entries for x in (F.lit(f"{pid}|{k}"), F.lit(v))]
+    )
+    lw = Window.partitionBy("_pid", key).orderBy(*order_cols)
+    rn = F.row_number().over(lw) + F.coalesce(
+        off[F.concat_ws("|", F.col("_pid").cast("string"), F.col(key).cast("string"))],
+        F.lit(0),
+    ).cast("int")
+    return d.withColumn(out_col, rn.cast("long")).drop("_pid")
+
+
+def ntile_by_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    tiles: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL NTILE semantics per key — the first (count mod tiles)
+    buckets get the extra row — computed from the chunked
+    :func:`keyed_row_number` plus per-key totals, in closed form:
+    parallelism is chunk count, never key count (exact NTILE through
+    ``Window.partitionBy(key)`` serializes each key; see the
+    service_concurrency probe in SCALING.md for the same failure
+    mode).
+    """
+    if tiles < 1:
+        raise ValueError(f"tiles must be >= 1, got {tiles}")
+    ranked = keyed_row_number(df, key, order_cols, "_rn", num_partitions)
+    totals = ranked.groupBy(key).agg(F.max("_rn").alias("_tot"))
+    big = F.ceil(F.col("_tot") / tiles).cast("long")          # size of the fat buckets
+    nbig = (F.col("_tot") % tiles).cast("long")               # how many are fat
+    small = (F.col("_tot") / tiles).cast("long")              # integer floor
+    cut = nbig * big                                          # rows in fat buckets
+    tile = F.when(
+        F.col("_rn") <= cut, F.ceil(F.col("_rn") / big)
+    ).otherwise(nbig + F.ceil((F.col("_rn") - cut) / F.greatest(small, F.lit(1))))
+    return (
+        ranked.join(F.broadcast(totals), key)
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_rn", "_tot")
+    )

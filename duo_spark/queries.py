@@ -3214,11 +3214,11 @@ def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so bucket membership is engine-independent; money stays integer
     cents through the aggregate.
 
-    Scale note: exact NTILE needs each partition class's total order,
-    so parallelism is bounded by class count (5 here) — fine for
-    low-volume classes; for a rank over few huge keys use the chunked
-    two-level decomposition (operators/intervals.py max_concurrency
-    'chunked' shows the pattern) or percentile_approx buckets."""
+    Scale note: exact NTILE through a per-class window bounds
+    parallelism by class count (5 here) — fine for low-volume classes;
+    for few huge keys use operators/sharding.py ntile_by_key (chunked
+    two-level ranks + the closed-form fat-bucket rule, pinned equal to
+    F.ntile in tests)."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_orderpriority").orderBy(

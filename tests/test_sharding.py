@@ -190,3 +190,47 @@ def test_checkpoint_scope_releases_blocks(spark):
     assert outer.count() == 10                   # pre-existing block intact
     assert got > 0
     outer.unpersist()
+
+
+# ---------------------------------------------------------------------
+# keyed_row_number / ntile_by_key (chunked per-key ranking)
+# ---------------------------------------------------------------------
+
+def test_keyed_row_number_matches_window(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from duo_spark.operators.sharding import keyed_row_number
+
+    import random
+    rng = random.Random(13)
+    rows = [(f"k{rng.randint(0, 2)}", rng.random(), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, v double, id long")
+    want = {(r.key, r.id): r.rn for r in df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("key").orderBy("v", "id"))).collect()}
+    for n in (3, 8, 33):
+        got = {(r.key, r.id): r.rn for r in
+               keyed_row_number(df, "key", [F.col("v"), F.col("id")],
+                                num_partitions=n).collect()}
+        assert got == want, n
+
+
+def test_ntile_by_key_matches_sql_ntile(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from duo_spark.operators.sharding import ntile_by_key
+
+    import random
+    rng = random.Random(29)
+    # uneven group sizes force the fat-bucket rule
+    rows = [(f"k{rng.randint(0, 3)}", rng.random(), i) for i in range(457)]
+    df = spark.createDataFrame(rows, "key string, v double, id long")
+    for tiles in (1, 3, 4, 7):
+        want = {(r.key, r.id): r.t for r in df.withColumn(
+            "t", F.ntile(tiles).over(W.partitionBy("key").orderBy("v", "id"))).collect()}
+        got = {(r.key, r.id): r.tile for r in
+               ntile_by_key(df, "key", [F.col("v"), F.col("id")], tiles,
+                            num_partitions=9).collect()}
+        assert got == want, tiles
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tiles"):
+        ntile_by_key(df, "key", [F.col("v")], 0)
