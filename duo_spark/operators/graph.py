@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duo_spark.operators.util import release_rdd_ids, tracked_local_checkpoint
+
 
 def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """(src, dst) long edges with src < dst, nulls and self-loops dropped."""
@@ -222,25 +224,31 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
-    ).localCheckpoint(eager=True)
-    nodes = (
+    e, scratch_ids = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    )
+    nodes, ids = tracked_local_checkpoint(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    scratch_ids |= ids
     n = nodes.count()
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_tot"))
     # out-normalized transition weights, built once
-    trans = e.join(outw, "_s").select(
-        "_s", "_d", (F.col("_w") / F.col("_tot")).alias("_p")
-    ).localCheckpoint(eager=True)
+    trans, ids = tracked_local_checkpoint(
+        e.join(outw, "_s").select(
+            "_s", "_d", (F.col("_w") / F.col("_tot")).alias("_p")
+        )
+    )
+    scratch_ids |= ids
     sources = trans.select(F.col("_s").alias("node")).distinct()
     d = float(damping)
-    pr = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
+    pr, pr_ids = tracked_local_checkpoint(
+        nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    )
     for _ in range(iterations):
         # dangling mass stays IN the plan: a one-row aggregate cross
         # joined onto the update, so each iteration is a single action
@@ -254,7 +262,7 @@ def pagerank(
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
         )
-        nxt = (
+        nxt, nxt_ids = tracked_local_checkpoint(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -265,8 +273,12 @@ def pagerank(
                     * (F.coalesce("_c", F.lit(0.0)) + F.col("_dang") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-        pr.unpersist()
-        pr = nxt
+        # DataFrame.unpersist would NOT free localCheckpoint blocks —
+        # release the superseded rank vector through its tracked RDD ids
+        release_rdd_ids(spark, pr_ids)
+        pr, pr_ids = nxt, nxt_ids
+    # the returned plan reads only the final checkpointed rank vector;
+    # edge/node/transition scratch blocks are no longer reachable
+    release_rdd_ids(spark, scratch_ids)
     return pr

@@ -63,9 +63,17 @@ def interval_join(
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
 
+    # exact integer FLOOR division: `div` truncates toward zero, which
+    # would make buckets around t=0 double-width and mis-bucket negative
+    # (pre-1970 / signed-relative) timestamps; float division on 1e15-µs
+    # epochs can round across a bucket boundary.  `(x - pmod(x, w)) div w`
+    # is exact floor division for any sign.
+    def fdiv(expr: str) -> str:
+        return f"(({expr}) - pmod(({expr}), {w})) div {w}"
+
     def burst(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(
-            "_b", F.explode(F.sequence(F.expr(f"`{s}` div {w}"), F.expr(f"`{e}` div {w}")))
+            "_b", F.explode(F.sequence(F.expr(fdiv(f"`{s}`")), F.expr(fdiv(f"`{e}`"))))
         )
 
     lb = burst(left, l_start, l_end)
@@ -75,9 +83,7 @@ def interval_join(
         F.col(on).alias("_k_r"),
         *[F.col(c).alias(f"{c}_r") for c in right.columns if c != on],
     )
-    # exact integer `div` (float division on 1e15-µs epochs can round
-    # across a bucket boundary)
-    emit_once = F.expr(f"greatest(`{l_start}`, `{r_start}_r`) div {w}")
+    emit_once = F.expr(fdiv(f"greatest(`{l_start}`, `{r_start}_r`)"))
     return (
         lb.join(rb, (F.col(on) == F.col("_k_r")) & (lb["_b"] == rb["_b"]))
         .filter(
@@ -191,14 +197,15 @@ def max_concurrency(
         offsets[(r["_pid"], k)] = by_key.get(k, 0)
         by_key[k] = by_key.get(k, 0) + int(r["_tot"])
     entries = list(offsets.items()) or [((-1, ""), 0)]
+    # "|" separator keeps the composite key unambiguous AND visible in
+    # review: pid is an integer (never contains "|"), so pid=1/key="2api"
+    # and pid=12/key="api" cannot collide (same scheme as
+    # sharding.keyed_row_number).
     off = F.create_map(
         *[
             x
             for (pid, k), v in entries
-            for x in (
-                F.concat_ws("", F.lit(str(pid)), F.lit(str(k))),
-                F.lit(v),
-            )
+            for x in (F.lit(f"{pid}|{k}"), F.lit(v))
         ]
     )
     lw = (
@@ -207,7 +214,7 @@ def max_concurrency(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = F.sum("_d").over(lw) + F.coalesce(
-        off[F.concat_ws("", F.col("_pid").cast("string"), F.col(key).cast("string"))],
+        off[F.concat_ws("|", F.col("_pid").cast("string"), F.col(key).cast("string"))],
         F.lit(0),
     ).cast("long")
     return (

@@ -204,10 +204,12 @@ def keyed_row_number(
         *[x for (pid, k), v in entries for x in (F.lit(f"{pid}|{k}"), F.lit(v))]
     )
     lw = Window.partitionBy("_pid", key).orderBy(*order_cols)
-    rn = F.row_number().over(lw) + F.coalesce(
+    # offset must stay long: a single key exceeding 2^31 rows would
+    # silently wrap an int32 offset (ANSI off) into wrong/negative ranks
+    rn = F.row_number().over(lw).cast("long") + F.coalesce(
         off[F.concat_ws("|", F.col("_pid").cast("string"), F.col(key).cast("string"))],
         F.lit(0),
-    ).cast("int")
+    ).cast("long")
     return d.withColumn(out_col, rn.cast("long")).drop("_pid")
 
 

@@ -52,6 +52,39 @@ def persistent_rdd_ids(spark) -> set[int]:
     return out
 
 
+def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager localCheckpoint that also reports which RDD ids gained
+    storage, so iterative operators can free a superseded snapshot.
+
+    ``DataFrame.unpersist`` only clears cacheManager entries — it does
+    NOT release localCheckpoint RDD blocks, so an iterative algorithm
+    that checkpoints per round (pagerank's rank vector) would otherwise
+    accumulate every round's blocks in executor storage for the session
+    lifetime. Pair with :func:`release_rdd_ids` when the snapshot is
+    superseded. The id diff attributes any block persisted between the
+    two snapshots to this checkpoint — exact for the single-driver
+    service loop this engine runs; concurrent jobs in the same session
+    could be over-released (they would recompute, not corrupt).
+    """
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, persistent_rdd_ids(spark) - before
+
+
+def release_rdd_ids(spark, ids: set[int]) -> None:
+    """Non-blocking unpersist of the given RDD ids (no-op for ids that
+    already vanished)."""
+    if not ids:
+        return
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if int(t._1()) in ids:
+            t._2().unpersist(False)
+
+
 class checkpoint_scope:
     """Context manager releasing the checkpoint/cache blocks created
     inside it — the retention answer for long-lived services.

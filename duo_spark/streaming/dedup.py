@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from duo_spark.operators.dedup import normalize_text
 
@@ -77,9 +78,13 @@ def streaming_incremental_near_dup(
     its LATER member — so the accumulated pair set equals the batch
     ``minhash_near_duplicates`` over the full corpus on ANY batch
     schedule (pinned in tests and the oracle gate). All writes land
-    under ``batch=<id>`` subdirectories with overwrite, so a replayed
-    batch (failure recovery) rewrites its own output instead of
-    duplicating it — idempotent without a transactional sink.
+    under ``batch=<id>`` subdirectories with overwrite, and index reads
+    filter to ``batch < batch_id``: a replayed batch (crash after the
+    index append but before the checkpoint commit) therefore never sees
+    its OWN band/set rows — which would double-emit every batch-internal
+    pair — and never sees a torn bands-without-sets write, because the
+    only partially-written batch id is the one being replayed.
+    Idempotent without a transactional sink.
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
@@ -92,13 +97,35 @@ def streaming_incremental_near_dup(
         )
         # clean first-batch probe via the Hadoop FS (any scheme) — a
         # read-then-catch would log a WARN stack trace per batch
-        hpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/bands")
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
-            idx_bands = spark.read.schema(empty_bands.schema).parquet(
-                f"{index_dir}/bands"
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        bands_path = jpath(f"{index_dir}/bands")
+        sets_path = jpath(f"{index_dir}/sets")
+        fs = bands_path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+        def with_batch(schema):  # fresh copy — StructType.add mutates
+            return T.StructType(
+                list(schema.fields) + [T.StructField("batch", T.LongType())]
             )
-            idx_sets = spark.read.schema(empty_sets.schema).parquet(f"{index_dir}/sets")
+
+        # both dirs must exist (a crash between the bands and sets
+        # writes of the FIRST batch leaves bands present, sets absent),
+        # and batch < batch_id: a replayed batch must not probe its own
+        # index rows (they'd re-emit every batch-internal pair in both
+        # orientations), and the only batch id that can hold a torn
+        # bands-without-sets write IS the replayed one
+        if fs.exists(bands_path) and fs.exists(sets_path):
+            idx_bands = (
+                spark.read.schema(with_batch(empty_bands.schema))
+                .parquet(f"{index_dir}/bands")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+            idx_sets = (
+                spark.read.schema(with_batch(empty_sets.schema))
+                .parquet(f"{index_dir}/sets")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
         else:
             idx_bands, idx_sets = empty_bands, empty_sets
         pairs = incremental_near_duplicates(

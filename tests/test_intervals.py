@@ -131,3 +131,41 @@ def test_max_concurrency_chunked_tie_at_boundary(spark):
     df = spark.createDataFrame(rows, "key string, start long, end long")
     got = max_concurrency(df, key="key", method="chunked", num_partitions=8).collect()
     assert got[0].peak == 500
+
+
+def test_max_concurrency_digit_prefixed_keys(spark):
+    """Composite (pid, key) offset keys must be unambiguous: with the
+    old separator-less encoding, pid=1/key="2api" and pid=12/key="api"
+    collided ("12api"), swapping offsets or raising duplicate-map-key.
+    Many digit-prefixed keys across many chunks force such collisions
+    if the encoding is ambiguous."""
+    rng = random.Random(7)
+    keys = [f"{d}api" for d in ["", "1", "2", "12", "21", "112"]]
+    rows = []
+    for i, k in enumerate(keys):
+        for j in range(80):
+            s = rng.randint(0, 1_000)
+            rows.append((k, s, s + rng.randint(0, 200)))
+    df = spark.createDataFrame(rows, "key string, start long, end long")
+    want = {r.key: r.peak for r in
+            max_concurrency(df, key="key", method="window").collect()}
+    for n in (2, 13, 32):
+        got = {r.key: r.peak for r in
+               max_concurrency(df, key="key", method="chunked",
+                               num_partitions=n).collect()}
+        assert got == want, n
+
+
+def test_interval_join_negative_timestamps(spark):
+    """Floor (not truncate-toward-zero) bucketing: intervals straddling
+    t=0 and fully-negative intervals still pair exactly once at every
+    width."""
+    rows = [("a", i, s, s + d) for i, (s, d) in enumerate(
+        [(-250, 30), (-240, 5), (-100, 150), (-10, 20), (0, 7), (5, 100), (-3, 3)])]
+    df = spark.createDataFrame(rows, "key string, id long, start long, end long")
+    want = _naive_pairs(df.collect())
+    for width in (7, 64, 1_000):
+        got = overlap_pairs(df, key="key", id_col="id", bucket_width=width).collect()
+        got_keys = [(r.key, r.id, r.id_r) for r in got]
+        assert len(got_keys) == len(set(got_keys)), (width, "duplicate pair")
+        assert set(got_keys) == want, width

@@ -1,0 +1,53 @@
+"""Registry hygiene: the QUERIES dict, the driver entry points, and
+OPERATORS.md must stay in sync — a registry reorder (round 5 moved the
+39 never-driver-verified queries into the driver's first-50 window)
+must not silently drop an oracle or orphan a docs row."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _registry():
+    from duo_spark.queries import QUERIES
+    return QUERIES
+
+
+def test_every_query_has_an_oracle():
+    """Every registered query ships DuckDB oracle SQL (the driver's
+    weaker rows-only fallback is reserved for genuinely
+    non-SQL-expressible ops — currently none)."""
+    missing = [k for k, (_fn, sql) in _registry().items() if not sql]
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_entry_points_mirror_registry():
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    reg = _registry()
+    assert list(q) == list(reg)          # same names, same ORDER
+    assert set(o) <= set(q)
+    assert set(o) == {k for k, (_f, sql) in reg.items() if sql is not None}
+
+
+def test_operators_md_matches_registry():
+    md = (REPO / "OPERATORS.md").read_text()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \|", md, re.M)
+    reg = set(_registry())
+    assert set(rows) == reg, (
+        f"OPERATORS.md drift: missing={sorted(reg - set(rows))} "
+        f"stale={sorted(set(rows) - reg)}"
+    )
+    assert len(rows) == len(set(rows)), "duplicate OPERATORS.md rows"
+
+
+def test_registry_names_unique_and_wellformed():
+    reg = _registry()
+    assert len(reg) == len(set(reg))
+    for k in reg:
+        assert re.fullmatch(r"[a-z0-9_]+", k), k

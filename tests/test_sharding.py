@@ -185,9 +185,16 @@ def test_checkpoint_scope_releases_blocks(spark):
     with checkpoint_scope(spark):
         pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
         got = pairs.count()
-        assert persistent_rdd_ids(spark) > base  # something was pinned
-    assert persistent_rdd_ids(spark) == base     # …and released
-    assert outer.count() == 10                   # pre-existing block intact
+        inside = persistent_rdd_ids(spark)
+        # compare only ids CREATED inside the scope: earlier tests'
+        # non-blocking unpersist(False) can asynchronously drop ids out
+        # of `base` between snapshots, so a strict-superset check on the
+        # full set is racy (flaked in the round-4 full-suite run)
+        created = inside - base
+        assert created                            # something was pinned
+    after = persistent_rdd_ids(spark)
+    assert not (after & created)                  # …and released
+    assert outer.count() == 10                    # pre-existing block intact
     assert got > 0
     outer.unpersist()
 
