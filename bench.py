@@ -29,13 +29,17 @@ from duo_spark.session import get_spark  # noqa: E402
 #:   0.75 vs ~9k at 0.9), so the run would mostly measure pair
 #:   materialization, not the banded-join candidate machinery already
 #:   covered by ngram_jaccard_strong and minhash_lsh.
-#: - streaming_* / compaction_roundtrip / store_* queries: they time
-#:   sink + checkpoint setup, not query execution, and are gated for
-#:   correctness instead.
+#: - streaming_* / compaction_roundtrip / store_retention /
+#:   store_pruned_scan / hotcold_search: they time sink + checkpoint /
+#:   store-write setup (each builds its store or checkpoint inside the
+#:   query call), not query execution, and are gated for correctness
+#:   instead.
 #: - multimodal_stats/features/frames: the decode step is a stub in
 #:   this container, so their runtime is not meaningful.
 #:   multimodal_frame_dedup IS included — its frame hashing and dedup
 #:   aggregates are real byte-level work.
+#: Every other registry query is benched (test_registry-adjacent check
+#: below: BENCH_QUERIES + EXCLUDED == registry).
 BENCH_QUERIES = [
     "logs_search",
     "logs_pagination",
@@ -100,7 +104,45 @@ BENCH_QUERIES = [
     "events_latest",
     "hybrid_rrf",
     "events_resample",
+    # storage/codec/lookup family (round 5): cheap insurance that the
+    # point-lookup, codec, and filter plans keep their shape as the
+    # engine grows
+    "logs_keyword",
+    "point_lookup",
+    "in_list",
+    "distinct_operations",
+    "trace_logs",
+    "process_enrich",
+    "timing_codec",
+    "level_codec",
+    "customers_no_orders",
+    "fingerprint",
+    "token_count",
+    "quality_score",
+    "embedding_near_dup",
+    "topk_batch",
+    "ivf_assign",
+    "order_quartiles",
 ]
+
+#: registry entries intentionally NOT benched — each reason above.
+BENCH_EXCLUDED = {
+    "ngram_jaccard",
+    "streaming_span_merge",
+    "streaming_parquet_sink",
+    "streaming_dedup",
+    "streaming_features",
+    "streaming_join",
+    "streaming_incr_dedup",
+    "streaming_enrich",
+    "compaction_roundtrip",
+    "store_retention",
+    "store_pruned_scan",
+    "hotcold_search",
+    "multimodal_stats",
+    "multimodal_features",
+    "multimodal_frames",
+}
 
 
 def _force(df) -> None:

@@ -51,3 +51,17 @@ def test_registry_names_unique_and_wellformed():
     assert len(reg) == len(set(reg))
     for k in reg:
         assert re.fullmatch(r"[a-z0-9_]+", k), k
+
+
+def test_bench_covers_registry():
+    """Every registry query is either benched or explicitly excluded
+    with a documented reason — bench coverage can't silently rot."""
+    import bench
+
+    reg = set(_registry())
+    benched = set(bench.BENCH_QUERIES)
+    assert len(bench.BENCH_QUERIES) == len(benched), "duplicate bench entries"
+    assert benched <= reg, f"bench names not in registry: {benched - reg}"
+    assert not (benched & bench.BENCH_EXCLUDED)
+    uncovered = reg - benched - bench.BENCH_EXCLUDED
+    assert not uncovered, f"registry queries neither benched nor excluded: {uncovered}"
