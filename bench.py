@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "topk_batch",
     "ivf_assign",
     "order_quartiles",
+    # round-5 additions
+    "canonical_docs",
+    "leakage_split",
+    "zorder_layout",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -798,6 +798,40 @@ def near_dup_clusters(
     )
 
 
+def select_canonical(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick the QUALITY winner of each duplicate cluster — the doc to
+    keep when collapsing a dup group (highest ``quality_col``, lowest
+    id on ties), instead of near_dup_clusters' arbitrary min-id
+    canonical.
+
+    Output: one row per input doc — (id_col, cluster_col, keep bool).
+
+    Scale: the winner is a single map-side-combinable ``max(struct)``
+    aggregate per cluster joined back to the membership — never a
+    per-cluster window, so a pathological giant cluster costs one
+    combine chain, not one sorted task.
+    """
+    idc = F.col(id_col).cast("long")
+    j = clusters.select(idc.alias(id_col), cluster_col).join(
+        docs.select(idc.alias(id_col), F.col(quality_col).cast("long").alias("_q")),
+        id_col,
+    )
+    winners = (
+        j.groupBy(cluster_col)
+        .agg(F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid"))).alias("_w"))
+        .select(cluster_col, (-F.col("_w._nid")).alias("_win"))
+    )
+    return j.join(winners, cluster_col).select(
+        id_col, cluster_col, (F.col(id_col) == F.col("_win")).alias("keep")
+    )
+
+
 # ---------------------------------------------------------------------
 # substring-level (window) duplication — the exact-substring family of
 # Lee et al., "Deduplicating Training Data Makes Language Models

@@ -165,3 +165,35 @@ def sample_per_key(
         survivors.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    train_fraction: float = 0.8,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/holdout split that hashes the DUPLICATE
+    CLUSTER, not the document: near-duplicate documents always land in
+    the same split, so a held-out eval set can never be contaminated
+    by a training-set near-copy of itself (the standard leakage mode
+    of doc-level random splits — see also operators/decontam.py for
+    splitting against an EXTERNAL benchmark).
+
+    Input is a (id, cluster) labeling, e.g. ``near_dup_clusters``
+    output. Same multiplicative hash as :func:`hash_bucket`: pure
+    scan-side Column arithmetic, reproducible in any engine, monotone
+    in ``train_fraction``.
+
+    Output: (id_col, cluster_col, split) with split in
+    {'train', 'holdout'}.
+    """
+    b = hash_bucket(F.col(cluster_col), salt)
+    return labels.select(
+        id_col,
+        cluster_col,
+        F.when(b < F.lit(int(train_fraction * _M)), "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )

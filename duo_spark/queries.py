@@ -1163,8 +1163,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(docs, "doc_id", pairs)
 
 
-SQL_DEDUP_CLUSTERS = r"""
-WITH RECURSIVE docs AS (
+#: shared transitive-closure cluster CTE (recursive; oracle-scale only)
+#: — yields `clusters(doc_id, cluster_id)` over the 0.5-Jaccard pair set
+CLUSTERS_CTE = r"""docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (
   SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
@@ -1184,11 +1185,115 @@ reach(src, dst) AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
 labels AS (
   SELECT src AS node, least(src, min(dst)) AS component
-  FROM reach GROUP BY src)
-SELECT d.doc_id,
-       COALESCE(l.component, d.doc_id) AS cluster_id,
-       COALESCE(l.component, d.doc_id) = d.doc_id AS is_canonical
-FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+  FROM reach GROUP BY src),
+clusters AS (
+  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {CLUSTERS_CTE}
+SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+FROM clusters
+"""
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection (operators/dedup.py
+    select_canonical): after pair→cluster resolution, keep the QUALITY
+    winner of each dup group (longest n_chars, lowest doc_id on ties)
+    — the collapse step a curation pipeline runs after dedup_clusters.
+    Winner is a map-side-combinable max(struct) per cluster, never a
+    per-cluster window."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    clusters = dedup.near_dup_clusters(docs, "doc_id", pairs)
+    out = dedup.select_canonical(clusters, docs, "doc_id", "cluster_id", "n_chars")
+    return out.select("doc_id", "cluster_id", "keep")
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE {CLUSTERS_CTE},
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked
+"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split (operators/sampling.py
+    leakage_safe_split): the split hashes the duplicate CLUSTER, not
+    the document, so near-dups can never straddle train and eval.
+    Same cross-engine multiplicative hash as the sampling family."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    clusters = dedup.near_dup_clusters(docs, "doc_id", pairs)
+    from duo_spark.operators.sampling import leakage_safe_split
+
+    out = leakage_safe_split(clusters, train_fraction=0.8, id_col="doc_id", salt=7)
+    return out.select("doc_id", "cluster_id", "split")
+
+
+SQL_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE {CLUSTERS_CTE}
+SELECT doc_id, cluster_id,
+       CASE WHEN ((cluster_id % 1000003) + 7) * 2654435761 % 1000000007
+                 < CAST(0.8 * 1000000007 AS BIGINT)
+            THEN 'train' ELSE 'holdout' END AS split
+FROM clusters
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (operators/layout.py): Morton-code
+    the events table on (minute-of-epoch, user id) and summarize each
+    of the 64 bit-prefix files — the per-file min/max rectangles SHOW
+    the two-dimensional locality that row-group pruning exploits at
+    scale (each file covers a narrow band of BOTH dimensions, not a
+    full-width stripe of one). Pure shift/mask Column arithmetic,
+    replayed bit-for-bit by the oracle."""
+    from duo_spark.operators.layout import with_zorder
+
+    # exact integer minute index (`div`, not float /, on 1e15-µs epochs)
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(
+            F.expr("unix_micros(cast(ts as timestamp)) div 60000000"), F.lit(65536)
+        ).alias("x"),
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("y"),
+    )
+    z = with_zorder(ev, "x", "y", num_files=64)
+    return (
+        z.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_minute"),
+            F.max("x").alias("max_minute"),
+            F.min("y").alias("min_user"),
+            F.max("y").alias("max_user"),
+        )
+    )
+
+
+SQL_ZORDER_LAYOUT = """
+WITH src AS (
+  SELECT (epoch_us(ts) // 60000000) % 65536 AS x, user_id % 65536 AS y
+  FROM events),
+s0 AS (SELECT x, y, x AS sx, y AS sy FROM src),
+s1 AS (SELECT x, y, (sx | (sx << 8)) & 16711935 AS sx,
+                    (sy | (sy << 8)) & 16711935 AS sy FROM s0),
+s2 AS (SELECT x, y, (sx | (sx << 4)) & 252645135 AS sx,
+                    (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+s3 AS (SELECT x, y, (sx | (sx << 2)) & 858993459 AS sx,
+                    (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+s4 AS (SELECT x, y, (sx | (sx << 1)) & 1431655765 AS sx,
+                    (sy | (sy << 1)) & 1431655765 AS sy FROM s3),
+zz AS (SELECT x, y, (sx | (sy << 1)) >> 26 AS file_id FROM s4)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+       min(x) AS min_minute, max(x) AS max_minute,
+       min(y) AS min_user, max(y) AS max_user
+FROM zz GROUP BY file_id
 """
 
 
@@ -3585,4 +3690,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "decontam": (q_decontam, SQL_DECONTAM),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    # round-5 additions (below the cutoff: driver rows next rotation;
+    # covered by the local oracle clone meanwhile)
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
 }

@@ -254,3 +254,29 @@ def test_incremental_index_roundtrips_parquet(spark, docs, tmp_path):
     a = sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in direct.collect())
     b = sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in reloaded.collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------
+# select_canonical (round 5): quality-winner collapse of dup clusters
+# ---------------------------------------------------------------------
+
+def test_select_canonical_quality_winner(spark):
+    from pyspark.sql import functions as F
+    from duo_spark.operators.dedup import select_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (5, 7), (6, 7)],
+        "doc_id long, n_chars long",
+    )
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in select_canonical(clusters, docs).collect()}
+    # cluster 1: docs 2 and 3 tie on n_chars=99 -> lowest id (2) wins
+    # cluster 4: singleton keeps itself
+    # cluster 5: docs 5,6 tie at 7 -> doc 5 wins
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                   4: (4, True), 5: (5, True), 6: (5, False)}
+    assert sum(keep for _, keep in got.values()) == 3

@@ -147,3 +147,37 @@ def test_sample_per_key_partitioning_invariant(spark):
         got = sorted((r.key, r.doc_id, r.sample_rank) for r in
                      sample_per_key(base.repartition(parts), "key", 7, "doc_id").collect())
         assert got == want, parts
+
+
+# ---------------------------------------------------------------------
+# leakage_safe_split (round 5)
+# ---------------------------------------------------------------------
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Every member of a cluster gets the same split — near-dups can
+    never straddle train/holdout — and the fraction is roughly hit."""
+    from duo_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, i % 97) for i in range(1000)]
+    labels = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = leakage_safe_split(labels, train_fraction=0.8, salt=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    train = sum(1 for r in out if r.split == "train")
+    assert 0.6 < train / len(out) < 0.95
+
+
+def test_leakage_safe_split_monotone(spark):
+    """Growing train_fraction only moves clusters INTO train."""
+    from duo_spark.operators.sampling import leakage_safe_split
+
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(300)], "doc_id long, cluster_id long"
+    )
+    t50 = {r.doc_id for r in leakage_safe_split(labels, 0.5).collect()
+           if r.split == "train"}
+    t90 = {r.doc_id for r in leakage_safe_split(labels, 0.9).collect()
+           if r.split == "train"}
+    assert t50 <= t90
