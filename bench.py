@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "canonical_docs",
     "leakage_split",
     "zorder_layout",
+    "funnel",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -202,6 +202,7 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank over an edge list — e.g. ranking services by
     how much call traffic flows INTO them through the dependency graph
@@ -224,6 +225,8 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     spark = edges.sparkSession
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e, scratch_ids = tracked_local_checkpoint(
@@ -249,10 +252,10 @@ def pagerank(
     pr, pr_ids = tracked_local_checkpoint(
         nodes.select("node", F.lit(1.0 / n).alias("rank"))
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         # dangling mass stays IN the plan: a one-row aggregate cross
-        # joined onto the update, so each iteration is a single action
-        # (the checkpoint) with no driver round-trip
+        # joined onto the update, so each iteration adds no driver
+        # round-trip (the broadcast is a subquery of the next action)
         dangling = (
             pr.join(sources, "node", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
@@ -262,7 +265,7 @@ def pagerank(
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
         )
-        nxt, nxt_ids = tracked_local_checkpoint(
+        nxt = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -274,10 +277,17 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # DataFrame.unpersist would NOT free localCheckpoint blocks —
-        # release the superseded rank vector through its tracked RDD ids
-        release_rdd_ids(spark, pr_ids)
-        pr, pr_ids = nxt, nxt_ids
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            nxt, nxt_ids = tracked_local_checkpoint(nxt)
+            # DataFrame.unpersist would NOT free localCheckpoint blocks —
+            # release the superseded rank vector through its tracked ids
+            release_rdd_ids(spark, pr_ids)
+            pr, pr_ids = nxt, nxt_ids
+        else:
+            pr = nxt
+    pr, final_ids = tracked_local_checkpoint(pr)
+    release_rdd_ids(spark, pr_ids)
+    pr_ids = final_ids
     # the returned plan reads only the final checkpointed rank vector;
     # edge/node/transition scratch blocks are no longer reachable
     release_rdd_ids(spark, scratch_ids)

@@ -1276,6 +1276,44 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (operators/funnel.py): users completing
+    view → click → purchase, each step strictly after the previous and
+    within 7 days of the first view. One filtered min-aggregate +
+    equi-join per step — (user, time) pairs only, never per-user event
+    arrays — so depth-k funnels cost k bounded shuffles at any
+    corpus size."""
+    from duo_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_us().alias("ts_us")
+    )
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], window=604_800_000_000
+    )
+
+
+SQL_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT s1.user_id, t1, min(e.t) AS t2
+       FROM s1 LEFT JOIN ev e
+         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        AND e.t > s1.t1 AND e.t <= s1.t1 + 604800000000
+       GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, t1, t2, min(e.t) AS t3
+       FROM s2 LEFT JOIN ev e
+         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        AND e.t > s2.t2 AND e.t <= s2.t1 + 604800000000
+       GROUP BY 1, 2, 3)
+SELECT 1 AS step, 'view' AS event_type, CAST(count(t1) AS BIGINT) AS users FROM s3
+UNION ALL
+SELECT 2, 'click', CAST(count(t2) AS BIGINT) FROM s3
+UNION ALL
+SELECT 3, 'purchase', CAST(count(t3) AS BIGINT) FROM s3
+"""
+
+
 SQL_ZORDER_LAYOUT = """
 WITH src AS (
   SELECT (epoch_us(ts) // 60000000) % 65536 AS x, user_id % 65536 AS y
@@ -3374,6 +3412,9 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duo_spark.operators.traces import service_dependencies
 
     deps = service_dependencies(spans_view(spark, sf_dir))
+    # default checkpoint_every=1: an A/B at sf0.1 measured the chained
+    # form (checkpoint_every=5) SLOWER (3.6 s vs 2.5 s) — analyzing the
+    # 5-deep join plan costs more than the four saved checkpoint jobs
     pr = pagerank(
         deps, src="parent_service", dst="child_service", weight="calls",
         damping=0.85, iterations=5,
@@ -3695,4 +3736,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "funnel": (q_funnel, SQL_FUNNEL),
 }

@@ -1,0 +1,76 @@
+"""Funnel analysis (operators/funnel.py) vs an in-process oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from duo_spark.operators.funnel import funnel_counts, funnel_steps
+
+STEPS = ["a", "b", "c"]
+
+
+def _oracle(rows, steps, window=None):
+    """Naive per-user sequential scan."""
+    by_user = {}
+    for u, ty, t in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    out = {i: 0 for i in range(1, len(steps) + 1)}
+    for u, evs in by_user.items():
+        evs.sort()
+        first = [t for t, ty in evs if ty == steps[0]]
+        if not first:
+            continue
+        t1 = min(first)
+        out[1] += 1
+        prev = t1
+        for i, s in enumerate(steps[1:], start=2):
+            cand = [
+                t for t, ty in evs
+                if ty == s and t > prev and (window is None or t <= t1 + window)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            out[i] += 1
+    return out
+
+
+@pytest.mark.parametrize("window", [None, 50, 500])
+def test_funnel_matches_oracle(spark, window):
+    rng = random.Random(17)
+    rows = [
+        (rng.randint(0, 30), rng.choice(["a", "b", "c", "x"]), rng.randint(0, 1000))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {r.step: r.users for r in
+           funnel_counts(df, STEPS, window=window).collect()}
+    assert got == _oracle(rows, STEPS, window)
+
+
+def test_funnel_strict_order_and_window_edges(spark):
+    rows = [
+        (1, "a", 100), (1, "b", 100), (1, "c", 300),   # b NOT after a (tie) -> stops at 1
+        (2, "a", 100), (2, "b", 150), (2, "c", 150),   # c not after b -> step 2
+        (3, "a", 100), (3, "b", 150), (3, "c", 200),   # full funnel
+        (4, "b", 50), (4, "c", 60),                    # never step 1
+        (5, "a", 0), (5, "b", 100), (5, "c", 101),     # c at window edge (inclusive)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {r.step: r.users for r in
+           funnel_counts(df, STEPS, window=101).collect()}
+    assert got == {1: 4, 2: 3, 3: 2}
+    times = {r.user_id: (r.t1, r.t2, r.t3)
+             for r in funnel_steps(df, STEPS, window=101).collect()}
+    assert times[1] == (100, None, None)
+    assert times[3] == (100, 150, 200)
+    assert times[5] == (0, 100, 101)
+    assert 4 not in times
+
+
+def test_funnel_rejects_empty_steps(spark):
+    df = spark.createDataFrame([(1, "a", 1)], "user_id long, event_type string, ts_us long")
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
