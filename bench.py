@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "zorder_layout",
     "funnel",
     "cohort_retention",
+    "profile_orders",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -1338,6 +1338,32 @@ FROM act WHERE period < 8 GROUP BY 1, 2
 """
 
 
+#: profiled columns: integer/varchar only — double/timestamp min/max
+#: would hit engine-specific string rendering in the gate compare
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (operators/profile.py): per-column
+    row/null/exact-distinct counts and min/max for the orders table,
+    computed in ONE pass (a single wide aggregate — the multi-distinct
+    rewrite keeps one scan + one shuffle of partial states)."""
+    from duo_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
 SQL_ZORDER_LAYOUT = """
 WITH src AS (
   SELECT (epoch_us(ts) // 60000000) % 65536 AS x, user_id % 65536 AS y
@@ -3762,4 +3788,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
 }
