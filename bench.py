@@ -142,6 +142,7 @@ BENCH_EXCLUDED = {
     "streaming_join",
     "streaming_incr_dedup",
     "streaming_enrich",
+    "streaming_funnel",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",

@@ -1293,6 +1293,65 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME funnel pushed through the REAL Structured Streaming
+    path (streaming/funnel.py): events staged as two file-drops (odd
+    then even event ids, so chains straddle micro-batches and later
+    batches retroactively rewrite earlier step times), per-user
+    stateful chain maintenance via applyInPandasWithState, final
+    states read from the update stream (max seq per user). The 7-day
+    window is applied to the final states — a windowed greedy chain is
+    the unwindowed chain truncated at the first over-window step, so
+    the oracle is identical to the batch funnel's."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.funnel import streaming_funnel_states
+    from duo_spark.streaming.pipeline import _scratch
+
+    steps = ["view", "click", "purchase"]
+    window = 604_800_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _ts_us().alias("ts_us")
+    )
+    run = _scratch("sfunnel", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    states = streaming_funnel_states(stream, steps)
+    name = f"sfunnel_{_uuid.uuid4().hex[:8]}"
+    q = (
+        states.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    final = (
+        upd.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    bound = F.col("t1") + F.lit(window)
+    counts = final.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("c1"),
+        F.count(F.when(F.col("t2") <= bound, 1)).alias("c2"),
+        F.count(F.when(F.col("t3") <= bound, 1)).alias("c3"),
+    )
+    pairs = ", ".join(f"{i + 1}, '{s}', c{i + 1}" for i, s in enumerate(steps))
+    return counts.selectExpr(
+        f"stack({len(steps)}, {pairs}) as (step, event_type, users)"
+    )
+
+
 SQL_FUNNEL = """
 WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
 s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
@@ -3789,4 +3848,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
 }

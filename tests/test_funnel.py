@@ -107,3 +107,54 @@ def test_cohort_retention_matches_oracle(spark):
         sizes[t // period] = sizes.get(t // period, 0) + 1
     for cohort, n in sizes.items():
         assert got[(cohort, 0)] == n
+
+
+# ---------------------------------------------------------------------
+# streaming funnel == batch funnel on any batch schedule
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("split", ["half", "type", "reversed_time"])
+def test_streaming_funnel_matches_batch(spark, tmp_path, split):
+    """Chains straddling micro-batches — including a schedule that
+    delivers LATER events first, forcing retroactive chain rewrites —
+    converge to the batch funnel_steps answer."""
+    import uuid
+    from pyspark.sql import Window, functions as F
+    from duo_spark.operators.funnel import funnel_steps
+    from duo_spark.streaming.funnel import streaming_funnel_states
+
+    rng = random.Random(31)
+    rows = [(i, rng.randint(0, 20), rng.choice(["a", "b", "c", "x"]),
+             rng.randint(0, 800)) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long")
+    src = f"{tmp_path}/in_{split}"
+    if split == "half":
+        first = df.filter(F.col("event_id") % 2 == 1)
+        second = df.filter(F.col("event_id") % 2 == 0)
+    elif split == "type":  # all later steps arrive before any first step
+        first = df.filter(F.col("event_type") != "a")
+        second = df.filter(F.col("event_type") == "a")
+    else:  # newest half first
+        first = df.filter(F.col("ts_us") >= 400)
+        second = df.filter(F.col("ts_us") < 400)
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, ts_us long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    states = streaming_funnel_states(stream, ["a", "b", "c"])
+    name = f"sf_{uuid.uuid4().hex[:8]}"
+    q = (states.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp_path}/ckpt_{split}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    final = (spark.sql(f"SELECT * FROM {name}")
+             .withColumn("_rn", F.row_number().over(w)).filter("_rn = 1"))
+    got = {r.user_id: (r.t1, r.t2, r.t3) for r in final.collect()}
+    want = {r.user_id: (r.t1, r.t2, r.t3)
+            for r in funnel_steps(df, ["a", "b", "c"]).collect()}
+    assert got == want
