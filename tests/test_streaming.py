@@ -456,3 +456,39 @@ def test_streaming_enrich_static_rebroadcast(spark, tmp_path):
     q.awaitTermination()
     got = {(r.event, r.tier) for r in spark.sql("SELECT * FROM senr_unit").collect()}
     assert got == {(10, "gold"), (11, "silver"), (12, None)}
+
+
+def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """Crash-replay safety: re-processing the SAME batches against an
+    index that already contains their rows (checkpoint lost after the
+    index append — the replay scenario) must reproduce the identical
+    pair set. Before round 5's batch<batch_id index filter, the replay
+    re-probed its own band rows and double-emitted every batch-internal
+    pair."""
+    from duo_spark.streaming.dedup import streaming_incremental_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text")
+    src = str(tmp_path / "in")
+    for k in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == k).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = streaming_incremental_near_dup(
+            stream, "doc_id", "text",
+            index_dir=str(tmp_path / "idx"), pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / ckpt), threshold=0.5)
+        q.awaitTermination()
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect())
+
+    first = run("ckpt1")
+    # fresh checkpoint, same index/pairs dirs: batch ids restart at 0,
+    # replaying both batches against the already-appended index
+    second = run("ckpt2")
+    assert len(first) == len(set(first))          # no duplicate pairs
+    assert second == first                        # replay reproduces exactly
