@@ -178,3 +178,48 @@ def test_events_pivot_two_stage_aggregate(spark, sf):
     assert len(non_broadcast) == 2, non_broadcast
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("FileScan") == 1
+
+
+def test_zorder_layout_single_aggregate_no_extra_shuffle(spark, sf):
+    """The Morton code is pure projection arithmetic: the whole query
+    must be scan -> project -> one hash aggregate (one exchange of the
+    64 partial summaries), with nothing Python in the plan."""
+    plan = _plan(QUERIES["zorder_layout"][0](spark, sf))
+    assert plan.replace("BroadcastExchange", "").count("Exchange") <= 2  # partial->final
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_funnel_no_window_no_cartesian(spark, sf):
+    """k chained min-aggregates + equi-joins: no per-user window sort,
+    no nested-loop joins anywhere in the funnel plan."""
+    plan = _plan(QUERIES["funnel"][0](spark, sf))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_partial_aggregates(spark, sf):
+    """The distinct-count aggregates partially (map-side) and plans no
+    window: first-event agg + join + distinct agg only."""
+    plan = _plan(QUERIES["cohort_retention"][0](spark, sf))
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_canonical_docs_no_window(spark, sf):
+    """Winner selection is max(struct) per cluster — a giant dup
+    cluster must hit a combine chain, never a per-cluster sorted
+    window task."""
+    plan = _plan(QUERIES["canonical_docs"][0](spark, sf))
+    assert "Window" not in plan
+
+
+def test_leakage_split_is_projection_over_clusters(spark, sf):
+    """The split itself adds NO shuffle beyond the cluster resolution:
+    same exchange count as dedup_clusters' plan."""
+    split_plan = _plan(QUERIES["leakage_split"][0](spark, sf))
+    clusters_plan = _plan(QUERIES["dedup_clusters"][0](spark, sf))
+    n_split = split_plan.replace("BroadcastExchange", "").count("Exchange")
+    n_clusters = clusters_plan.replace("BroadcastExchange", "").count("Exchange")
+    assert n_split <= n_clusters
