@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "funnel",
     "cohort_retention",
     "profile_orders",
+    "embedding_centroids",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

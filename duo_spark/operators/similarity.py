@@ -825,3 +825,45 @@ def cosine_topk_quantized(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def centroids_by_group(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-group mean vector (class centroids): (group, n, centroid).
+
+    The elementwise mean is ``dim`` scalar ``avg`` aggregates in ONE
+    hash aggregate — JVM-side, map-side partial, one shuffle of
+    (groups × dim) doubles — not a pandas UDF over collected vectors
+    (which would shuffle every vector to its group's task). This is
+    the label-centroid/query-class-vector builder of embedding
+    pipelines; ``normalize=True`` L2-normalizes the mean (the usual
+    form when the centroid is then used for cosine scoring).
+
+    Rows with NULL vectors are excluded entirely (a NULL would
+    otherwise skew per-dimension counts).
+    """
+    if dim is None:
+        head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if head is None:
+            raise ValueError("centroids_by_group: cannot infer dim; pass dim=")
+        dim = len(head[0])
+    src = df.filter(F.col(vec_col).isNotNull())
+    agg = src.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"_c{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = F.array(*[F.col(f"_c{i}") for i in range(dim)])
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(centroid, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        centroid = F.transform(centroid, lambda x: x / nrm)
+    return agg.select(group_col, "n", centroid.alias("centroid"))

@@ -1423,6 +1423,50 @@ FROM orders"""
 )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids (operators/similarity.py
+    centroids_by_group): the elementwise mean of each label's vectors
+    as 64 scalar avg aggregates in ONE map-side-combined hash
+    aggregate — never a pandas UDF over collected vectors. Gate row
+    keeps the first 4 dimensions plus the centroid L2 norm."""
+    from duo_spark.operators.similarity import centroids_by_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = centroids_by_group(emb, "label", "embedding", dim=64)
+    nrm = F.sqrt(
+        F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return cent.select(
+        "label",
+        "n",
+        *[
+            F.round(F.element_at("centroid", i), 6).alias(f"c{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        F.round(nrm, 6).alias("norm"),
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH d AS (
+  SELECT e.label, t.i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS m
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY 1, 2),
+cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+agg AS (
+  SELECT label,
+         sum(CASE WHEN i = 1 THEN m END) AS c1,
+         sum(CASE WHEN i = 2 THEN m END) AS c2,
+         sum(CASE WHEN i = 3 THEN m END) AS c3,
+         sum(CASE WHEN i = 4 THEN m END) AS c4,
+         sqrt(sum(m * m)) AS nrm
+  FROM d GROUP BY label)
+SELECT a.label, cnt.n, round(c1, 6) AS c1, round(c2, 6) AS c2,
+       round(c3, 6) AS c3, round(c4, 6) AS c4, round(nrm, 6) AS norm
+FROM agg a JOIN cnt USING (label)
+"""
+
+
 SQL_ZORDER_LAYOUT = """
 WITH src AS (
   SELECT (epoch_us(ts) // 60000000) % 65536 AS x, user_id % 65536 AS y
@@ -3849,4 +3893,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }

@@ -403,3 +403,44 @@ def test_quantized_topk_validates_params(spark):
         sim.cosine_topk_quantized(qt, [1.0], k=0)
     with _pytest.raises(ValueError):
         sim.cosine_topk_quantized(qt, [1.0], k=1, refine=0)
+
+
+# ---------------------------------------------------------------------
+# centroids_by_group (round 5)
+# ---------------------------------------------------------------------
+
+def test_centroids_by_group_matches_numpy(spark):
+    import numpy as np
+    from duo_spark.operators.similarity import centroids_by_group
+
+    rng = np.random.default_rng(9)
+    rows = [(int(i % 3), rng.normal(size=8).astype("float32").tolist())
+            for i in range(90)]
+    rows.append((7, None))  # null vector excluded entirely
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+
+    got = {r.label: (r.n, np.array(r.centroid))
+           for r in centroids_by_group(df, "label", dim=8).collect()}
+    assert 7 not in got
+    by_label = {}
+    for lab, v in rows[:-1]:
+        by_label.setdefault(lab, []).append(np.array(v, dtype=np.float64))
+    for lab, vecs in by_label.items():
+        n, c = got[lab]
+        assert n == len(vecs)
+        assert np.allclose(c, np.mean(vecs, axis=0), atol=1e-9)
+
+    normed = {r.label: np.array(r.centroid)
+              for r in centroids_by_group(df, "label", dim=8,
+                                          normalize=True).collect()}
+    for lab, c in normed.items():
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+
+
+def test_centroids_by_group_empty_raises(spark):
+    import pytest
+    from duo_spark.operators.similarity import centroids_by_group
+
+    empty = spark.createDataFrame([], "label int, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        centroids_by_group(empty, "label")
