@@ -144,6 +144,7 @@ BENCH_EXCLUDED = {
     "streaming_incr_dedup",
     "streaming_enrich",
     "streaming_funnel",
+    "streaming_rollup",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",

@@ -1447,6 +1447,62 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained rollup table (streaming/rollup.py):
+    per-event-type count/sum/min/max merged into a versioned
+    parquet-backed materialized view across two micro-batches
+    (foreachBatch partial-merge; replayed batches re-merge into their
+    true predecessor version, so the table equals the one-shot batch
+    GROUP BY on any schedule — which is exactly what the oracle
+    runs)."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.pipeline import _scratch
+    from duo_spark.streaming.rollup import read_rollup, streaming_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        _ts_us().alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    run = _scratch("srollup", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts_us long, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_rollup(
+        stream,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "sum_cents": ("sum", "cents"),
+            "min_ts": ("min", "ts_us"),
+            "max_ts": ("max", "ts_us"),
+        },
+        out_dir=f"{run}/rollup",
+        checkpoint_dir=f"{run}/ckpt",
+    )
+    q.awaitTermination()
+    return read_rollup(spark, f"{run}/rollup").select(
+        "event_type", "n", "sum_cents", "min_ts", "max_ts"
+    )
+
+
+SQL_STREAMING_ROLLUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents,
+       min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+FROM events GROUP BY 1
+"""
+
+
 SQL_EMBEDDING_CENTROIDS = """
 WITH d AS (
   SELECT e.label, t.i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS m
@@ -3894,4 +3950,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
 }

@@ -492,3 +492,41 @@ def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
     second = run("ckpt2")
     assert len(first) == len(set(first))          # no duplicate pairs
     assert second == first                        # replay reproduces exactly
+
+
+def test_streaming_rollup_equals_batch_and_replays(spark, tmp_path):
+    """The versioned rollup equals the one-shot batch GROUP BY after a
+    multi-batch drain, and a full replay with a fresh checkpoint (the
+    crash-recovery scenario: versions already on disk) converges to
+    the same table instead of double-counting."""
+    from duo_spark.streaming.rollup import read_rollup, streaming_rollup
+
+    rows = [(i, f"t{i % 3}", 10 + i, i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts long, v long")
+    src = str(tmp_path / "in")
+    for m in (0, 1, 2):
+        df.filter(F.col("event_id") % 3 == m).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("event_id long, k string, ts long, v long")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = streaming_rollup(
+            stream, ["k"],
+            {"n": ("count", "event_id"), "sv": ("sum", "v"),
+             "lo": ("min", "ts"), "hi": ("max", "ts")},
+            out_dir=str(tmp_path / "roll"), checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination()
+        return {r.k: (r.n, r.sv, r.lo, r.hi)
+                for r in read_rollup(spark, str(tmp_path / "roll")).collect()}
+
+    want = {r.k: (r.n, r.sv, r.lo, r.hi) for r in
+            df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()}
+    assert run("ck1") == want
+    assert run("ck2") == want      # full replay over existing versions
+
+    import pytest
+    with pytest.raises(ValueError, match="unsupported"):
+        streaming_rollup(df, ["k"], {"bad": ("avg", "v")}, "x", "y")
