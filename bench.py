@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "profile_orders",
     "embedding_centroids",
+    "service_paths",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -403,3 +403,66 @@ def trace_waterfall(
         (e["end"] - e["start"]).alias("duration_us"),
         F.col("_r")["st"]["d"].cast("int").alias("depth"),
     )
+
+
+def service_paths(spans: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Root→span service paths ("flame paths"): for every span
+    reachable from a root within ``max_depth``, the ``>``-joined
+    service chain from its trace's root down to it, with its depth —
+    the aggregation a service-map "most common call paths" panel needs
+    (the reference leaves path structure entirely to the UI,
+    `duo-ui`; the engine-side form makes it aggregable at any scale).
+
+    Same BFS shape as :func:`span_depths` (one equi-join per level
+    against a checkpointed 24-byte child set, early exit on an empty
+    frontier), carrying the bounded path string instead of just the
+    depth. Spans not reaching a root within ``max_depth`` are absent;
+    duplicate span ids keep one row per distinct (path, depth).
+    """
+    children = (
+        spans.filter(F.col("parent_id").isNotNull())
+        .select("id", "parent_id", F.col("process_id").alias("_svc"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        spans.filter(F.col("parent_id").isNull())
+        .select("id", F.col("process_id").alias("path"), F.lit(0).alias("depth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    for d in range(1, max_depth + 1):
+        nxt = (
+            children.join(
+                frontier.select(F.col("id").alias("parent_id"), "path"), "parent_id"
+            )
+            .select(
+                "id",
+                F.concat_ws(">", "path", "_svc").alias("path"),
+                F.lit(d).alias("depth"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def top_service_paths(spans: DataFrame, k: int = 20, max_depth: int = 8) -> DataFrame:
+    """The k most frequent service paths: (path, depth, n), count
+    descending with (path) tiebreak — a partial-aggregated count plus
+    TakeOrderedAndProject, so the shuffle carries one row per DISTINCT
+    path, not one per span."""
+    return (
+        service_paths(spans, max_depth)
+        .groupBy("path", "depth")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+    )

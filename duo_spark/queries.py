@@ -1447,6 +1447,32 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_service_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top service call paths (operators/traces.py top_service_paths):
+    the 20 most frequent root→span service chains with their depth —
+    the "most common call paths" rollup of a service map. BFS per
+    level over a checkpointed child set; the count shuffle carries one
+    row per DISTINCT path."""
+    from duo_spark.operators.traces import top_service_paths
+
+    return top_service_paths(spans_view(spark, sf_dir), k=20, max_depth=8)
+
+
+SQL_SERVICE_PATHS = f"""
+WITH RECURSIVE {SPANS_CTE.strip()},
+walk(id, path, depth) AS (
+  SELECT id, process_id, 0 FROM spans WHERE parent_id IS NULL
+  UNION ALL
+  SELECT s.id, w.path || '>' || s.process_id, w.depth + 1
+  FROM spans s JOIN walk w ON s.parent_id = w.id
+  WHERE w.depth < 8),
+paths AS (SELECT DISTINCT id, path, depth FROM walk)
+SELECT path, depth, CAST(count(*) AS BIGINT) AS n
+FROM paths GROUP BY 1, 2
+ORDER BY n DESC, path LIMIT 20
+"""
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained rollup table (streaming/rollup.py):
     per-event-type count/sum/min/max merged into a versioned
@@ -3951,4 +3977,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
+    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
 }

@@ -253,3 +253,51 @@ def test_span_depths_distincts_are_load_bearing(spark, sf_dir):
     d = span_depths(sv)
     assert d.count() == d.select("id").distinct().count()
     assert trace_waterfall(sv).count() == n_rows
+
+
+# ---------------------------------------------------------------------
+# service_paths / top_service_paths (round 5)
+# ---------------------------------------------------------------------
+
+def test_service_paths_multilevel_tree(spark):
+    """3-level tree with an orphan branch: paths follow the parent
+    chain, orphans (unreachable within max_depth or missing parents)
+    are absent, duplicate (path, depth) per id collapses."""
+    rows = [
+        # id, parent, trace, service
+        (1, None, 1, "api"),
+        (2, 1, 1, "auth"),
+        (3, 1, 1, "db"),
+        (4, 2, 1, "db"),
+        (5, 99, 1, "ghost"),       # missing parent -> dropped
+        (10, None, 2, "api"),
+        (11, 10, 2, "auth"),
+        (12, 11, 2, "db"),
+    ]
+    spans = spark.createDataFrame(
+        [(i, p, t, s, s, 0, 1) for i, p, t, s in rows],
+        "id long, parent_id long, trace_id long, process_id string, name string, start long, end long",
+    )
+    from duo_spark.operators.traces import service_paths, top_service_paths
+
+    got = {(r.id): (r.path, r.depth) for r in service_paths(spans).collect()}
+    assert got == {
+        1: ("api", 0), 2: ("api>auth", 1), 3: ("api>db", 1),
+        4: ("api>auth>db", 2),
+        10: ("api", 0), 11: ("api>auth", 1), 12: ("api>auth>db", 2),
+    }
+    top = [(r.path, r.depth, r.n) for r in top_service_paths(spans, k=3).collect()]
+    assert top == [("api", 0, 2), ("api>auth", 1, 2), ("api>auth>db", 2, 2)]
+
+
+def test_service_paths_depth_bound(spark):
+    """A 5-deep chain with max_depth=2 keeps only depths 0-2."""
+    rows = [(i, i - 1 if i else None, 1, f"s{i}") for i in range(5)]
+    spans = spark.createDataFrame(
+        [(i, p, t, s, s, 0, 1) for i, p, t, s in rows],
+        "id long, parent_id long, trace_id long, process_id string, name string, start long, end long",
+    )
+    from duo_spark.operators.traces import service_paths
+
+    got = sorted(r.depth for r in service_paths(spans, max_depth=2).collect())
+    assert got == [0, 1, 2]
