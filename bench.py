@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "profile_orders",
     "embedding_centroids",
     "service_paths",
+    "temperature_mixture",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -197,3 +197,79 @@ def leakage_safe_split(
         .otherwise("holdout")
         .alias("split"),
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture re-weighting (the multilingual /
+    multi-source sampling rule: q_s ∝ p_s^α): per stratum, its share
+    p, its temperature-flattened target share q, and the per-document
+    keep rate that realizes a ``target_rows`` corpus (capped at 1 —
+    upsampling is a repeat policy, not a filter's job).
+
+    One aggregate + one broadcastable 1-row total join; α<1 flattens
+    toward uniform (upweights tail strata), α=1 keeps natural
+    proportions.
+
+    Output: (stratum, n, p, q, keep_rate), p/q/keep_rate rounded to 9.
+    """
+    j = _temperature_raw(df, strata_col, alpha, target_rows)
+    return j.select(
+        "stratum",
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_p"), 9).alias("p"),
+        F.round(F.col("_q"), 9).alias("q"),
+        F.round(F.col("_kr"), 9).alias("keep_rate"),
+    )
+
+
+def _temperature_raw(
+    df: DataFrame, strata_col: str, alpha: float, target_rows: int | None
+) -> DataFrame:
+    """Unrounded per-stratum mixture math — shared so the sampler's
+    threshold and the reported rates come from the SAME doubles (a
+    rounded rate would move the integer hash threshold by up to half a
+    bucket and flip boundary documents)."""
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    tot = per.agg(
+        F.sum("_n").alias("_tot"), F.sum(F.pow("_n", float(alpha))).alias("_z")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    q = F.pow("_n", float(alpha)) / F.col("_z")
+    tgt = F.lit(float(target_rows)) if target_rows is not None else F.col("_tot")
+    return j.select(
+        "stratum",
+        "_n",
+        (F.col("_n") / F.col("_tot")).alias("_p"),
+        q.alias("_q"),
+        F.least(tgt * q / F.col("_n"), F.lit(1.0)).alias("_kr"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministically materialize the temperature mixture: each
+    document kept iff its hash bucket falls under its stratum's keep
+    rate — reproducible, monotone in ``target_rows``, and a scan-side
+    filter after one broadcast join of the tiny per-stratum rate
+    table."""
+    rates = _temperature_raw(df, strata_col, alpha, target_rows).select(
+        F.col("stratum").alias(strata_col), F.col("_kr")
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(id_col, salt) < (F.col("_kr") * _M).cast("long"))
+        .drop("_kr")
+    )

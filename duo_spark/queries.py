@@ -1473,6 +1473,53 @@ ORDER BY n DESC, path LIMIT 20
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture re-weighting (operators/sampling.py
+    temperature_rates, q_s ∝ p_s^0.5) over document sources, plus the
+    realized doc count when each source's keep rate is applied through
+    the deterministic hash sampler — one aggregate + broadcast rate
+    join, scan-side filter."""
+    from duo_spark.operators.sampling import temperature_rates, temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "source", alpha=0.5, target_rows=300)
+    kept = (
+        temperature_sample(docs, "source", alpha=0.5, target_rows=300, salt=11)
+        .groupBy(F.col("source").alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        rates.join(kept, "stratum", "left")
+        .select(
+            "stratum", "n", "p", "q", "keep_rate",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+        )
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH per AS (
+  SELECT source AS stratum, CAST(count(*) AS DOUBLE) AS _n
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(_n) AS _tot, sum(pow(_n, 0.5)) AS _z FROM per),
+rates AS (
+  SELECT stratum, CAST(_n AS BIGINT) AS n,
+         round(_n / _tot, 9) AS p,
+         round(pow(_n, 0.5) / _z, 9) AS q,
+         round(least(300.0 * (pow(_n, 0.5) / _z) / _n, 1.0), 9) AS keep_rate,
+         least(300.0 * (pow(_n, 0.5) / _z) / _n, 1.0) AS _kr
+  FROM per CROSS JOIN tot),
+kept AS (
+  SELECT d.source AS stratum, CAST(count(*) AS BIGINT) AS kept
+  FROM documents d JOIN rates r ON d.source = r.stratum
+  WHERE ((d.doc_id % 1000003) + 11) * 2654435761 % 1000000007
+        < CAST(floor(r._kr * 1000000007) AS BIGINT)
+  GROUP BY 1)
+SELECT r.stratum, r.n, r.p, r.q, r.keep_rate, COALESCE(k.kept, 0) AS kept
+FROM rates r LEFT JOIN kept k USING (stratum)
+"""
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained rollup table (streaming/rollup.py):
     per-event-type count/sum/min/max merged into a versioned
@@ -3978,4 +4025,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
     "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
 }

@@ -181,3 +181,45 @@ def test_leakage_safe_split_monotone(spark):
     t90 = {r.doc_id for r in leakage_safe_split(labels, 0.9).collect()
            if r.split == "train"}
     assert t50 <= t90
+
+
+# ---------------------------------------------------------------------
+# temperature mixture (round 5)
+# ---------------------------------------------------------------------
+
+def test_temperature_rates_math(spark):
+    """q ∝ p^α: α=1 keeps natural shares; α=0.5 flattens toward
+    uniform (tail stratum's q share rises); keep_rate realizes the
+    target and caps at 1."""
+    import math
+    from duo_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    r1 = {r.stratum: r for r in temperature_rates(df, alpha=1.0).collect()}
+    assert abs(r1["big"].q - 0.9) < 1e-9 and abs(r1["small"].q - 0.1) < 1e-9
+
+    r5 = {r.stratum: r for r in
+          temperature_rates(df, alpha=0.5, target_rows=500).collect()}
+    z = math.sqrt(900) + math.sqrt(100)
+    assert abs(r5["small"].q - math.sqrt(100) / z) < 1e-9
+    assert r5["small"].q > 0.1            # tail upweighted
+    for s in ("big", "small"):
+        want_keep = min(500 * r5[s].q / r5[s].n, 1.0)
+        assert abs(r5[s].keep_rate - want_keep) < 1e-6
+
+
+def test_temperature_sample_deterministic_and_capped(spark):
+    from duo_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in
+               temperature_sample(df, alpha=0.5, target_rows=400, salt=3).collect())
+    b = sorted(r.doc_id for r in
+               temperature_sample(df, alpha=0.5, target_rows=400, salt=3).collect())
+    assert a == b and 0 < len(a) < 1000
+    # target_rows >= corpus: keep everything (rates cap at 1)
+    full = temperature_sample(df, alpha=0.5, target_rows=10_000).count()
+    assert full == 1000
