@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "embedding_centroids",
     "service_paths",
     "temperature_mixture",
+    "containment_dedup",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

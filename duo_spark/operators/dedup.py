@@ -995,3 +995,106 @@ def substring_dedup_stats(
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric (containment) near-dup pairs: C(A,B) = |A∩B| / |A|
+    ≥ ``threshold`` with A the smaller shingle set — the subset-
+    duplication case symmetric Jaccard misses entirely (a paragraph
+    quoted inside a long document has C ≈ 1 but Jaccard ≈ |A|/|B|,
+    far below any Jaccard threshold, so minhash banding never
+    surfaces it).
+
+    Candidates come from the PREFIX-FILTERED inverted index (the
+    set-containment form of the PPJoin prefix filter): if C(A,B) ≥ t,
+    A misses at most ⌊(1-t)·|A|⌋ of its tokens from B, so among A's
+    ⌊(1-t)·|A|⌋+1 smallest hashes at least one is in B — A posts only
+    that prefix, B posts all tokens, and the equi-join on token hash
+    admits every qualifying pair with no all-pairs stage. Identical
+    sets collapse first (same skew argument as
+    minhash_near_duplicates); verification is exact on the hashed
+    sets.
+
+    Output: (id_a, id_b, containment) — id_a's set is contained in
+    id_b's (|A| < |B|, id tie-break on equal sizes); containment 1.0
+    intra-group pairs emitted id_a < id_b.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _hashed_shingles(df, id_col, text_col, shingle_n)
+    grp = (
+        sh.groupBy(F.sort_array("_hs").alias("_hs"))
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .withColumn("_rid", F.element_at("_ids", 1))
+        .withColumn("_sz", F.size("_hs"))
+        .localCheckpoint(eager=True)
+    )
+    intra = (
+        grp.filter(F.size("_ids") > 1)
+        .select(F.col("_ids"), F.explode("_ids").alias("id_a"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("containment"))
+    )
+    reps = ensure_parallelism(grp.select("_rid", "_hs", "_sz"))
+    prefix_len = (F.floor(F.lit(1.0 - t) * F.col("_sz")).cast("int") + 1)
+    a_post = reps.select(
+        F.col("_rid").alias("_ra"),
+        F.col("_sz").alias("_sa"),
+        F.explode(F.slice("_hs", F.lit(1), prefix_len)).alias("_h"),
+    )
+    b_post = reps.select(
+        F.col("_rid").alias("_rb"), F.col("_sz").alias("_sb"),
+        F.explode("_hs").alias("_h"),
+    )
+    cand = (
+        a_post.join(b_post, "_h")
+        .filter(
+            (F.col("_sa") < F.col("_sb"))
+            | ((F.col("_sa") == F.col("_sb")) & (F.col("_ra") < F.col("_rb")))
+        )
+        .select("_ra", "_rb")
+        .distinct()
+    )
+    a = reps.select(F.col("_rid").alias("_ra"), F.col("_hs").alias("_hsa"),
+                    F.col("_sz").alias("_sa"))
+    b = reps.select(F.col("_rid").alias("_rb"), F.col("_hs").alias("_hsb"),
+                    F.col("_sz").alias("_sb"))
+    verified = (
+        cand.join(a, "_ra")
+        .join(b, "_rb")
+        .select(
+            "_ra", "_rb", "_sa", "_sb",
+            (F.size(F.array_intersect("_hsa", "_hsb")) / F.col("_sa"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= t)
+    )
+    ga = grp.select(F.col("_rid").alias("_ra"), F.col("_ids").alias("_ids_a"))
+    gb = grp.select(F.col("_rid").alias("_rb"), F.col("_ids").alias("_ids_b"))
+    # equal-size DISTINCT sets: containment is symmetric (same
+    # intersection over the same size), so normalize the doc-level
+    # orientation to id_a < id_b — matching the intra-group convention
+    # (and the oracle's doc-id tie-break) instead of leaking which set
+    # happened to hold the smaller representative id
+    cross = (
+        verified.join(ga, "_ra")
+        .join(gb, "_rb")
+        .select("containment", "_sa", "_sb", F.explode("_ids_a").alias("_ea"), "_ids_b")
+        .select("containment", "_sa", "_sb", "_ea", F.explode("_ids_b").alias("_eb"))
+        .select(
+            F.when(F.col("_sa") == F.col("_sb"), F.least("_ea", "_eb"))
+            .otherwise(F.col("_ea")).alias("id_a"),
+            F.when(F.col("_sa") == F.col("_sb"), F.greatest("_ea", "_eb"))
+            .otherwise(F.col("_eb")).alias("id_b"),
+            "containment",
+        )
+    )
+    return intra.unionByName(cross)

@@ -1520,6 +1520,38 @@ FROM rates r LEFT JOIN kept k USING (stratum)
 """
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py
+    containment_pairs): |A∩B|/|A| ≥ 0.8 with A the smaller shingle
+    set — the subset-duplication case Jaccard banding misses.
+    Candidates via the prefix-filtered inverted index (A posts its
+    ⌊(1-t)|A|⌋+1 smallest hashes, B posts all), exact verify on the
+    hashed sets; the oracle replays the exhaustive definition."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.containment_pairs(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+SQL_CONTAINMENT_DEDUP = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM docs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+  FROM sh a JOIN sh b
+    ON (len(a.s) < len(b.s)) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+SELECT id_a, id_b, round(containment, 6) AS containment
+FROM pairs WHERE containment >= 0.8
+"""
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained rollup table (streaming/rollup.py):
     per-event-type count/sum/min/max merged into a versioned
@@ -4026,4 +4058,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
     "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
 }

@@ -280,3 +280,64 @@ def test_select_canonical_quality_winner(spark):
     assert got == {1: (1, False), 2: (1, True), 3: (1, False),
                    4: (4, True), 5: (5, True), 6: (5, False)}
     assert sum(keep for _, keep in got.values()) == 3
+
+
+# ---------------------------------------------------------------------
+# containment_pairs (round 5): asymmetric near-dup
+# ---------------------------------------------------------------------
+
+def _naive_containment(rows, t, n=3):
+    def sh(text):
+        w = text.split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i+n]) for i in range(len(w) - n + 1)}
+    sets = {i: sh(tx) for i, tx in rows}
+    out = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            if len(sa) < len(sb) or (len(sa) == len(sb) and a < b):
+                c = len(sa & sb) / len(sa)
+                if c >= t:
+                    out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_containment_pairs_matches_naive(spark):
+    import random
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = rng.choices(vocab, k=rng.randint(6, 30))
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # mostly-contained fragment: prefix + a foreign tail
+            frag = base[: max(5, len(base) * 3 // 4)] + [f"alien{i}"]
+            rows.append((100 + i, " ".join(frag)))
+        if i % 7 == 0:  # identical twin
+            rows.append((200 + i, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from duo_spark.operators.dedup import containment_pairs
+
+    got = {(r.id_a, r.id_b): round(r.containment, 6)
+           for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()}
+    want = _naive_containment(rows, 0.8)
+    assert got == want
+    assert any(c < 1.0 for c in want.values())     # real partial containments
+    assert any(c == 1.0 for c in want.values())    # and exact/subset ones
+
+
+def test_containment_asymmetric_case_jaccard_misses(spark):
+    """A short doc fully inside a long one: containment 1.0 even
+    though Jaccard is tiny — the case this operator exists for."""
+    long = " ".join(f"tok{i}" for i in range(60))
+    short = " ".join(f"tok{i}" for i in range(10, 20))
+    df = spark.createDataFrame([(1, long), (2, short)], "doc_id long, text string")
+    from duo_spark.operators.dedup import containment_pairs, minhash_near_duplicates
+
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, "doc_id", "text", threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}
+    assert minhash_near_duplicates(df, "doc_id", "text", threshold=0.9).count() == 0
