@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "service_paths",
     "temperature_mixture",
     "containment_dedup",
+    "label_propagation",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -292,3 +292,78 @@ def pagerank(
     # edge/node/transition scratch blocks are no longer reachable
     release_rdd_ids(spark, scratch_ids)
     return pr
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection): every node starts as its own label; each round it
+    adopts the label with the greatest incident edge weight among its
+    neighbors' current labels (ties → smallest label; isolated-in-round
+    nodes keep their label). Fixed ``iterations`` with SYNCHRONOUS
+    updates makes the result schedule-independent — the property the
+    classic async LPA lacks and the reason it can be oracle-replayed
+    as chained SQL rounds.
+
+    Communities differ from connected components (operators/graph.py
+    connected_components): LPA splits a weakly-bridged component along
+    its dense cores, which is the structure wanted when near-dup PAIR
+    graphs chain unrelated documents through hub false-positives.
+
+    Scale: per round, one equi-join of the undirected edge list
+    against the (node, label) vector and two partial-aggregated
+    groupBys ((node, label) weight sums, then per-node argmax via
+    max(struct)) — the same rank-vector join shape as :func:`pagerank`,
+    localCheckpointed per round with tracked-id release.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e0 = edges.select(
+        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d"),
+        w.alias("_w"),
+    ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    # pre-hash-partition the undirected edges on the join key (_d) so
+    # a planner that can reuse checkpointed partitioning ships the big
+    # side once, not once per round. (Local A/B at sf0.1 measured this
+    # neutral — per-round job overhead dominates there — but on a real
+    # cluster the avoided exchange is the edge list itself.)
+    n_part = spark.sparkContext.defaultParallelism
+    und, scratch_ids = tracked_local_checkpoint(
+        e0.unionByName(
+            e0.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w")
+        ).repartition(n_part, F.col("_d"))
+    )
+    nodes, ids = tracked_local_checkpoint(und.select(F.col("_s").alias("node")).distinct())
+    scratch_ids |= ids
+    lab, lab_ids = tracked_local_checkpoint(
+        nodes.select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        incident = (
+            und.join(lab.select(F.col("node").alias("_d"), "label"), "_d")
+            .groupBy(F.col("_s").alias("node"), "label")
+            .agg(F.sum("_w").alias("_wt"))
+        )
+        # argmax weight, min label tie-break: labels are non-negative
+        # longs, so max(struct(weight, -label)) picks exactly that
+        best = (
+            incident.groupBy("node")
+            .agg(F.max(F.struct(F.col("_wt"), (-F.col("label")).alias("_nl"))).alias("_b"))
+            .select("node", (-F.col("_b._nl")).alias("_new"))
+        )
+        nxt, nxt_ids = tracked_local_checkpoint(
+            lab.join(best, "node", "left").select(
+                "node", F.coalesce("_new", "label").alias("label")
+            )
+        )
+        release_rdd_ids(spark, lab_ids)
+        lab, lab_ids = nxt, nxt_ids
+    release_rdd_ids(spark, scratch_ids)
+    return lab

@@ -1552,6 +1552,64 @@ FROM pairs WHERE containment >= 0.8
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.py label_propagation):
+    3 synchronous weighted rounds over the span parent↔child graph,
+    summarized as the 100 largest community sizes. Deterministic by
+    construction (sync updates + min-label tie-break), so the oracle
+    replays the rounds as chained SQL. Thinned to every third trace —
+    the same gate-scale discipline as streaming_span_merge's modulo
+    (three full rounds over a third of the graph exercise identical
+    plan shapes; SCALING.md probes the full graph)."""
+    from duo_spark.operators.graph import label_propagation
+
+    spans = spans_view(spark, sf_dir)
+    edges = spans.filter(
+        F.col("parent_id").isNotNull() & (F.col("trace_id") % 3 == 0)
+    ).select(F.col("parent_id").alias("src"), F.col("id").alias("dst"))
+    lab = label_propagation(edges, iterations=3)
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("label"))
+        .limit(100)
+    )
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    parts = [
+        """und AS (
+  SELECT parent_id AS s, id AS d, 1.0 AS w FROM spans
+  WHERE parent_id IS NOT NULL AND trace_id % 3 = 0
+  UNION ALL
+  SELECT id, parent_id, 1.0 FROM spans
+  WHERE parent_id IS NOT NULL AND trace_id % 3 = 0),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} AS (
+  SELECT u.s AS node, l.label, sum(u.w) AS wt
+  FROM und u JOIN l{i - 1} l ON u.d = l.node GROUP BY 1, 2),
+b{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY wt DESC, label) AS rn
+    FROM c{i}) WHERE rn = 1),
+l{i} AS (
+  SELECT p.node, COALESCE(b.label, p.label) AS label
+  FROM l{i - 1} p LEFT JOIN b{i} b USING (node))""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {SPANS_CTE.strip()},\n{body}\n"
+        f"SELECT label, CAST(count(*) AS BIGINT) AS n FROM l{iterations} "
+        "GROUP BY 1 ORDER BY n DESC, label LIMIT 100"
+    )
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql(3)
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained rollup table (streaming/rollup.py):
     per-event-type count/sum/min/max merged into a versioned
@@ -4059,4 +4117,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
 }

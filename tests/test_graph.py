@@ -138,3 +138,58 @@ def test_pagerank_unweighted_and_validation(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     with _pytest.raises(ValueError, match="iterations"):
         pagerank(df, iterations=0)
+
+
+# ---------------------------------------------------------------------
+# label_propagation (round 5)
+# ---------------------------------------------------------------------
+
+def test_label_propagation_two_cliques_weak_bridge(spark):
+    """Two dense triangles joined by one weak edge: LPA splits them
+    into two communities (CC would merge them into one), each labeled
+    by its minimum member."""
+    from pyspark.sql import functions as F
+    from duo_spark.operators.graph import connected_components, label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+    lab = {r.node: r.label
+           for r in label_propagation(edges, iterations=4).collect()}
+    assert len({lab[1], lab[2], lab[3]}) == 1
+    assert len({lab[10], lab[11], lab[12]}) == 1
+    assert lab[1] != lab[10]
+    cc = connected_components(
+        edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+        "id_a", "id_b")
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_label_propagation_sync_deterministic(spark):
+    """Same graph, shuffled input order and different partitioning:
+    identical labels (the async-LPA nondeterminism is designed out)."""
+    import random
+    rng = random.Random(3)
+    edges = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from duo_spark.operators.graph import label_propagation
+
+    a = spark.createDataFrame(edges, "src long, dst long")
+    shuffled = list(edges); rng.shuffle(shuffled)
+    b = spark.createDataFrame(shuffled, "src long, dst long").repartition(7)
+    la = sorted((r.node, r.label) for r in label_propagation(a).collect())
+    lb = sorted((r.node, r.label) for r in label_propagation(b).collect())
+    assert la == lb
+
+
+def test_label_propagation_weighted_pull(spark):
+    """Weights steer adoption: node 3 ties 1-vs-2 by count but the
+    heavier edge wins."""
+    edges = spark.createDataFrame(
+        [(1, 3, 5.0), (2, 3, 1.0)], "src long, dst long, w double")
+    from duo_spark.operators.graph import label_propagation
+
+    lab = {r.node: r.label
+           for r in label_propagation(edges, weight="w", iterations=1).collect()}
+    assert lab[3] == 1
