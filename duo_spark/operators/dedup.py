@@ -818,8 +818,11 @@ def select_canonical(
     combine chain, not one sorted task.
     """
     idc = F.col(id_col).cast("long")
+    # quality keeps its NATIVE type: casting a double score to long
+    # would truncate 0.95 and 0.87 both to 0 and degenerate the
+    # "quality winner" to min-id selection
     j = clusters.select(idc.alias(id_col), cluster_col).join(
-        docs.select(idc.alias(id_col), F.col(quality_col).cast("long").alias("_q")),
+        docs.select(idc.alias(id_col), F.col(quality_col).alias("_q")),
         id_col,
     )
     winners = (
@@ -1044,7 +1047,19 @@ def containment_pairs(
         .select("id_a", "id_b", F.lit(1.0).alias("containment"))
     )
     reps = ensure_parallelism(grp.select("_rid", "_hs", "_sz"))
-    prefix_len = (F.floor(F.lit(1.0 - t) * F.col("_sz")).cast("int") + 1)
+    # C(A,B) >= t ⟺ |A∩B| >= ceil(t·|A|), so A may miss at most
+    # sz - ceil(t·sz) tokens and must post one more than that. Computed
+    # via ceil with a 1e-9 guard: the naive floor((1-t)·sz)+1 form
+    # under-sizes the prefix by one whenever (1-t) rounds DOWN in
+    # binary (t=0.8 → 1-t = 0.1999…96, so floor(0.1999…96·5) = 0, and a
+    # boundary pair with C exactly 0.8 could post only 1 hash and be
+    # silently missed); the guard keeps ceil from rounding UP when t·sz
+    # lands an ulp above an exact integer.
+    prefix_len = (
+        F.col("_sz")
+        - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)).cast("int")
+        + 1
+    )
     a_post = reps.select(
         F.col("_rid").alias("_ra"),
         F.col("_sz").alias("_sa"),

@@ -112,19 +112,25 @@ def cohort_retention(
     across period edges, no calendar functions to disagree with the
     oracle over)."""
     u, t = F.col(user_col), F.col(time_col)
+    p = int(period_us)
+
+    # exact integer FLOOR division (`div` truncates toward zero, which
+    # would double-width the period around t=0 and mis-bucket negative
+    # timestamps — same fix as intervals.interval_join; the oracle's
+    # `//` floors)
+    def fdiv(expr: str) -> F.Column:
+        return F.expr(f"(({expr}) - pmod(({expr}), {p})) div {p}")
+
     first = (
         events.groupBy(u.alias(user_col))
         .agg(F.min(t).alias("_t0"))
-        .select(
-            user_col,
-            F.expr(f"_t0 div {int(period_us)}").alias("_cohort"),
-        )
+        .select(user_col, fdiv("_t0").alias("_cohort"))
     )
     activity = events.select(u.alias(user_col), t.alias("_t")).join(first, user_col)
     return (
         activity.select(
             "_cohort",
-            (F.expr(f"_t div {int(period_us)}") - F.col("_cohort")).alias("_period"),
+            (fdiv("_t") - F.col("_cohort")).alias("_period"),
             user_col,
         )
         .filter(F.col("_period") < max_periods)

@@ -301,16 +301,31 @@ def _exact_pairs_blocked(
     output. Still O(n²) work and one driver-resident copy of the
     matrix (n·dim·8 bytes): the documented bounded-baseline contract —
     the LSH method is the scale path.
+
+    The result is materialized EAGERLY (localCheckpoint) so the matrix
+    broadcast can be destroyed before returning — a service loop
+    calling this per corpus would otherwise pin one matrix broadcast
+    per call for the session lifetime. The returned plan's checkpoint
+    blocks are the caller's to release (checkpoint_scope), like every
+    other eager operator here. Ids keep their native (orderable) type;
+    `<` matches the previous join form's semantics.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    src = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     rows = src.collect()  # bounded by the method's contract
     if not rows:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
-    ids = np.fromiter((r._id for r in rows), dtype=np.int64, count=len(rows))
+        return spark.createDataFrame([], out_schema)
+    integral = id_dt in ("bigint", "int", "smallint", "tinyint", "long")
+    ids = (
+        np.fromiter((r._id for r in rows), dtype=np.int64, count=len(rows))
+        if integral
+        else np.array([r._id for r in rows], dtype=object)
+    )
     m = np.array([r._v for r in rows], dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
@@ -324,7 +339,11 @@ def _exact_pairs_blocked(
         for pdf in batches:
             if pdf.empty:
                 continue
-            bid = pdf["_id"].to_numpy(np.int64)
+            bid = (
+                pdf["_id"].to_numpy(np.int64)
+                if integral
+                else pdf["_id"].to_numpy(object)
+            )
             a = np.array(list(pdf["_v"]), dtype=np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 an = a / np.sqrt((a * a).sum(axis=1))[:, None]
@@ -342,7 +361,9 @@ def _exact_pairs_blocked(
                     }
                 )
 
-    return src.mapInPandas(gen, "id_a long, id_b long, cosine double")
+    out = src.mapInPandas(gen, out_schema).localCheckpoint(eager=True)
+    bc.destroy()
+    return out
 
 
 def embedding_near_dup_pairs(

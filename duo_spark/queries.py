@@ -1239,8 +1239,11 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LEAKAGE_SPLIT = f"""
 WITH RECURSIVE {CLUSTERS_CTE}
 SELECT doc_id, cluster_id,
+       -- exact truncated literal: int(0.8 * 1000000007) = 800000005;
+       -- a CAST of the float product would ROUND to 800000006 in
+       -- DuckDB while Spark truncates, flipping bucket 800000005
        CASE WHEN ((cluster_id % 1000003) + 7) * 2654435761 % 1000000007
-                 < CAST(0.8 * 1000000007 AS BIGINT)
+                 < 800000005
             THEN 'train' ELSE 'holdout' END AS split
 FROM clusters
 """

@@ -49,8 +49,12 @@ def streaming_funnel_states(
     state_schema = (
         ", ".join(f"s{i} array<bigint>" for i in range(k)) + ", seq bigint"
     )
+    # key column keeps the caller's name and type — hardcoding
+    # "user_id bigint" would silently rename/retype the key for any
+    # non-default user_col
+    user_dt = stream.schema[user_col].dataType.simpleString()
     out_schema = (
-        "user_id bigint, "
+        f"{user_col} {user_dt}, "
         + ", ".join(f"t{i + 1} bigint" for i in range(k))
         + ", seq bigint"
     )
@@ -99,7 +103,7 @@ def streaming_funnel_states(
                 prev = nxt
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 **{f"t{i + 1}": [times[i]] for i in range(k)},
                 "seq": [seq],
             }

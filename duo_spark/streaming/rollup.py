@@ -25,9 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: supported decomposable aggregates and their merge functions
+#: supported decomposable aggregates and their merge functions.
+#: sum must preserve NULL-ness: an all-NULL input column aggregates to
+#: NULL in the one-shot batch GROUP BY, so merging two NULL partials
+#: must stay NULL (a plain coalesce-to-0 merge would make the result
+#: depend on the batch schedule). least/greatest skip NULLs natively;
+#: count partials are never NULL.
 _MERGES = {
-    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "sum": lambda a, b: F.when(
+        a.isNull() & b.isNull(), F.lit(None)
+    ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))),
     "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
     "min": F.least,
     "max": F.greatest,

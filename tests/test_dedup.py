@@ -341,3 +341,42 @@ def test_containment_asymmetric_case_jaccard_misses(spark):
            for r in containment_pairs(df, "doc_id", "text", threshold=0.9).collect()}
     assert got == {(2, 1): 1.0}
     assert minhash_near_duplicates(df, "doc_id", "text", threshold=0.9).count() == 0
+
+
+def test_containment_exact_boundary_prefix(spark):
+    """Regression: C exactly at the threshold with the MISSING token
+    being A's smallest hash — the float-arithmetic prefix (floor((1-t)
+    *|A|)+1) posted one hash too few and silently dropped the pair."""
+    from duo_spark.operators.dedup import containment_pairs
+    from pyspark.sql import functions as F
+
+    # find 5 single-word shingles where the smallest xxhash64 is known
+    words = [f"w{i}" for i in range(5)]
+    hashes = {
+        r.w: r.h
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.xxhash64(F.col("w")).alias("h")).collect()
+    }
+    smallest = min(words, key=lambda w: hashes[w])
+    rest = [w for w in words if w != smallest]
+    # A = 5 shingles incl. the smallest-hash one; B ⊇ A minus that one
+    a_text = " ".join(words)
+    b_text = " ".join(rest + [f"extra{i}" for i in range(30)])
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): round(r.containment, 6)
+           for r in containment_pairs(
+               df, "doc_id", "text", threshold=0.8, shingle_n=1).collect()}
+    assert got == {(1, 2): 0.8}
+
+
+def test_select_canonical_double_quality(spark):
+    """Regression: a double quality column must NOT be truncated to
+    long (0.95 vs 0.87 both became 0 → min-id won instead)."""
+    from duo_spark.operators.dedup import select_canonical
+
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    docs = spark.createDataFrame([(1, 0.87), (2, 0.95)], "doc_id long, q double")
+    got = {r.doc_id: r.keep
+           for r in select_canonical(clusters, docs, quality_col="q").collect()}
+    assert got == {1: False, 2: True}

@@ -158,3 +158,41 @@ def test_streaming_funnel_matches_batch(spark, tmp_path, split):
     want = {r.user_id: (r.t1, r.t2, r.t3)
             for r in funnel_steps(df, ["a", "b", "c"]).collect()}
     assert got == want
+
+
+def test_cohort_retention_negative_timestamps(spark):
+    """Regression: period indexing must FLOOR (matching the oracle's
+    //), not truncate toward zero — pre-epoch events were landing in a
+    double-width period around t=0."""
+    from duo_spark.operators.funnel import cohort_retention
+
+    rows = [(1, -50), (1, 30), (2, -150), (2, -50)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r.cohort, r.period): r.users
+           for r in cohort_retention(df, period_us=100, max_periods=5).collect()}
+    # user 1: first at -50 -> cohort -1; activity at -50 (p0) and 30 (p1)
+    # user 2: first at -150 -> cohort -2; activity at -150 (p0), -50 (p1)
+    assert got == {(-1, 0): 1, (-1, 1): 1, (-2, 0): 1, (-2, 1): 1}
+
+
+def test_streaming_funnel_custom_user_col(spark, tmp_path):
+    """Regression: the output key column must keep the caller's name
+    and type (it was hardcoded to 'user_id bigint')."""
+    import uuid
+    from duo_spark.streaming.funnel import streaming_funnel_states
+
+    df = spark.createDataFrame(
+        [("u1", "a", 1), ("u1", "b", 2)], "uid string, event_type string, ts_us long")
+    src = str(tmp_path / "in_custom")
+    df.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema("uid string, event_type string, ts_us long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    states = streaming_funnel_states(stream, ["a", "b"], user_col="uid")
+    name = f"sfc_{uuid.uuid4().hex[:8]}"
+    q = (states.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert rows and rows[0].uid == "u1" and rows[0].t2 == 2

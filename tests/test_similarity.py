@@ -444,3 +444,19 @@ def test_centroids_by_group_empty_raises(spark):
     empty = spark.createDataFrame([], "label int, embedding array<float>")
     with pytest.raises(ValueError, match="dim"):
         centroids_by_group(empty, "label")
+
+
+def test_exact_pairs_string_ids(spark):
+    """Regression: method='exact' must keep non-integer id columns
+    working (the blocked rewrite briefly force-cast ids to long,
+    which nulled string ids and crashed)."""
+    from duo_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b): round(r.cosine, 3)
+           for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")] > 0.99

@@ -530,3 +530,25 @@ def test_streaming_rollup_equals_batch_and_replays(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unsupported"):
         streaming_rollup(df, ["k"], {"bad": ("avg", "v")}, "x", "y")
+
+
+def test_streaming_rollup_null_sum_schedule_independent(spark, tmp_path):
+    """Regression: an all-NULL sum column must stay NULL after any
+    number of merge rounds (the coalesce-to-0 merge made the result
+    depend on the batch schedule)."""
+    from duo_spark.streaming.rollup import read_rollup, streaming_rollup
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "b", 7)],
+        "event_id long, k string, v long")
+    src = str(tmp_path / "in")
+    df.filter("event_id = 1").coalesce(1).write.mode("append").parquet(src)
+    df.filter("event_id >= 2").coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("event_id long, k string, v long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = streaming_rollup(
+        stream, ["k"], {"sv": ("sum", "v")},
+        out_dir=str(tmp_path / "roll"), checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r.k: r.sv for r in read_rollup(spark, str(tmp_path / "roll")).collect()}
+    assert got == {"a": None, "b": 7}
