@@ -223,3 +223,43 @@ def test_leakage_split_is_projection_over_clusters(spark, sf):
     n_split = split_plan.replace("BroadcastExchange", "").count("Exchange")
     n_clusters = clusters_plan.replace("BroadcastExchange", "").count("Exchange")
     assert n_split <= n_clusters
+
+
+def test_containment_no_nested_loop(spark, sf):
+    """The prefix-filtered inverted index must plan as equi-joins —
+    never a nested loop over the size inequality."""
+    plan = _plan(QUERIES["containment_dedup"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_partial_aggregates(spark, sf):
+    """Each LPA round's weight sums and the final community count must
+    partial-aggregate; no cartesian anywhere."""
+    plan = _plan(QUERIES["label_propagation"][0](spark, sf))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mixture_broadcasts_rates(spark, sf):
+    """The per-stratum rate table joins back by broadcast (it is
+    strata-sized); the sampler itself adds no extra shuffle class."""
+    plan = _plan(QUERIES["temperature_mixture"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_embedding_centroids_jvm_only_single_agg(spark, sf):
+    """64 scalar avgs in one hash aggregate: no Python stage, no
+    window, exactly one partial->final aggregate exchange pair."""
+    plan = _plan(QUERIES["embedding_centroids"][0](spark, sf))
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_service_paths_is_count_plus_topk(spark, sf):
+    """After the (eager) BFS, the remaining plan is a distinct-path
+    count + TakeOrderedAndProject — one row per distinct path reaches
+    the shuffle, and the top-k never globally sorts."""
+    plan = _plan(QUERIES["service_paths"][0](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
