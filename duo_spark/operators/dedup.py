@@ -1015,11 +1015,14 @@ def containment_pairs(
     surfaces it).
 
     Candidates come from the PREFIX-FILTERED inverted index (the
-    set-containment form of the PPJoin prefix filter): if C(A,B) ≥ t,
-    A misses at most ⌊(1-t)·|A|⌋ of its tokens from B, so among A's
-    ⌊(1-t)·|A|⌋+1 smallest hashes at least one is in B — A posts only
-    that prefix, B posts all tokens, and the equi-join on token hash
-    admits every qualifying pair with no all-pairs stage. Identical
+    set-containment form of the PPJoin prefix filter): C(A,B) ≥ t
+    means |A∩B| ≥ ⌈t·|A|⌉, so A misses at most |A| - ⌈t·|A|⌉ of its
+    tokens from B and must post |A| - ⌈t·|A|⌉ + 1 smallest hashes —
+    at least one is then in B (pigeonhole). A posts only that prefix,
+    B posts all tokens, and the equi-join on token hash admits every
+    qualifying pair with no all-pairs stage. (Do NOT "simplify" the
+    prefix to ⌊(1-t)·|A|⌋+1: 1-t rounds DOWN in binary for t=0.8,
+    under-sizing the prefix at exact-boundary containments.) Identical
     sets collapse first (same skew argument as
     minhash_near_duplicates); verification is exact on the hashed
     sets.

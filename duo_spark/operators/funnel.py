@@ -111,15 +111,15 @@ def cohort_retention(
     period arithmetic is exact integer µs division (no float rounding
     across period edges, no calendar functions to disagree with the
     oracle over)."""
+    from duo_spark.operators.util import floor_div_expr
+
     u, t = F.col(user_col), F.col(time_col)
     p = int(period_us)
 
-    # exact integer FLOOR division (`div` truncates toward zero, which
-    # would double-width the period around t=0 and mis-bucket negative
-    # timestamps — same fix as intervals.interval_join; the oracle's
-    # `//` floors)
+    # exact integer FLOOR division (the oracle's `//` floors; `div`
+    # would truncate toward zero) — shared helper
     def fdiv(expr: str) -> F.Column:
-        return F.expr(f"(({expr}) - pmod(({expr}), {p})) div {p}")
+        return F.expr(floor_div_expr(expr, p))
 
     first = (
         events.groupBy(u.alias(user_col))

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from duo_spark.operators.util import floor_div_expr
+
 
 
 
@@ -63,13 +65,10 @@ def interval_join(
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
 
-    # exact integer FLOOR division: `div` truncates toward zero, which
-    # would make buckets around t=0 double-width and mis-bucket negative
-    # (pre-1970 / signed-relative) timestamps; float division on 1e15-µs
-    # epochs can round across a bucket boundary.  `(x - pmod(x, w)) div w`
-    # is exact floor division for any sign.
+    # exact integer FLOOR division for any sign — shared helper, see
+    # operators/util.floor_div_expr
     def fdiv(expr: str) -> str:
-        return f"(({expr}) - pmod(({expr}), {w})) div {w}"
+        return floor_div_expr(expr, w)
 
     def burst(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(

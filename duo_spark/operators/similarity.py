@@ -320,7 +320,7 @@ def _exact_pairs_blocked(
     rows = src.collect()  # bounded by the method's contract
     if not rows:
         return spark.createDataFrame([], out_schema)
-    integral = id_dt in ("bigint", "int", "smallint", "tinyint", "long")
+    integral = id_dt in ("bigint", "int", "smallint", "tinyint")
     ids = (
         np.fromiter((r._id for r in rows), dtype=np.int64, count=len(rows))
         if integral

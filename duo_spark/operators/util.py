@@ -41,6 +41,20 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     return df
 
 
+def floor_div_expr(expr: str, divisor: int) -> str:
+    """SQL string for EXACT integer floor division of ``expr`` by a
+    positive ``divisor``: ``(x - pmod(x, d)) div d``.
+
+    Spark's ``div`` truncates toward zero, which double-widths the
+    bucket around 0 and mis-buckets negative inputs (pre-1970 µs
+    epochs, signed-relative times); float division on 1e15-µs epochs
+    can round across a bucket edge. Shared by the interval bucketer
+    and the cohort period indexer — keep the one copy."""
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
+    return f"(({expr}) - pmod(({expr}), {divisor})) div {divisor}"
+
+
 def persistent_rdd_ids(spark) -> set[int]:
     """Ids of RDDs currently holding storage (cached relations AND
     eager localCheckpoints — the blocks several operators materialize

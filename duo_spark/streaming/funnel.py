@@ -46,6 +46,12 @@ def streaming_funnel_states(
     if not steps:
         raise ValueError("steps must be non-empty")
     k = len(steps)
+    reserved = {"seq", *(f"t{i + 1}" for i in range(k))}
+    if user_col in reserved:
+        raise ValueError(
+            f"user_col {user_col!r} collides with a generated output column "
+            f"({sorted(reserved)}); rename the key column first"
+        )
     state_schema = (
         ", ".join(f"s{i} array<bigint>" for i in range(k)) + ", seq bigint"
     )
@@ -54,7 +60,7 @@ def streaming_funnel_states(
     # non-default user_col
     user_dt = stream.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} {user_dt}, "
+        f"`{user_col}` {user_dt}, "
         + ", ".join(f"t{i + 1} bigint" for i in range(k))
         + ", seq bigint"
     )
