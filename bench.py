@@ -166,7 +166,10 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("duo_spark_bench")
+    # no stage-progress bars on stdout: the result JSON line must be the
+    # last (and only) machine-read line, and progress noise crowded the
+    # driver's tail-capture window in round 5 (BENCH_r05 parsed=null)
+    spark = get_spark("duo_spark_bench", **{"spark.ui.showConsoleProgress": "false"})
 
     # JVM/codegen warmup on the smallest scale: run EVERY headline
     # query once at sf0.001 so the Janino compile cache and the
@@ -229,7 +232,19 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["partial_total"] = total
-    print(json.dumps(out))
+    # BENCH_r05 postmortem: the driver's tail capture truncated the
+    # (ever-growing) result line mid-object. Three defenses:
+    # 1. stop Spark BEFORE printing, so no JVM shutdown noise can land
+    #    after (or interleave with) the result line;
+    # 2. persist the full result to BENCH.json next to this script —
+    #    the artifact survives any stdout mangling;
+    # 3. print ONE compact line (no spaces) as the final stdout bytes.
+    spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(out, f, separators=(",", ":"))
+        f.write("\n")
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

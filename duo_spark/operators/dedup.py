@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from duo_spark.operators.util import ensure_parallelism
@@ -1017,15 +1017,26 @@ def containment_pairs(
     Candidates come from the PREFIX-FILTERED inverted index (the
     set-containment form of the PPJoin prefix filter): C(A,B) ≥ t
     means |A∩B| ≥ ⌈t·|A|⌉, so A misses at most |A| - ⌈t·|A|⌉ of its
-    tokens from B and must post |A| - ⌈t·|A|⌉ + 1 smallest hashes —
-    at least one is then in B (pigeonhole). A posts only that prefix,
-    B posts all tokens, and the equi-join on token hash admits every
-    qualifying pair with no all-pairs stage. (Do NOT "simplify" the
-    prefix to ⌊(1-t)·|A|⌋+1: 1-t rounds DOWN in binary for t=0.8,
-    under-sizing the prefix at exact-boundary containments.) Identical
-    sets collapse first (same skew argument as
-    minhash_near_duplicates); verification is exact on the hashed
+    tokens from B and must post |A| - ⌈t·|A|⌉ + 1 of them — at least
+    one is then in B (pigeonhole, which holds for ANY choice of which
+    tokens A posts so long as B posts all of its own). A posts only
+    that prefix, B posts all tokens, and the equi-join on token hash
+    admits every qualifying pair with no all-pairs stage. (Do NOT
+    "simplify" the prefix to ⌊(1-t)·|A|⌋+1: 1-t rounds DOWN in binary
+    for t=0.8, under-sizing the prefix at exact-boundary
+    containments.) Identical sets collapse first (same skew argument
+    as minhash_near_duplicates); verification is exact on the hashed
     sets.
+
+    The prefix is ordered by ascending GLOBAL document frequency
+    (PPJoin's canonical token order, Xiao et al. 2008): each set posts
+    its RAREST tokens, so hot tokens (stop-word shingles in natural
+    language) land in short posting lists on the A side and the
+    candidate join stays skew-free at corpus scale. One extra
+    aggregate (token → doc-frequency over the distinct sets) plus one
+    co-partitioned join buys a candidate volume proportional to rare-
+    token collisions instead of stop-word collisions; ties broken by
+    hash value so the order is total and deterministic.
 
     Output: (id_a, id_b, containment) — id_a's set is contained in
     id_b's (|A| < |B|, id tie-break on equal sizes); containment 1.0
@@ -1052,21 +1063,41 @@ def containment_pairs(
     reps = ensure_parallelism(grp.select("_rid", "_hs", "_sz"))
     # C(A,B) >= t ⟺ |A∩B| >= ceil(t·|A|), so A may miss at most
     # sz - ceil(t·sz) tokens and must post one more than that. Computed
-    # via ceil with a 1e-9 guard: the naive floor((1-t)·sz)+1 form
-    # under-sizes the prefix by one whenever (1-t) rounds DOWN in
-    # binary (t=0.8 → 1-t = 0.1999…96, so floor(0.1999…96·5) = 0, and a
-    # boundary pair with C exactly 0.8 could post only 1 hash and be
-    # silently missed); the guard keeps ceil from rounding UP when t·sz
-    # lands an ulp above an exact integer.
-    prefix_len = (
-        F.col("_sz")
-        - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)).cast("int")
-        + 1
+    # via ceil with a guard RELATIVE to t·sz (not the old absolute
+    # 1e-9, whose fix capacity runs out once t·sz > ~1e7 and float
+    # error of the product exceeds it): the naive floor((1-t)·sz)+1
+    # form under-sizes the prefix whenever (1-t) rounds DOWN in binary
+    # (t=0.8 → 1-t = 0.1999…96), and un-guarded ceil does the same
+    # whenever t·sz lands an ulp ABOVE an exact integer. Doubles carry
+    # ≤2 ulp ≈ 4e-16 relative error here, so a 1e-12 relative guard
+    # dominates it for every |A| up to ~1e11 shingles; when the guard
+    # fires on a genuinely-just-above-integer product it can only
+    # LOWER the required count by one, i.e. LENGTHEN the prefix — more
+    # candidates, never a missed pair.
+    tprod = F.lit(t) * F.col("_sz")
+    required = F.greatest(
+        F.ceil(tprod - tprod * F.lit(1e-12)).cast("int"), F.lit(1)
     )
-    a_post = reps.select(
-        F.col("_rid").alias("_ra"),
-        F.col("_sz").alias("_sa"),
-        F.explode(F.slice("_hs", F.lit(1), prefix_len)).alias("_h"),
+    prefix_len = F.col("_sz") - required + 1
+    # PPJoin token order: ascending global doc-frequency (rarest
+    # first), ties by hash. The frequency table aggregates the same
+    # exploded token rows the B-side posts, so the join back is
+    # co-partitioned on _h; the per-set re-order is one row_number
+    # window partitioned by set id — no driver state, no collect.
+    tok = reps.select("_rid", "_sz", F.explode("_hs").alias("_h"))
+    freq = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    a_post = (
+        tok.join(freq, "_h")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_rid").orderBy(F.asc("_df"), F.asc("_h"))
+            ),
+        )
+        .filter(F.col("_rn") <= prefix_len)
+        .select(
+            F.col("_rid").alias("_ra"), F.col("_sz").alias("_sa"), "_h"
+        )
     )
     b_post = reps.select(
         F.col("_rid").alias("_rb"), F.col("_sz").alias("_sb"),

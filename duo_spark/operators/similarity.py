@@ -289,6 +289,13 @@ def cosine_topk_lsh(
     )
 
 
+#: hard cap on the driver-resident matrix the exact all-pairs baseline
+#: may collect (n·dim·8 bytes). 2 GiB fits the default 8 GiB driver
+#: with the score blocks and broadcast copy on top; anything larger
+#: must use the distributed LSH path.
+EXACT_PAIRS_MAX_MATRIX_BYTES = 2 << 30
+
+
 def _exact_pairs_blocked(
     df: DataFrame, threshold: float, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -317,7 +324,23 @@ def _exact_pairs_blocked(
     id_dt = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    rows = src.collect()  # bounded by the method's contract
+    # fail fast instead of OOMing the driver: the collect below
+    # materializes an n×dim float64 matrix driver-side, and "bounded
+    # baseline" is a contract the caller can violate by accident. One
+    # cheap aggregate sizes the input before anything is collected.
+    n, dim = src.agg(
+        F.count(F.lit(1)), F.max(F.size("_v"))
+    ).first()
+    est_bytes = int(n or 0) * int(dim or 0) * 8
+    if est_bytes > EXACT_PAIRS_MAX_MATRIX_BYTES:
+        raise ValueError(
+            f"embedding_near_dup_pairs(method='exact'): input matrix "
+            f"~{est_bytes >> 20} MiB ({n} rows × dim {dim}) exceeds the "
+            f"{EXACT_PAIRS_MAX_MATRIX_BYTES >> 20} MiB driver cap — the "
+            f"exact method is an O(n²) driver-broadcast baseline; use "
+            f"method='lsh' for inputs at this scale."
+        )
+    rows = src.collect()  # bounded by the method's contract + cap above
     if not rows:
         return spark.createDataFrame([], out_schema)
     integral = id_dt in ("bigint", "int", "smallint", "tinyint")

@@ -1528,8 +1528,9 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_pairs): |A∩B|/|A| ≥ 0.8 with A the smaller shingle
     set — the subset-duplication case Jaccard banding misses.
     Candidates via the prefix-filtered inverted index (A posts its
-    ⌊(1-t)|A|⌋+1 smallest hashes, B posts all), exact verify on the
-    hashed sets; the oracle replays the exhaustive definition."""
+    |A| - ⌈t·|A|⌉ + 1 globally-rarest tokens, B posts all), exact
+    verify on the hashed sets; the oracle replays the exhaustive
+    definition."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.containment_pairs(docs, "doc_id", "text", threshold=0.8)
     return pairs.select(
@@ -3996,118 +3997,17 @@ FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.day = c.day
 # registry
 # ---------------------------------------------------------------------
 
-# Ordering note (round 5): the external correctness driver replays exactly the
-# FIRST 50 entries of this dict against their DuckDB oracles.  Rounds 1-4
-# verified the duo-surface + analytics + early north-star queries (all green in
-# CORRECTNESS_r01..r04); round 4 grew the registry to 94, leaving 39 entries
-# that had never had a driver oracle row.  Slots 1-39 below are exactly those
-# never-driver-verified queries; slots 40-50 are keepers we want re-confirmed
-# after this round's code changes.  The remaining 44 are already locked green
-# by prior CORRECTNESS files and the local oracle-parity clone
-# (tests/test_oracle_parity.py runs ALL 94 regardless of order).
+# Ordering note (round 6): the external correctness driver replays exactly the
+# FIRST 50 entries of this dict against their DuckDB oracles.  Slots 1-13 are
+# the round-5 additions that had never had a driver oracle row (the rotation
+# recorded at OPERATORS.md round-6 plan); slots 14-50 are keepers spanning
+# every operator family, re-confirmed after this round's code changes
+# (containment prefix rework, bench-harness fix, streaming-funnel prune).
+# Everything below the cutoff is locked green by CORRECTNESS_r01..r05 plus the
+# local oracle-parity clone (tests/test_oracle_parity.py replays ALL entries
+# at sf0.001 regardless of order).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- slots 1-39: never driver-verified before round 5 ---
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
-    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
-    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
-    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
-    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
-    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
-    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
-    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
-    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
-    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
-    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
-    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    # --- slots 40-50: keepers re-confirmed this round ---
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
-    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
-    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
-    "bm25": (q_bm25, SQL_BM25),
-    # --- below the driver's 50-query window: locked green in r1-r4 ---
-    # duo surface
-    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
-    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
-    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
-    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "in_list": (q_in_list, SQL_IN_LIST),
-    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
-    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
-    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
-    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
-    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
-    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
-    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
-    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
-    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
-    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
-    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
-    # analytics
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
-    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
-    # north-star
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
-    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
-    "decontam": (q_decontam, SQL_DECONTAM),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    # round-5 additions (below the cutoff: driver rows next rotation;
-    # covered by the local oracle clone meanwhile)
+    # --- slots 1-13: round-5 additions, first driver oracle row this round ---
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
@@ -4121,4 +4021,100 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    # --- slots 14-50: keepers re-confirmed after this round's changes ---
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
+    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
+    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "bm25": (q_bm25, SQL_BM25),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
+    # --- below the driver's 50-query window: locked green in r1-r5 ---
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
+    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
+    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
+    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
+    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
+    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
+    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
+    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
+    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
+    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
+    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "decontam": (q_decontam, SQL_DECONTAM),
 }

@@ -460,3 +460,20 @@ def test_exact_pairs_string_ids(spark):
            for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
     assert set(got) == {("a", "b")}
     assert got[("a", "b")] > 0.99
+
+
+def test_exact_pairs_oversize_fails_fast(spark, monkeypatch):
+    """ADVICE r5: method='exact' collects the whole matrix to the
+    driver — an oversized input must raise a clear error pointing to
+    method='lsh' BEFORE any collect, not OOM the driver."""
+    import pytest
+
+    from duo_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_MATRIX_BYTES", 16)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="method='lsh'"):
+        similarity.embedding_near_dup_pairs(df, threshold=0.99, method="exact")
