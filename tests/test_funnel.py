@@ -196,3 +196,158 @@ def test_streaming_funnel_custom_user_col(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     assert rows and rows[0].uid == "u1" and rows[0].t2 == 2
+
+
+# ---------------------------------------------------------------------
+# round 6: windowed streaming funnel — watermark prune + idle TTL
+# ---------------------------------------------------------------------
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving make_funnel_update."""
+
+    def __init__(self):
+        self._val, self.exists, self.hasTimedOut = None, False, False
+        self.wm_ms, self.removed, self.ttl = 0, False, None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val, self.exists = v, True
+
+    def remove(self):
+        self.removed, self.exists, self._val = True, False, None
+
+    def setTimeoutDuration(self, ms):
+        self.ttl = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+
+def _drive(update, state, rows):
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts_us"])
+    return list(update((1,), iter([pdf]), state))
+
+
+def test_prune_lists_exact_bounds():
+    from duo_spark.streaming.funnel import _prune_lists
+
+    # t1 known: keep only (min(t1, wm), t1 + window]
+    lists = [[100], [50, 100, 101, 200, 300, 301], [99, 250]]
+    got = _prune_lists(lists, wm_us=150, window=200)
+    assert got == [[100], [101, 200, 300], [250]]
+    # no t1 yet: lower bound is the watermark alone, no upper bound
+    got = _prune_lists([[], [50, 150, 900]], wm_us=100, window=200)
+    assert got == [[], [150, 900]]
+    # boundary: t == lower bound is dead (chain needs t STRICTLY after)
+    got = _prune_lists([[100], [100, 101]], wm_us=500, window=50)
+    assert got == [[100], [101]]
+
+
+def test_streaming_funnel_state_bounded_under_replay():
+    """VERDICT r5 #4: one hot user replaying 10k step-2 events must not
+    grow state past the window span — and duplicate redeliveries
+    (at-least-once sources) must not grow it at all."""
+    from duo_spark.streaming.funnel import make_funnel_update
+
+    upd = make_funnel_update(
+        ["a", "b", "c"], "user_id", "event_type", "ts_us",
+        window=100, idle_ttl_ms=None,
+    )
+    st = _FakeState()
+    _drive(upd, st, [("a", 0)])
+    for lo in range(0, 10_000, 100):
+        st.wm_ms = 0  # µs-scale times: watermark stays at epoch
+        _drive(upd, st, [("b", t) for t in range(lo + 1, lo + 101)])
+    lists = st.get
+    assert len(lists[1]) <= 100          # only times in (0, t1+100] kept
+    assert len(lists[2]) == 0
+    # duplicate replays: same 50 times delivered 200 times -> 50 entries
+    st2 = _FakeState()
+    _drive(upd, st2, [("a", 0)])
+    for _ in range(200):
+        _drive(upd, st2, [("b", t) for t in range(1, 51)])
+    assert len(st2.get[1]) == 50
+
+
+def test_streaming_funnel_lower_prune_without_t1():
+    """Before any step-1 event, the watermark alone bounds the lists:
+    a step-2 time at or below the watermark can never chain (any
+    future t1 is >= the watermark)."""
+    from duo_spark.streaming.funnel import make_funnel_update
+
+    upd = make_funnel_update(
+        ["a", "b"], "user_id", "event_type", "ts_us",
+        window=1_000_000, idle_ttl_ms=None,
+    )
+    st = _FakeState()
+    for lo in range(0, 10_000_000, 1_000_000):
+        st.wm_ms = lo // 1000  # watermark tracks delivered time (ms)
+        _drive(upd, st, [("b", t) for t in range(lo, lo + 1_000_000, 10_000)])
+    assert len(st.get[1]) <= 200  # only times above the final watermark
+
+
+def test_streaming_funnel_ttl_gc():
+    from duo_spark.streaming.funnel import make_funnel_update
+
+    upd = make_funnel_update(
+        ["a", "b"], "user_id", "event_type", "ts_us",
+        window=None, idle_ttl_ms=60_000,
+    )
+    st = _FakeState()
+    _drive(upd, st, [("a", 5)])
+    assert st.exists and st.ttl == 60_000
+    st.hasTimedOut = True
+    out = _drive(upd, st, [])
+    assert st.removed and out == []
+
+
+@pytest.mark.parametrize("split", ["half", "reversed_time"])
+def test_streaming_funnel_windowed_matches_batch(spark, tmp_path, split):
+    """The in-operator window (with watermark prune) emits exactly the
+    batch funnel_steps(window=W) chains, including under a schedule
+    that delivers later events first."""
+    import uuid
+    from pyspark.sql import Window, functions as F
+    from duo_spark.operators.funnel import funnel_steps
+    from duo_spark.streaming.funnel import streaming_funnel_states
+
+    rng = random.Random(47)
+    rows = [(i, rng.randint(0, 20), rng.choice(["a", "b", "c", "x"]),
+             rng.randint(0, 800)) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long")
+    src = f"{tmp_path}/in_w_{split}"
+    if split == "half":
+        first = df.filter(F.col("event_id") % 2 == 1)
+        second = df.filter(F.col("event_id") % 2 == 0)
+    else:
+        first = df.filter(F.col("ts_us") >= 400)
+        second = df.filter(F.col("ts_us") < 400)
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, user_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 second")  # covers the full µs-scale disorder
+    )
+    states = streaming_funnel_states(stream, ["a", "b", "c"], window=150)
+    name = f"sfw_{uuid.uuid4().hex[:8]}"
+    q = (states.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp_path}/ckw_{split}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    final = (spark.sql(f"SELECT * FROM {name}")
+             .withColumn("_rn", F.row_number().over(w)).filter("_rn = 1"))
+    got = {r.user_id: (r.t1, r.t2, r.t3) for r in final.collect()}
+    want = {r.user_id: (r.t1, r.t2, r.t3)
+            for r in funnel_steps(df, ["a", "b", "c"], window=150).collect()}
+    assert got == want
