@@ -127,11 +127,25 @@ def correlate_span_logs(
     DEVIATIONS.md). ``log_count``/``error_count`` stay EXACT — they
     aggregate before the slice.
     """
+    # span_logs structs carry the full log shape the Jaeger serializer
+    # renders (serialize.rs:156-180): core columns plus every drifted
+    # user-field column present on the log side (ingest flattens them
+    # to top level, models.rs:51 fields). time leads the struct so
+    # sort_array keeps the reference's chronological order.
+    core_tail = [c for c in ("level", "message", "target", "file", "line")
+                 if c in logs.columns]
+    extra = sorted(
+        c for c in logs.columns
+        if c not in ("process_id", "time", "trace_id", "span_id", "date",
+                     "hour", "minute", *core_tail)
+    )
     per_span = logs.filter(F.col("span_id").isNotNull()).groupBy("span_id").agg(
         F.count(F.lit(1)).alias("log_count"),
         F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
         F.slice(
-            F.sort_array(F.collect_list(F.struct("time", "level", "message"))),
+            F.sort_array(
+                F.collect_list(F.struct("time", *core_tail, *extra))
+            ),
             1,
             max_logs_per_span,
         ).alias("span_logs"),

@@ -98,16 +98,72 @@ def _normalize_span(rec: dict[str, Any]) -> dict[str, Any]:
     return rec
 
 
+#: core log column names — structured user fields may not shadow these
+_LOG_CORE_KEYS = frozenset(f.name for f in _LOG_ARROW)
+
+
 def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
     """C6 message extraction + proto int level decode
-    (duo/src/models.rs:148-158)."""
+    (duo/src/models.rs:148-158), then FLATTEN the remaining structured
+    fields to top level — the reference stores user fields as real log
+    columns with per-batch inferred types merged into the evolving log
+    schema (duo/src/arrow.rs:57-92 map.extend + schema merge), which
+    is what makes them expr-queryable and lets /api/logs and the
+    Jaeger span-log serializer emit them typed.
+
+    Deviation from arrow.rs's blind ``map.extend``: a user field named
+    like a core column (``level``, ``time``, …) only lands when the
+    core slot is empty — the reference lets it clobber the typed core
+    value, which poisons the schema merge (a string "level" field vs
+    the Utf8 level column is survivable, but a string "time" vs Int64
+    breaks every later read). Non-scalar field values are stored as
+    their JSON text (the reference's Utf8 fallback)."""
     fields = rec.pop("fields", None)
     if isinstance(fields, dict) and "message" in fields and rec.get("message") is None:
         rec["message"] = str(fields.pop("message"))
+    if isinstance(fields, dict):
+        for k, v in fields.items():
+            if k in _LOG_CORE_KEYS and rec.get(k) is not None:
+                continue
+            if v is not None and not isinstance(v, (bool, int, float, str)):
+                v = json.dumps(v, sort_keys=True)
+            rec[k] = v
     lvl = rec.get("level")
     if isinstance(lvl, int) and not isinstance(lvl, bool):
         rec["level"] = _LEVEL_BY_INT.get(lvl, "DEBUG")
     return rec
+
+
+def _infer_extra_fields(
+    records: list[dict[str, Any]], core: frozenset
+) -> list[pa.field]:
+    """Arrow fields for the batch's non-core keys — the per-batch
+    schema inference of duo/src/arrow.rs:82-88. JSON kinds map
+    bool->bool, int->int64, float->float64, str->string; a key that
+    mixes kinds within the batch widens (int+float -> float64,
+    anything else -> string, values stringified at write). Sorted by
+    name so the staged file layout is deterministic."""
+    kinds: dict[str, set] = {}
+    for r in records:
+        for k, v in r.items():
+            if k in core or v is None:
+                continue
+            kinds.setdefault(k, set()).add(
+                bool if isinstance(v, bool) else type(v)
+            )
+    out = []
+    for k in sorted(kinds):
+        ks = kinds[k]
+        if ks == {bool}:
+            t = pa.bool_()
+        elif ks == {int}:
+            t = pa.int64()
+        elif ks <= {int, float}:
+            t = pa.float64()
+        else:
+            t = pa.string()
+        out.append(pa.field(k, t))
+    return out
 
 
 class IngestServer:
@@ -271,7 +327,20 @@ class IngestServer:
         if spans:
             self._write(spans, _SPAN_ARROW, self.span_dir)
         if logs:
-            self._write(logs, _LOG_ARROW, self.log_dir)
+            # per-batch inferred user-field columns appended to the
+            # core schema (arrow.rs:82-92's Schema::try_merge analog);
+            # the pipeline re-merges across staged files at read time
+            # (pipeline.staged_log_schema)
+            extra = _infer_extra_fields(logs, _LOG_CORE_KEYS)
+            schema = _LOG_ARROW
+            for f in extra:
+                schema = schema.append(f)
+                if f.type == pa.string():
+                    for r in logs:
+                        v = r.get(f.name)
+                        if v is not None and not isinstance(v, str):
+                            r[f.name] = json.dumps(v)
+            self._write(logs, schema, self.log_dir)
 
     @staticmethod
     def _write(records: list[dict[str, Any]], schema: pa.Schema, out_dir: str) -> None:

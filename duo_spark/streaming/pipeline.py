@@ -48,8 +48,38 @@ def span_record_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(SPAN_SCHEMA).parquet(source_dir)
 
 
-def log_record_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    return spark.readStream.schema(LOG_CORE_SCHEMA).parquet(source_dir)
+def staged_log_schema(spark: SparkSession, source_dir: str):
+    """The merged schema of the staged log files: LOG_CORE_SCHEMA plus
+    every user-field column the ingest bridge has flattened so far
+    (ingest_server._normalize_log), types widened across files by
+    logschema.merge_schemas.
+
+    This is the reference's startup schema load (duo/src/schema.rs:
+    48-76: read the persisted evolved log schema, else the default)
+    re-expressed for Structured Streaming, whose source schema is
+    fixed at query start: footers are cheap driver-side metadata reads
+    (one per staged file, no Spark job), and a field first observed
+    AFTER the query starts becomes visible on the next pipeline
+    (re)start — the same boundary the reference has across server
+    restarts."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from duo_spark.sources.logschema import merge_schemas
+
+    schema = LOG_CORE_SCHEMA
+    if os.path.isdir(source_dir):
+        for name in sorted(os.listdir(source_dir)):
+            if name.endswith(".parquet"):
+                pa_schema = pq.read_schema(os.path.join(source_dir, name))
+                schema = merge_schemas(schema, from_arrow_schema(pa_schema))
+    return schema
+
+
+def log_record_stream(
+    spark: SparkSession, source_dir: str, schema=None
+) -> DataFrame:
+    return spark.readStream.schema(schema or LOG_CORE_SCHEMA).parquet(source_dir)
 
 
 def start_span_pipeline(
@@ -116,8 +146,10 @@ def start_log_pipeline(
     available_now: bool = False,
 ):
     """Log ingest: stateless passthrough (logs need no completion
-    merge) into the partitioned sink — T1/T3/T5 for the log table."""
-    logs = log_record_stream(spark, source_dir)
+    merge) into the partitioned sink — T1/T3/T5 for the log table.
+    The source schema is the drift-merged one (staged_log_schema), so
+    flattened user-field columns flow through to the sink."""
+    logs = log_record_stream(spark, source_dir, staged_log_schema(spark, source_dir))
     if not memory_mode:
         assert out_dir is not None, "out_dir required unless memory_mode"
         logs = with_partition_cols(logs, "time", "minute")

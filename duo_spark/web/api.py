@@ -216,10 +216,20 @@ class QueryService:
         tlogs = trace_ops.logs_for_traces(self.logs, admitted_spans)
         enriched = trace_ops.correlate_span_logs(admitted_spans, tlogs)
         by_trace: dict[int, list[dict[str, Any]]] = {}
+        core = ("time", "level", "message", "target", "file", "line")
         for row in enriched.collect():
             d = row.asDict(recursive=True)
+            # core keys by name; every other struct field is a drifted
+            # user-field column -> the serializer's fields map
+            # (models.rs:51 + serialize.rs:173)
             d["span_logs"] = [
-                {"time": lg["time"], "level": lg["level"], "message": lg["message"]}
+                {
+                    **{k: lg.get(k) for k in core},
+                    "fields": {
+                        k: v for k, v in lg.items()
+                        if k not in core and v is not None
+                    },
+                }
                 for lg in (d.get("span_logs") or [])
             ]
             by_trace.setdefault(d["trace_id"], []).append(d)

@@ -120,3 +120,71 @@ def test_ingest_server_drops_garbage_lines(scratch):
     files = [os.path.join(span_dir, f) for f in os.listdir(span_dir)]
     assert len(files) == 1
     assert pq.read_table(files[0]).to_pydict()["id"] == [7]
+
+
+def test_log_field_flatten_inference_and_staged_schema(spark, scratch):
+    """Structured log fields flatten to typed top-level columns
+    (duo/src/arrow.rs:57-92): per-batch inference (bool/int64/float64/
+    string, in-batch mixed kinds widen), core-name shadowing guarded,
+    non-scalars stored as JSON text — and staged_log_schema merges the
+    per-file schemas into the streaming read schema."""
+    import pyarrow.parquet as pq
+
+    from duo_spark.streaming.ingest_server import (
+        _infer_extra_fields, _normalize_log, _LOG_CORE_KEYS,
+    )
+    from duo_spark.streaming.pipeline import staged_log_schema
+
+    # normalization: message extraction, flatten, core-shadow guard
+    rec = _normalize_log({
+        "process_id": "p-0", "time": BASE, "level": "INFO",
+        "fields": {"message": "hi", "flag": 1, "ok": True,
+                   "level": "shadowed", "obj": {"b": 2, "a": 1}},
+    })
+    assert rec["message"] == "hi" and rec["flag"] == 1 and rec["ok"] is True
+    assert rec["level"] == "INFO"              # core value wins
+    assert rec["obj"] == '{"a": 1, "b": 2}'    # non-scalar -> JSON text
+
+    # inference: kinds map + in-batch widening
+    import pyarrow as pa
+    fields = {f.name: f.type for f in _infer_extra_fields(
+        [{"a": 1}, {"a": 2.5}, {"b": True}, {"c": "s"}, {"d": 3}, {"d": "x"}],
+        _LOG_CORE_KEYS,
+    )}
+    assert fields == {"a": pa.float64(), "b": pa.bool_(),
+                      "c": pa.string(), "d": pa.string()}
+
+    # two flushes with different field sets -> merged streaming schema
+    log_dir = os.path.join(scratch, "log_drift")
+    with IngestServer(os.path.join(scratch, "span_drift"), log_dir,
+                      tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE, level="INFO",
+                     fields={"message": "a", "user": 7})
+        c.close()
+        server.quiesce()
+        server.flush()
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE + 1, level="WARN",
+                     fields={"message": "b", "score": 0.5, "user": 8})
+        c.close()
+        server.quiesce()
+        server.flush()
+    files = sorted(os.listdir(log_dir))
+    assert len(files) == 2
+    assert "user" in pq.read_schema(os.path.join(log_dir, files[0])).names
+    merged = staged_log_schema(spark, log_dir)
+    by_name = {f.name: f.dataType.simpleString() for f in merged.fields}
+    assert by_name["user"] == "bigint" and by_name["score"] == "double"
+    # the streaming read under the merged schema sees both files' fields
+    from duo_spark.streaming.pipeline import log_record_stream
+    name = f"drift_{uuid.uuid4().hex[:8]}"
+    q = (log_record_stream(spark, log_dir, merged).writeStream
+         .format("memory").queryName(name)
+         .option("checkpointLocation", _scratch("ckpt", uuid.uuid4().hex))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r.message: r for r in spark.table(name).collect()}
+    assert rows["a"].user == 7 and rows["a"].score is None
+    assert rows["b"].user == 8 and rows["b"].score == 0.5

@@ -134,3 +134,138 @@ def test_subscriber_decorator_and_drop_on_full(engine):
         sub.log("INFO", "spam")
     assert sub.dropped > 0
     sub.close()
+
+
+def _reference_example_app(sub: DuoSubscriber) -> int:
+    """duo-subscriber/examples/main.rs:11-50 replayed verbatim: the
+    span tree foo -> {bar -> baz, foz} with the example's exact log
+    sequence, levels, and structured fields."""
+    sub.log("INFO", "Bootstrap...")
+    with sub.span("foo") as root:
+        sub.log("INFO", "hello foo!", test=True)
+        with sub.span("bar"):
+            with sub.span("baz"):
+                sub.log("WARN", "hello baz!")
+        sub.log("DEBUG", "called bar!")
+        with sub.span("foz"):
+            sub.log("DEBUG", "hello foz!")
+            sub.log("ERROR", "Oops!", flag=1, data="data")
+        return root.trace_id
+
+
+def _normalize_trace(trace: dict) -> list[dict]:
+    """Strip volatile values (ids, timestamps, timing strings) from a
+    Jaeger trace, keeping everything the reference contract pins:
+    operation names, CHILD_OF edges (by parent operation), tag
+    key/type (+ value for non-timing tags), and per-span logs with
+    their typed fields in order."""
+    id2op = {s["spanID"]: s["operationName"] for s in trace["spans"]}
+    out = []
+    for s in sorted(trace["spans"], key=lambda s: (s["startTime"], s["operationName"])):
+        refs = [
+            {"refType": r["refType"], "parent_op": id2op[r["spanID"]],
+             "same_trace": r["traceID"] == s["traceID"]}
+            for r in s["references"]
+        ]
+        tags = []
+        for t in sorted(s["tags"], key=lambda t: t["key"]):
+            tags.append(
+                {"key": t["key"], "type": t["type"]}
+                if t["key"] in ("busy", "idle")
+                else {"key": t["key"], "type": t["type"], "value": t["value"]}
+            )
+        logs = [
+            {f["key"]: (f["type"], f["value"])
+             for f in lg["fields"] if f["key"] != "target"}
+            for lg in sorted(s["logs"], key=lambda lg: lg["timestamp"])
+        ]
+        out.append(
+            {"op": s["operationName"], "references": refs, "tags": tags,
+             "logs": logs, "flags": s["flags"], "duration_zero": s["duration"] == 0,
+             "process": s["processID"]}
+        )
+    return out
+
+
+def test_subscriber_golden_reference_example(engine):
+    """VERDICT r5 #7: the reference's example scenario
+    (duo-subscriber/examples/main.rs) driven through the Python
+    subscriber, golden-asserted against the full Jaeger JSON —
+    CHILD_OF refs, busy/idle tags, ERROR->error=true injection, typed
+    structured fields, and message/level promotion into log fields."""
+    host, port = engine.start_ingest(tick_seconds=30)
+    sub = DuoSubscriber(host, port, "example")
+    trace_id = _reference_example_app(sub)
+    sub.close()
+    assert sub.dropped == 0
+    engine.drain()
+
+    h, p = engine.serve_http()
+    base = f"http://{h}:{p}"
+    status, env = _get(base, f"/api/traces/{trace_id}")
+    assert status == 200
+    (trace,) = env["data"]
+
+    golden = [
+        {
+            "op": "foo",
+            "references": [],
+            "tags": [{"key": "busy", "type": "string"},
+                     {"key": "idle", "type": "string"}],
+            "logs": [
+                {"message": ("string", "hello foo!"),
+                 "level": ("string", "INFO"),
+                 "test": ("bool", True)},
+                {"message": ("string", "called bar!"),
+                 "level": ("string", "DEBUG")},
+            ],
+            "flags": 1, "duration_zero": False, "process": "example-0",
+        },
+        {
+            "op": "bar",
+            "references": [{"refType": "CHILD_OF", "parent_op": "foo",
+                            "same_trace": True}],
+            "tags": [{"key": "busy", "type": "string"},
+                     {"key": "idle", "type": "string"}],
+            "logs": [],
+            "flags": 1, "duration_zero": False, "process": "example-0",
+        },
+        {
+            "op": "baz",
+            "references": [{"refType": "CHILD_OF", "parent_op": "bar",
+                            "same_trace": True}],
+            "tags": [{"key": "busy", "type": "string"},
+                     {"key": "idle", "type": "string"}],
+            "logs": [
+                {"message": ("string", "hello baz!"),
+                 "level": ("string", "WARN")},
+            ],
+            "flags": 1, "duration_zero": False, "process": "example-0",
+        },
+        {
+            "op": "foz",
+            "references": [{"refType": "CHILD_OF", "parent_op": "foo",
+                            "same_trace": True}],
+            # the ERROR log inside foz injects error=true (models.rs:89-94)
+            "tags": [{"key": "busy", "type": "string"},
+                     {"key": "error", "type": "bool", "value": True},
+                     {"key": "idle", "type": "string"}],
+            "logs": [
+                {"message": ("string", "hello foz!"),
+                 "level": ("string", "DEBUG")},
+                {"message": ("string", "Oops!"),
+                 "level": ("string", "ERROR"),
+                 "flag": ("int64", 1),
+                 "data": ("string", "data")},
+            ],
+            "flags": 1, "duration_zero": False, "process": "example-0",
+        },
+    ]
+    assert _normalize_trace(trace) == golden
+
+    # the trace envelope references exactly the one process used
+    assert set(trace["processes"]) == {"example-0"}
+    assert trace["processes"]["example-0"]["serviceName"] == "example"
+    # the span-free "Bootstrap..." event landed as an uncorrelated log
+    status, logs = _get(base, "/api/logs?expr=message+%3D+%27Bootstrap...%27")
+    assert status == 200 and len(logs) == 1 and logs[0]["trace_id"] is None
