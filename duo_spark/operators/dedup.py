@@ -1086,7 +1086,7 @@ def containment_pairs(
     # window partitioned by set id — no driver state, no collect.
     tok = reps.select("_rid", "_sz", F.explode("_hs").alias("_h"))
     freq = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    a_post = (
+    a_pref = (
         tok.join(freq, "_h")
         .withColumn(
             "_rn",
@@ -1095,21 +1095,24 @@ def containment_pairs(
             ),
         )
         .filter(F.col("_rn") <= prefix_len)
-        .select(
-            F.col("_rid").alias("_ra"), F.col("_sz").alias("_sa"), "_h"
-        )
     )
-    b_post = reps.select(
-        F.col("_rid").alias("_rb"), F.col("_sz").alias("_sb"),
-        F.explode("_hs").alias("_h"),
-    )
+    # the B side posts ALL tokens — exactly `tok` again. Joining the
+    # UN-renamed frame (alias-disambiguated self-join, renames applied
+    # AFTER the join) keeps the B-side exchange canonically identical
+    # to the freq-join's tok exchange, so AQE plans the _h-shuffle of
+    # the largest intermediate ONCE (ReusedExchange) instead of
+    # scanning+exploding+shuffling every token a second time. A
+    # pre-join rename pushes a Project below the exchange and defeats
+    # the reuse (measured: 0 → 1 ReusedExchange, one fewer explode).
     cand = (
-        a_post.join(b_post, "_h")
+        a_pref.alias("A")
+        .join(tok.alias("B"), "_h")
         .filter(
-            (F.col("_sa") < F.col("_sb"))
-            | ((F.col("_sa") == F.col("_sb")) & (F.col("_ra") < F.col("_rb")))
+            (F.col("A._sz") < F.col("B._sz"))
+            | ((F.col("A._sz") == F.col("B._sz"))
+               & (F.col("A._rid") < F.col("B._rid")))
         )
-        .select("_ra", "_rb")
+        .select(F.col("A._rid").alias("_ra"), F.col("B._rid").alias("_rb"))
         .distinct()
     )
     a = reps.select(F.col("_rid").alias("_ra"), F.col("_hs").alias("_hsa"),

@@ -3997,40 +3997,86 @@ FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.day = c.day
 # registry
 # ---------------------------------------------------------------------
 
-# Ordering note (round 6): the external correctness driver replays exactly the
-# FIRST 50 entries of this dict against their DuckDB oracles.  Slots 1-13 are
-# the round-5 additions that had never had a driver oracle row (the rotation
-# recorded at OPERATORS.md round-6 plan); slots 14-50 are keepers spanning
-# every operator family, re-confirmed after this round's code changes
-# (containment prefix rework, bench-harness fix, streaming-funnel prune).
-# Everything below the cutoff is locked green by CORRECTNESS_r01..r05 plus the
-# local oracle-parity clone (tests/test_oracle_parity.py replays ALL entries
-# at sf0.001 regardless of order).
+# Ordering note (round 7): the external correctness driver replays exactly the
+# FIRST 50 entries of this dict against their DuckDB oracles.  The round-7
+# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-36
+# are EVERY query whose newest driver row was r4 or older (4 from r3, 32 from
+# r4) — the entire stale backlog clears this round, so no query's hard driver
+# signal is ever more than 3 rounds old again; slots 37-39 are the queries
+# whose operators changed THIS round (streaming funnel watermark/TTL rework,
+# containment prefix token-frame reuse); slots 40-50 are keepers, one per
+# operator family.  Everything below the cutoff is locked green by
+# CORRECTNESS_r05/r06 plus the local oracle-parity clone
+# (tests/test_oracle_parity.py replays ALL entries at sf0.001).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- slots 1-13: round-5 additions, first driver oracle row this round ---
+    # --- slots 1-36: the full stale backlog (newest driver row <= r4) ---
+    "decontam": (q_decontam, SQL_DECONTAM),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
+    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
+    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
+    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
+    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
+    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
+    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
+    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
+    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
+    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
+    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+    # --- slots 37-39: operators changed in round 7 ---
+    "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
+    # --- slots 40-50: per-family keepers ---
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "bm25": (q_bm25, SQL_BM25),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    # --- below the driver's 50-query window: locked green in r5/r6 ---
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
-    "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
     "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
-    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    # --- slots 14-50: keepers re-confirmed after this round's changes ---
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
     "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
@@ -4038,28 +4084,21 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
     "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash": (q_simhash, SQL_SIMHASH),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
-    "kmeans": (q_kmeans, SQL_KMEANS),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "bm25": (q_bm25, SQL_BM25),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
     "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
-    # --- below the driver's 50-query window: locked green in r1-r5 ---
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
@@ -4081,40 +4120,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
-    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
-    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
-    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "in_list": (q_in_list, SQL_IN_LIST),
-    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
-    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
-    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
-    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
-    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
-    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
-    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
-    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
-    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
-    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
-    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
-    "decontam": (q_decontam, SQL_DECONTAM),
 }

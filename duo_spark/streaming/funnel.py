@@ -42,6 +42,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import functions as F
 
 
+def _wm_us(state: GroupState) -> int:
+    """Current watermark in µs, 0 when no watermark is set upstream.
+
+    pyspark 4.1.2 raises PySparkRuntimeError from
+    ``getCurrentWatermarkMs`` when the query has no ``withWatermark``
+    — the documented no-watermark fallback (prune lower bound stays 0,
+    only t1-relative bounds apply) needs the 0 default, not a crash.
+    """
+    try:
+        return state.getCurrentWatermarkMs() * 1000
+    except Exception:  # PySparkRuntimeError: watermark not set
+        return 0
+
+
 def _prune_lists(
     lists: list[list[int]], wm_us: int, window: int
 ) -> list[list[int]]:
@@ -106,6 +120,7 @@ def make_funnel_update(
     time_col: str,
     window: int | None,
     idle_ttl_ms: int | None,
+    event_age_ms: int | None = None,
 ):
     """Build the applyInPandasWithState update function (module-level
     factory, like streaming/state.py's make_span_completion_func, so
@@ -119,7 +134,8 @@ def make_funnel_update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # idle-TTL GC: the user went silent past the TTL — drop
+            # TTL GC (processing-time idle_ttl_ms or event-time
+            # event_age_ms): the user went silent past the bound — drop
             # their partial funnel (no emission: their last emitted
             # chain remains the final word)
             state.remove()
@@ -145,9 +161,26 @@ def make_funnel_update(
                 else:
                     lists[i].append(t)
                     changed = True
-        if not changed:
-            if idle_ttl_ms is not None and state.exists:
+        def arm(cur_lists: list[list[int]]) -> None:
+            if idle_ttl_ms is not None:
                 state.setTimeoutDuration(idle_ttl_ms)
+            elif event_age_ms is not None:
+                # event-time TTL: fires when the WATERMARK (not the
+                # wall clock) passes the user's newest stored event by
+                # event_age_ms — so an availableNow replay, which
+                # advances the watermark batch-by-batch but not the
+                # wall clock, still bounds state (idle_ttl_ms cannot)
+                mx = max((lst[-1] for lst in cur_lists if lst), default=None)
+                if mx is not None:
+                    # Spark requires the timeout timestamp to be beyond
+                    # the current watermark; a user already expired
+                    # under the new watermark arms for the next batch
+                    ts = mx // 1000 + event_age_ms
+                    state.setTimeoutTimestamp(max(ts, _wm_us(state) // 1000 + 1))
+
+        if not changed:
+            if state.exists:
+                arm(lists)
             return
         for i in range(1, k):
             # sorted DISTINCT times: the greedy chain picks minima, so
@@ -156,13 +189,10 @@ def make_funnel_update(
             # grows state on every redelivery
             lists[i] = sorted(set(lists[i]))
         if window is not None:
-            lists = _prune_lists(
-                lists, state.getCurrentWatermarkMs() * 1000, window
-            )
+            lists = _prune_lists(lists, _wm_us(state), window)
         seq += 1
         state.update(tuple(lists) + (seq,))
-        if idle_ttl_ms is not None:
-            state.setTimeoutDuration(idle_ttl_ms)
+        arm(lists)
         times = _greedy_chain(lists, k, window)
         yield pd.DataFrame(
             {
@@ -183,6 +213,7 @@ def streaming_funnel_states(
     time_col: str = "ts_us",
     window: int | None = None,
     idle_ttl_ms: int | None = None,
+    event_age_ms: int | None = None,
 ) -> DataFrame:
     """Per-user funnel step times over a stream (update mode): emits
     (user, t1..tk, seq) whenever a user's chain may have changed;
@@ -199,7 +230,15 @@ def streaming_funnel_states(
     ``idle_ttl_ms`` offers the GC alternative: drop state for users
     idle past the TTL. ``idle_ttl_ms`` keeps the micro-batch loop
     alive to fire timeouts, so leave it None for availableNow
-    drain-and-stop replays (same caveat as streaming/state.py).
+    drain-and-stop replays (same caveat as streaming/state.py) — for
+    replays use ``event_age_ms`` instead: an EVENT-TIME TTL that drops
+    a user once the watermark passes their newest stored event by
+    ``event_age_ms``. The watermark advances during an availableNow
+    drain even though the wall clock effectively doesn't, so
+    ``event_age_ms`` bounds state under replay where ``idle_ttl_ms``
+    fires nothing. Requires ``withWatermark`` upstream (Spark's
+    EventTimeTimeout contract); mutually exclusive with
+    ``idle_ttl_ms``.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -207,6 +246,13 @@ def streaming_funnel_states(
         raise ValueError(f"window must be positive µs, got {window}")
     if idle_ttl_ms is not None and idle_ttl_ms <= 0:
         idle_ttl_ms = None
+    if event_age_ms is not None and event_age_ms <= 0:
+        event_age_ms = None
+    if idle_ttl_ms is not None and event_age_ms is not None:
+        raise ValueError(
+            "idle_ttl_ms and event_age_ms are mutually exclusive "
+            "(Spark supports one timeout conf per stateful operator)"
+        )
     k = len(steps)
     reserved = {"seq", *(f"t{i + 1}" for i in range(k))}
     if user_col in reserved:
@@ -227,13 +273,14 @@ def streaming_funnel_states(
         + ", seq bigint"
     )
     update = make_funnel_update(
-        steps, user_col, type_col, time_col, window, idle_ttl_ms
+        steps, user_col, type_col, time_col, window, idle_ttl_ms, event_age_ms
     )
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    if idle_ttl_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    elif event_age_ms is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (
         stream.groupBy(F.col(user_col))
         .applyInPandasWithState(

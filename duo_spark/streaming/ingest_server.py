@@ -101,6 +101,13 @@ def _normalize_span(rec: dict[str, Any]) -> dict[str, Any]:
 #: core log column names — structured user fields may not shadow these
 _LOG_CORE_KEYS = frozenset(f.name for f in _LOG_ARROW)
 
+#: python types a user field must have to be adopted INTO a core slot
+#: (a string "line" landing in the int32 column would make
+#: Table.from_pydict raise at flush time and kill the tick thread)
+_LOG_CORE_PY: dict[str, type | tuple[type, ...]] = {
+    f.name: (int if pa.types.is_integer(f.type) else str) for f in _LOG_ARROW
+}
+
 
 def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
     """C6 message extraction + proto int level decode
@@ -123,8 +130,17 @@ def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
         rec["message"] = str(fields.pop("message"))
     if isinstance(fields, dict):
         for k, v in fields.items():
-            if k in _LOG_CORE_KEYS and rec.get(k) is not None:
-                continue
+            if k in _LOG_CORE_KEYS:
+                # adopt into a typed core slot only when the slot is
+                # empty AND the value matches the core arrow type —
+                # a mistyped value (fields:{"line":"forty"}) would
+                # otherwise poison the whole batch at from_pydict
+                if (
+                    rec.get(k) is not None
+                    or isinstance(v, bool)
+                    or not isinstance(v, _LOG_CORE_PY[k])
+                ):
+                    continue
             if v is not None and not isinstance(v, (bool, int, float, str)):
                 v = json.dumps(v, sort_keys=True)
             rec[k] = v
@@ -132,6 +148,18 @@ def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
     if isinstance(lvl, int) and not isinstance(lvl, bool):
         rec["level"] = _LEVEL_BY_INT.get(lvl, "DEBUG")
     return rec
+
+
+def _widen_arrow(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Smallest common arrow type for a cross-TICK field conflict —
+    the pyarrow analog of sources/logschema.widen (int64+float64 →
+    float64, anything else irreconcilable → string)."""
+    if a == b:
+        return a
+    numeric = {pa.int64(), pa.float64()}
+    if a in numeric and b in numeric:
+        return pa.float64()
+    return pa.string()
 
 
 def _infer_extra_fields(
@@ -188,6 +216,30 @@ class IngestServer:
         self._spans: list[dict[str, Any]] = []
         self._logs: list[dict[str, Any]] = []
         self._lock = threading.Lock()
+        # the evolving ingest-side merged schema for user log fields
+        # (driver-side analog of LogSchemaRegistry, duo/src/schema.rs
+        # 44-101): every staged file is conformed to these types, so
+        # the cross-file merge in pipeline.staged_log_schema can never
+        # see two files carrying CONFLICTING types for one column —
+        # parquet's reader widens column SETS, not column TYPES.
+        # Seeded from already-staged files so a restarted bridge over a
+        # warm staging dir keeps their contract.
+        self._log_extra: dict[str, pa.DataType] = {}
+        self._schema_lock = threading.Lock()
+        for fname in sorted(os.listdir(log_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                existing = pq.read_schema(os.path.join(log_dir, fname))
+            except Exception:
+                continue
+            for f in existing:
+                if f.name in _LOG_CORE_KEYS:
+                    continue
+                prev = self._log_extra.get(f.name)
+                self._log_extra[f.name] = (
+                    f.type if prev is None else _widen_arrow(prev, f.type)
+                )
         self._stop = threading.Event()
         self._active = 0
         self._idle = threading.Condition()
@@ -314,7 +366,14 @@ class IngestServer:
 
     def _tick_loop(self) -> None:
         while not self._stop.wait(self.tick_seconds):
-            self.flush()
+            # one bad batch must not kill the tick thread — ingest
+            # would silently stop staging forever while buffers grow
+            try:
+                self.flush()
+            except Exception as e:  # noqa: BLE001
+                import sys
+
+                print(f"ingest tick flush failed: {e}", file=sys.stderr)
 
     def flush(self) -> None:
         """Stage buffered records as one parquet file per table — the
@@ -327,20 +386,71 @@ class IngestServer:
         if spans:
             self._write(spans, _SPAN_ARROW, self.span_dir)
         if logs:
-            # per-batch inferred user-field columns appended to the
-            # core schema (arrow.rs:82-92's Schema::try_merge analog);
-            # the pipeline re-merges across staged files at read time
-            # (pipeline.staged_log_schema)
-            extra = _infer_extra_fields(logs, _LOG_CORE_KEYS)
-            schema = _LOG_ARROW
-            for f in extra:
-                schema = schema.append(f)
+            # per-batch inferred user-field columns merged into the
+            # EVOLVING ingest schema (arrow.rs:82-92 + schema.rs:78-89
+            # analog), then the batch is conformed to the merged types
+            # before writing — and when a merge WIDENS a field that
+            # older staged files carry at the narrower type, those
+            # files are rewritten in place (the logschema.merge_batch
+            # rewrite, staged-file edition). Without this, an int
+            # field in tick 1 and a string field in tick 2 leaves an
+            # INT64 file + a UTF8 file on disk, and the log stream's
+            # fixed merged schema throws 'Parquet column cannot be
+            # converted' on the older file.
+            with self._schema_lock:
+                widened: dict[str, pa.DataType] = {}
+                for f in _infer_extra_fields(logs, _LOG_CORE_KEYS):
+                    prev = self._log_extra.get(f.name)
+                    merged = f.type if prev is None else _widen_arrow(prev, f.type)
+                    if prev is not None and merged != prev:
+                        widened[f.name] = merged
+                    self._log_extra[f.name] = merged
+                schema = _LOG_ARROW
+                for name in sorted(self._log_extra):
+                    schema = schema.append(pa.field(name, self._log_extra[name]))
+                if widened:
+                    self._rewrite_staged(widened)
+            for f in schema:
+                if f.name in _LOG_CORE_KEYS:
+                    continue
                 if f.type == pa.string():
                     for r in logs:
                         v = r.get(f.name)
                         if v is not None and not isinstance(v, str):
                             r[f.name] = json.dumps(v)
             self._write(logs, schema, self.log_dir)
+
+    def _rewrite_staged(self, widened: dict[str, pa.DataType]) -> None:
+        """Cast already-staged log files whose columns predate a type
+        widening. Rewrite keeps the FILENAME (write tmp + atomic
+        replace): the streaming file source tracks files by path, so a
+        file it already processed is never re-read and a file it has
+        not yet listed is picked up with the widened types. Widening
+        fires at most once per (field, narrower-type) ever — a rare
+        maintenance event, not a hot-path cost."""
+        for fname in sorted(os.listdir(self.log_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(self.log_dir, fname)
+            try:
+                table = pq.read_table(path)
+            except Exception:
+                continue
+            changed = False
+            for name, dtype in widened.items():
+                idx = table.schema.get_field_index(name)
+                if idx < 0 or table.schema.field(idx).type == dtype:
+                    continue
+                table = table.set_column(
+                    idx,
+                    pa.field(name, dtype),
+                    table.column(idx).cast(dtype),
+                )
+                changed = True
+            if changed:
+                tmp = path + ".inprogress"
+                pq.write_table(table, tmp)
+                os.replace(tmp, path)
 
     @staticmethod
     def _write(records: list[dict[str, Any]], schema: pa.Schema, out_dir: str) -> None:

@@ -351,3 +351,166 @@ def test_streaming_funnel_windowed_matches_batch(spark, tmp_path, split):
     want = {r.user_id: (r.t1, r.t2, r.t3)
             for r in funnel_steps(df, ["a", "b", "c"], window=150).collect()}
     assert got == want
+
+
+def test_streaming_funnel_windowed_without_watermark(spark, tmp_path):
+    """ADVICE r6: with window set but NO upstream withWatermark,
+    getCurrentWatermarkMs raises PySparkRuntimeError in pyspark 4.1.2
+    — the documented fallback (prune lower bound stays 0, t1-relative
+    bounds only) must actually run instead of crashing the query."""
+    import uuid
+    from pyspark.sql import Window, functions as F
+    from duo_spark.operators.funnel import funnel_steps
+    from duo_spark.streaming.funnel import streaming_funnel_states
+
+    rng = random.Random(53)
+    rows = [(i, rng.randint(0, 10), rng.choice(["a", "b", "c", "x"]),
+             rng.randint(0, 800)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long")
+    src = f"{tmp_path}/in_nowm"
+    df.filter("event_id % 2 = 1").coalesce(1).write.parquet(src)
+    df.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, ts_us long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    states = streaming_funnel_states(stream, ["a", "b", "c"], window=150)
+    name = f"sfnw_{uuid.uuid4().hex[:8]}"
+    q = (states.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp_path}/cknw")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    final = (spark.sql(f"SELECT * FROM {name}")
+             .withColumn("_rn", F.row_number().over(w)).filter("_rn = 1"))
+    got = {r.user_id: (r.t1, r.t2, r.t3) for r in final.collect()}
+    want = {r.user_id: (r.t1, r.t2, r.t3)
+            for r in funnel_steps(df, ["a", "b", "c"], window=150).collect()}
+    assert got == want
+
+
+class _RaisingWmState(_FakeState):
+    """Emulates pyspark 4.1.2's GroupState when no watermark is set:
+    getCurrentWatermarkMs raises instead of returning 0."""
+
+    def __init__(self):
+        super().__init__()
+        self.timeout_ts = None
+
+    def getCurrentWatermarkMs(self):
+        raise RuntimeError(
+            "getCurrentWatermarkMs can be called only when watermark is set")
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+
+def test_funnel_update_survives_wm_raise():
+    from duo_spark.streaming.funnel import make_funnel_update
+
+    upd = make_funnel_update(
+        ["a", "b"], "user_id", "event_type", "ts_us",
+        window=100, idle_ttl_ms=None,
+    )
+    st = _RaisingWmState()
+    out = _drive(upd, st, [("a", 0), ("b", 50)])
+    assert st.exists and out[0].t2.iloc[0] == 50
+
+
+class _EventTimeState(_FakeState):
+    def __init__(self):
+        super().__init__()
+        self.timeout_ts = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+
+def test_streaming_funnel_event_age_ttl():
+    """VERDICT r6 #7: event-time TTL arms a timeout at (newest stored
+    event + age) — watermark-driven, so it fires under availableNow
+    replays where the processing-time TTL never does — and a timed-out
+    user's state is dropped."""
+    from duo_spark.streaming.funnel import make_funnel_update
+
+    upd = make_funnel_update(
+        ["a", "b"], "user_id", "event_type", "ts_us",
+        window=None, idle_ttl_ms=None, event_age_ms=60_000,
+    )
+    st = _EventTimeState()
+    _drive(upd, st, [("a", 5_000_000), ("b", 9_000_000)])
+    assert st.timeout_ts == 9_000 + 60_000  # newest event (ms) + age
+    # watermark already past the deadline -> arm just beyond the wm
+    st.wm_ms = 1_000_000
+    _drive(upd, st, [("b", 10_000_000)])
+    assert st.timeout_ts == 1_000_001
+    st.hasTimedOut = True
+    out = _drive(upd, st, [])
+    assert st.removed and out == []
+
+
+def test_streaming_funnel_event_age_requires_exclusive_ttl(spark):
+    import pytest as _pytest
+    from duo_spark.streaming.funnel import streaming_funnel_states
+
+    df = (spark.readStream
+          .format("rate").load()
+          .selectExpr("value as user_id", "'a' as event_type",
+                      "value as ts_us"))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        streaming_funnel_states(df, ["a", "b"], idle_ttl_ms=1000,
+                                event_age_ms=1000)
+
+
+def test_streaming_funnel_event_age_e2e(spark, tmp_path):
+    """EventTimeTimeout end-to-end: the query runs, chains for on-time
+    users are correct, and a stale user's state is dropped once the
+    watermark passes their newest event by event_age_ms (observable via
+    a later event restarting their funnel from scratch)."""
+    import uuid
+    from pyspark.sql import Window, functions as F
+    from duo_spark.streaming.funnel import streaming_funnel_states
+
+    base = 1_700_000_000_000_000  # µs epoch
+    hour = 3_600_000_000
+    # user 1: 'a', then nothing while the watermark sails 8h past it —
+    # the 1h event-age timeout fires (in a batch where user 1 has no
+    # data and the start-of-batch watermark exceeds the deadline), so
+    # their late 'b' finds no state and cannot chain.
+    # user 2: a,b close together -> full chain.
+    batches = [
+        [(1, "a", base)],
+        [(2, "a", base + 8 * hour), (2, "b", base + 8 * hour + 1000)],
+        [(3, "a", base + 8 * hour + 2000)],   # fires user 1's timeout
+        [(1, "b", base + 8 * hour + 3000)],   # restart: no t1 -> no chain
+    ]
+    src = f"{tmp_path}/in_age"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "user_id long, event_type string, ts_us long") \
+            .coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("user_id long, event_type string, ts_us long")
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+              .withWatermark("ts", "1 second"))
+    states = streaming_funnel_states(stream, ["a", "b"],
+                                     event_age_ms=3_600_000)
+    name = f"sfage_{uuid.uuid4().hex[:8]}"
+    q = (states.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp_path}/ckage")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    final = (spark.sql(f"SELECT * FROM {name}")
+             .withColumn("_rn", F.row_number().over(w)).filter("_rn = 1"))
+    got = {r.user_id: (r.t1, r.t2) for r in final.collect()}
+    assert got[2] == (base + 8 * hour, base + 8 * hour + 1000)
+    # user 1's 'a' state was GC'd before their late 'b' arrived: the b
+    # alone cannot start a chain, so no emission ever carries t2.
+    # (seq restarts after GC, so the max-seq tie between the pre-GC
+    # (base, None) emission and the restart's (None, None) is
+    # arbitrary — t2 is None either way; a completed chain would have
+    # won the tie with seq=2.)
+    assert got[1][1] is None

@@ -188,3 +188,140 @@ def test_log_field_flatten_inference_and_staged_schema(spark, scratch):
     rows = {r.message: r for r in spark.table(name).collect()}
     assert rows["a"].user == 7 and rows["a"].score is None
     assert rows["b"].user == 8 and rows["b"].score == 0.5
+
+
+def test_log_field_type_conflict_across_ticks(spark, scratch):
+    """A field that drifts int -> string ACROSS ticks must not leave
+    conflicting parquet types on disk: the ingest-side evolving schema
+    widens to string, conforms the new batch, and rewrites the older
+    staged file in place — so the one fixed streaming schema can read
+    every file ('Parquet column cannot be converted' regression)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duo_spark.streaming.pipeline import log_record_stream, staged_log_schema
+
+    log_dir = os.path.join(scratch, "log_conflict")
+    with IngestServer(os.path.join(scratch, "span_conflict"), log_dir,
+                      tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE, level="INFO",
+                     fields={"message": "a", "user": 7})
+        c.close()
+        server.quiesce()
+        server.flush()
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE + 1, level="WARN",
+                     fields={"message": "b", "user": "alice"})
+        c.close()
+        server.quiesce()
+        server.flush()
+    files = sorted(os.listdir(log_dir))
+    assert len(files) == 2
+    # BOTH staged files now carry user as string (older file rewritten)
+    for f in files:
+        sch = pq.read_schema(os.path.join(log_dir, f))
+        assert sch.field("user").type == pa.string()
+    merged = staged_log_schema(spark, log_dir)
+    name = f"conflict_{uuid.uuid4().hex[:8]}"
+    q = (log_record_stream(spark, log_dir, merged).writeStream
+         .format("memory").queryName(name)
+         .option("checkpointLocation", _scratch("ckpt", uuid.uuid4().hex))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r.message: r.user for r in spark.table(name).collect()}
+    assert rows == {"a": "7", "b": "alice"}
+
+
+def test_log_field_type_conflict_survives_restart(scratch):
+    """A RESTARTED bridge over a warm staging dir seeds its evolving
+    schema from the staged footers, so post-restart drift still widens
+    and rewrites (the schema.rs:48-76 startup schema load analog)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(scratch, "log_restart")
+    span_dir = os.path.join(scratch, "span_restart")
+    with IngestServer(span_dir, log_dir, tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE, level="INFO",
+                     fields={"message": "a", "n": 1})
+        c.close()
+        server.quiesce()
+    # new server instance (restart), field now floats
+    with IngestServer(span_dir, log_dir, tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE + 1, level="INFO",
+                     fields={"message": "b", "n": 2.5})
+        c.close()
+        server.quiesce()
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".parquet"):
+            assert pq.read_schema(os.path.join(log_dir, f)).field("n").type \
+                == pa.float64()
+
+
+def test_core_collision_mistyped_field_skipped(scratch):
+    """A user field named like a typed core column with an incompatible
+    value (fields:{"line":"forty"}) must be SKIPPED, not adopted into
+    the int32 slot — adoption poisoned from_pydict and killed the tick
+    thread; a compatible value still lands."""
+    log_dir = os.path.join(scratch, "log_core")
+    with IngestServer(os.path.join(scratch, "span_core"), log_dir,
+                      tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE, level="INFO",
+                     fields={"message": "bad-line", "line": "forty"})
+        c.record_log(process_id="p-0", time=BASE + 1, level="INFO",
+                     fields={"message": "good-line", "line": 40})
+        c.close()
+        server.quiesce()
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(log_dir, f) for f in os.listdir(log_dir)
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    d = pq.read_table(files[0]).to_pydict()
+    by_msg = dict(zip(d["message"], d["line"]))
+    assert by_msg == {"bad-line": None, "good-line": 40}
+
+
+def test_tick_thread_survives_flush_failure(scratch, monkeypatch):
+    """One failing flush must not kill the tick loop: later ticks keep
+    staging (the silent-stall regression from the r6 advice)."""
+    import time
+
+    span_dir = os.path.join(scratch, "span_tick")
+    server = IngestServer(span_dir, os.path.join(scratch, "log_tick"),
+                          tick_seconds=0.1).start()
+    try:
+        calls = {"n": 0}
+        real_flush = IngestServer.flush
+
+        def flaky(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+            real_flush(self)
+
+        monkeypatch.setattr(IngestServer, "flush", flaky)
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_span(id=9, parent_id=None, trace_id=1, name="n",
+                      process_id="p-0", start=BASE, end=BASE + 1, tags=None)
+        c.close()
+        server.quiesce()
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(
+            f.endswith(".parquet") for f in os.listdir(span_dir)
+        ):
+            time.sleep(0.05)
+        assert calls["n"] >= 2, "tick thread died after the failing flush"
+        assert any(f.endswith(".parquet") for f in os.listdir(span_dir))
+    finally:
+        monkeypatch.undo()
+        server.stop()
