@@ -141,6 +141,7 @@ BENCH_QUERIES = [
 BENCH_EXCLUDED = {
     "ngram_jaccard",
     "streaming_span_merge",
+    "streaming_span_merge_fast",
     "streaming_parquet_sink",
     "streaming_dedup",
     "streaming_features",

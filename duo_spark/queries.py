@@ -450,6 +450,38 @@ def q_streaming_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_span_merge_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4-fast (round 7): the FULL span_merge record set (no thinning —
+    the whole point is that the JVM-side foreachBatch merge has no
+    per-key Python overhead to bound) through
+    streaming/merge.streaming_span_merge_fast across two staged
+    micro-batches, read back from the completed delta log. Same oracle
+    as the batch merge: the fast path's scalar folds and sorted tag
+    resolution are schedule-independent (SCALING.md probe 13: ~36×
+    the applyInPandasWithState formulation's throughput at sf0.1)."""
+    import uuid as _uuid
+
+    from duo_spark.schemas import SPAN_SCHEMA
+    from duo_spark.streaming.merge import read_completed, streaming_span_merge_fast
+    from duo_spark.streaming.pipeline import _scratch
+
+    records = _span_merge_records(spark, sf_dir)
+    run = _scratch("sfast", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    records.filter(F.col("id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    records.filter(F.col("id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SPAN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_span_merge_fast(stream, f"{run}/out", f"{run}/ckpt")
+    q.awaitTermination()
+    return read_completed(spark, f"{run}/out").select(
+        "id", "parent_id", "trace_id", "name", "process_id", "start", "end"
+    )
+
+
 SQL_STREAMING_SPAN_MERGE = """
 WITH recs AS (
   SELECT l_orderkey*10 + l_linenumber AS id, l_orderkey*10 AS parent_id,
@@ -4046,11 +4078,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 37-39: operators changed in round 7 ---
+    # --- slots 37-40: operators added/changed in round 7 ---
+    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 40-50: per-family keepers ---
+    # --- slots 41-50: per-family keepers ---
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
@@ -4061,8 +4094,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "bm25": (q_bm25, SQL_BM25),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),

@@ -1,0 +1,160 @@
+"""High-throughput streaming span completion (T4-fast): the
+aggregation tick as a JVM-side foreachBatch partial-merge.
+
+The exact per-event formulation (``streaming/state.py``) pays ~0.7 ms
+of Python per span-id group per micro-batch (applyInPandasWithState
+calls the update function once per group) — measured 2.4k rows/s at
+sf0.1 (SCALING.md probe 13), which caps a single-node ingest at
+telemetry-toy volumes. The reference's own design point is the 1 s
+aggregation tick (duo/src/grpc/server.rs:31-46): records buffer, then
+one merge pass per tick. That shape maps to foreachBatch: each
+micro-batch computes its in-batch merge with ONE hash aggregate
+(whole-stage codegen, map-side combine), then full-outer-merges it
+into the persisted open-span state — no per-group Python anywhere.
+
+Merge rules are merge_span_records' (duo/src/aggregator.rs:17-39):
+scalars fold with min/max (commutative, so batch order is
+irrelevant); tags accumulate as DISTINCT (start, raw-json) pairs and
+resolve at emission by the same sorted fold the batch operator uses —
+array_union is associative+commutative, so any batch schedule yields
+the same final pairs, and therefore the same resolved tags, as the
+one-shot batch merge. ``tests/test_streaming.py`` pins this.
+
+State layout under ``out_dir``:
+  open/v=<batch_id>       all ids still missing an ``end`` (two
+                          newest versions kept — the rollup.py replay
+                          discipline: batch b reads the newest version
+                          STRICTLY BELOW b, so a replayed batch merges
+                          into its true predecessor)
+  completed/v=<batch_id>  the spans COMPLETED by batch b (a delta log;
+                          replays overwrite their own version, so the
+                          union over versions is exactly-once)
+
+At scale the open table is O(open spans) like the state store, but it
+lives in parquet and merges via one shuffle per batch; completed
+deltas are append-only output. A span id arriving entirely within one
+batch never touches the open table (completed straight out of the
+in-batch merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duo_spark.functions.codec import tags_from_json
+from duo_spark.streaming.rollup import _latest_id, _prune_versions
+
+
+def _in_batch_partial(batch: DataFrame) -> DataFrame:
+    """One hash aggregate: the batch's records merged per id, tags kept
+    as unresolved (start, json) pairs."""
+    return batch.groupBy("id").agg(
+        F.min("trace_id").alias("trace_id"),
+        F.min("parent_id").alias("parent_id"),
+        F.min("name").alias("name"),
+        F.min("process_id").alias("process_id"),
+        F.min("start").alias("start"),
+        F.max("end").alias("end"),
+        F.array_distinct(
+            F.collect_list(
+                F.when(
+                    F.col("tags").isNotNull(),
+                    F.struct(F.col("start").alias("o"), F.col("tags").alias("t")),
+                )
+            )
+        ).alias("_pairs"),
+    )
+
+
+def _resolve_tags_col() -> F.Column:
+    """Sorted fold of the accumulated (start, json) pairs — identical
+    to merge_span_records' later-keys-win fold, so the emitted JSON
+    matches the batch operator byte-for-byte."""
+    empty = F.create_map().cast("map<string,string>")
+    return F.to_json(
+        F.aggregate(
+            F.sort_array(F.col("_pairs")),
+            empty,
+            lambda acc, x: F.map_zip_with(
+                acc,
+                F.coalesce(tags_from_json(x["t"]), empty),
+                lambda _k, v1, v2: F.coalesce(v2, v1),
+            ),
+        )
+    )
+
+
+def streaming_span_merge_fast(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Span completion over a SPAN_SCHEMA stream, JVM-side. Returns the
+    started availableNow query; read results with
+    :func:`read_completed` / :func:`read_open`."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = _in_batch_partial(batch)
+        prev_id = _latest_id(spark, f"{out_dir}/open", below=batch_id)
+        if prev_id is not None:
+            prev = spark.read.schema(partial.schema).parquet(
+                f"{out_dir}/open/v={prev_id}"
+            )
+            p = prev.select(*[F.col(c).alias(f"_p_{c}") for c in prev.columns])
+            joined = partial.join(p, partial["id"] == p["_p_id"], "full_outer")
+            empty_pairs = F.array().cast("array<struct<o:bigint,t:string>>")
+            merged = joined.select(
+                F.coalesce(partial["id"], p["_p_id"]).alias("id"),
+                F.least(partial["trace_id"], p["_p_trace_id"]).alias("trace_id"),
+                F.least(partial["parent_id"], p["_p_parent_id"]).alias("parent_id"),
+                F.least(partial["name"], p["_p_name"]).alias("name"),
+                F.least(partial["process_id"], p["_p_process_id"]).alias("process_id"),
+                F.least(partial["start"], p["_p_start"]).alias("start"),
+                # opens carry end=NULL by construction, so any non-null
+                # wins; two non-nulls (dup closes across batches) take
+                # the later one, matching max("end")
+                F.greatest(partial["end"], p["_p_end"]).alias("end"),
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(p["_p__pairs"], empty_pairs),
+                        F.coalesce(partial["_pairs"], empty_pairs),
+                    )
+                ).alias("_pairs"),
+            )
+        else:
+            merged = partial
+        # one pass computes both splits; localCheckpoint would hold the
+        # batch hostage in memory — two scans of a batch-sized frame
+        # are cheaper and keep the job stateless
+        completed = merged.filter(F.col("end").isNotNull())
+        still_open = merged.filter(F.col("end").isNull())
+        (
+            completed.withColumn("tags", _resolve_tags_col())
+            .drop("_pairs")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/completed/v={batch_id}")
+        )
+        still_open.write.mode("overwrite").parquet(f"{out_dir}/open/v={batch_id}")
+        keep = (batch_id,) if prev_id is None else (batch_id, prev_id)
+        _prune_versions(spark, f"{out_dir}/open", keep=keep)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_completed(spark, out_dir: str) -> DataFrame:
+    """All spans completed so far (union of the per-batch deltas —
+    exactly-once: a replayed batch overwrites its own version). The
+    v=<batch_id> dirs are read as a partitioned table (partition
+    pruning on ``v`` comes free for incremental consumers)."""
+    return spark.read.parquet(f"{out_dir}/completed").drop("v")
+
+
+def read_open(spark, out_dir: str) -> DataFrame:
+    """Current open (incomplete) spans, unresolved tag pairs dropped."""
+    vid = _latest_id(spark, f"{out_dir}/open")
+    if vid is None:
+        raise FileNotFoundError(f"no open-span versions under {out_dir}")
+    return spark.read.parquet(f"{out_dir}/open/v={vid}").drop("_pairs")

@@ -43,9 +43,17 @@ def _scratch(*parts: str) -> str:
     return path
 
 
-def span_record_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """S6 stand-in: parquet-file-drop source of raw span records."""
-    return spark.readStream.schema(SPAN_SCHEMA).parquet(source_dir)
+def span_record_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S6 stand-in: parquet-file-drop source of raw span records.
+    ``max_files_per_trigger`` caps each micro-batch's file intake —
+    the ingest-tick batch size knob (and what splits an availableNow
+    drain into multiple measurable micro-batches)."""
+    reader = spark.readStream.schema(SPAN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
 
 
 def staged_log_schema(spark: SparkSession, source_dir: str):
@@ -92,6 +100,7 @@ def start_span_pipeline(
     memory_mode: bool = False,
     memory_table: str = "hot_spans",
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """T1+T3+T4(+T5) — the full span ingest job; returns the
     StreamingQuery.
@@ -110,7 +119,10 @@ def start_span_pipeline(
     """
     if available_now:
         ttl_ms = None
-    completed = complete_spans(span_record_stream(spark, source_dir), ttl_ms=ttl_ms)
+    completed = complete_spans(
+        span_record_stream(spark, source_dir, max_files_per_trigger),
+        ttl_ms=ttl_ms,
+    )
     if not memory_mode:
         assert out_dir is not None, "out_dir required unless memory_mode"
         # K1 layout: date=/hour=/minute= + trace_id bloom filter —

@@ -149,3 +149,68 @@ def test_services_and_operations(svc):
 def test_stats_envelope(svc):
     got = svc.stats()
     assert got["process"] == PROCESSES and got["logs"] == 0 and got["spans"] == 0
+
+
+def test_get_trace_drifted_fields_golden(spark):
+    """VERDICT r6 #6 — the COMPOSED drifted-fields path: a log table
+    carrying flattened user-field columns (the ingest bridge's dynamic
+    schema, duo/src/arrow.rs:57-92) flows through trace correlation
+    into the Jaeger log serializer, which must emit them as typed
+    {key,type,value} entries (serialize.rs:156-180 fields.extend) with
+    the core columns promoted by NAME only — never duplicated as user
+    fields — and `file` rendered as "file:line"."""
+    from pyspark.sql import types as T
+
+    from duo_spark.schemas import LOG_CORE_SCHEMA
+
+    spans = spark.createDataFrame(
+        [(10, None, 1, "GET /", "web-0", BASE, BASE + 1000, None)],
+        SPAN_SCHEMA,
+    )
+    drifted = T.StructType(
+        list(LOG_CORE_SCHEMA.fields)
+        + [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("is_retry", T.BooleanType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    logs = spark.createDataFrame(
+        [
+            (
+                "web-0", BASE + 50, 1, 10, "INFO", "http", "app.rs", 12,
+                "hello", 7, "eu-west", True, 0.25,
+            ),
+            # second log: drifted columns null -> absent from fields
+            (
+                "web-0", BASE + 60, 1, 10, "WARN", "http", None, None,
+                "later", None, None, None, None,
+            ),
+        ],
+        drifted,
+    )
+    svc = QueryService(spark, logs=logs, spans=spans, processes=PROCESSES)
+    env = svc.get_trace(1)
+    span = env["data"][0]["spans"][0]
+    by_time = {lg["timestamp"]: lg["fields"] for lg in span["logs"]}
+
+    first = by_time[BASE + 50]
+    by_key = {f["key"]: f for f in first}
+    # core promotions by name (typed per serialize.rs:40-68)
+    assert by_key["message"] == {"key": "message", "type": "string", "value": "hello"}
+    assert by_key["level"] == {"key": "level", "type": "string", "value": "INFO"}
+    assert by_key["target"] == {"key": "target", "type": "string", "value": "http"}
+    assert by_key["file"] == {"key": "file", "type": "string", "value": "app.rs:12"}
+    # drifted user fields arrive TYPED, not stringified
+    assert by_key["user_id"] == {"key": "user_id", "type": "int64", "value": 7}
+    assert by_key["region"] == {"key": "region", "type": "string", "value": "eu-west"}
+    assert by_key["is_retry"] == {"key": "is_retry", "type": "bool", "value": True}
+    assert by_key["score"] == {"key": "score", "type": "int64", "value": 0.25}
+    # core columns are never ALSO emitted as raw column names
+    # (time/span_id/trace_id/process_id/line are envelope data, not fields)
+    for excluded in ("time", "span_id", "trace_id", "process_id", "line"):
+        assert excluded not in by_key
+    # null drifted values vanish instead of emitting null-valued fields
+    second_keys = {f["key"] for f in by_time[BASE + 60]}
+    assert second_keys == {"message", "level", "target"}

@@ -552,3 +552,96 @@ def test_streaming_rollup_null_sum_schedule_independent(spark, tmp_path):
     q.awaitTermination()
     got = {r.k: r.sv for r in read_rollup(spark, str(tmp_path / "roll")).collect()}
     assert got == {"a": None, "b": 7}
+
+
+# ---------------------------------------------------------------------
+# round 7: T4-fast — JVM-side foreachBatch span completion
+# ---------------------------------------------------------------------
+
+def _fast_records(spark, sf_dir, n=400):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(n)
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("trace_id"),
+        F.col("l_returnflag").alias("name"),
+        F.concat(F.lit("svc-"), F.col("l_linestatus")).alias("process_id"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("start"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+    )
+    opens = base.select(
+        "id", (F.col("id") - F.col("l_linenumber")).alias("parent_id"), "trace_id",
+        "name", "process_id", "start", F.lit(None).cast("long").alias("end"),
+        F.to_json(F.struct(F.col("l_linenumber").cast("string").alias("line"))).alias("tags"),
+    )
+    closes = base.filter(F.col("l_linenumber") <= 4).select(
+        "id", F.lit(None).cast("long").alias("parent_id"), "trace_id", "name",
+        "process_id", "start",
+        (F.col("start") + F.round(F.col("l_quantity") * 1_000_000).cast("long")).alias("end"),
+        F.to_json(F.struct(F.lit("yes").alias("closed"))).alias("tags"),
+    )
+    return opens.unionByName(closes)
+
+
+@pytest.mark.parametrize("split", ["half", "open_close", "reversed"])
+def test_fast_merge_matches_batch(spark, sf_dir, scratch, split):
+    """streaming_span_merge_fast ≡ merge_span_records on any batch
+    schedule that delivers opens no later than closes per id —
+    including cross-batch tag-key conflicts (tags resolve by the
+    global (start, json) order, not arrival order)."""
+    from duo_spark.streaming.merge import read_completed, read_open, streaming_span_merge_fast
+
+    records = _fast_records(spark, sf_dir)
+    src = os.path.join(scratch, f"in_{split}")
+    if split == "half":
+        parts = [records.filter("id % 2 = 0"), records.filter("id % 2 = 1")]
+    elif split == "open_close":  # all opens, then all closes
+        parts = [records.filter("end IS NULL"), records.filter("end IS NOT NULL")]
+    else:  # id-descending halves
+        parts = [records.filter("trace_id >= 50"), records.filter("trace_id < 50")]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SPAN_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(scratch, f"out_{split}")
+    q = streaming_span_merge_fast(stream, out, os.path.join(scratch, f"ck_{split}"))
+    q.awaitTermination()
+    got = {r.id: (r.parent_id, r.trace_id, r.name, r.process_id,
+                  r.start, r.end, json.loads(r.tags))
+           for r in read_completed(spark, out).collect()}
+    want = {r.id: (r.parent_id, r.trace_id, r.name, r.process_id,
+                   r.start, r.end, json.loads(r.tags))
+            for r in merge_span_records(records).collect()}
+    assert got == want and want
+    # the open table holds exactly the never-closed ids
+    open_ids = {r.id for r in read_open(spark, out).collect()}
+    all_ids = {r.id for r in records.select("id").distinct().collect()}
+    assert open_ids == all_ids - set(want)
+
+
+def test_fast_merge_replay_idempotent(spark, sf_dir, scratch):
+    """A replayed micro-batch (fresh checkpoint over the same source —
+    every batch re-runs with the state dirs already populated) must not
+    double-emit or corrupt the open table: versioned deltas overwrite
+    their own batch id and re-merge into the true predecessor."""
+    from duo_spark.streaming.merge import read_completed, streaming_span_merge_fast
+
+    records = _fast_records(spark, sf_dir, n=200)
+    src = os.path.join(scratch, "in_replay")
+    records.filter("id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    records.filter("id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SPAN_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(scratch, "out_replay")
+    q = streaming_span_merge_fast(stream, out, os.path.join(scratch, "ck1"))
+    q.awaitTermination()
+    first = {(r.id, r.end) for r in read_completed(spark, out).collect()}
+    # full replay: new checkpoint, same source, same state dirs
+    stream2 = (spark.readStream.schema(SPAN_SCHEMA)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = streaming_span_merge_fast(stream2, out, os.path.join(scratch, "ck2"))
+    q2.awaitTermination()
+    second = {(r.id, r.end) for r in read_completed(spark, out).collect()}
+    assert second == first
+    rows = read_completed(spark, out).groupBy("id").count().filter("count > 1").count()
+    assert rows == 0, "replay must not duplicate completed spans"
