@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "temperature_mixture",
     "containment_dedup",
     "label_propagation",
+    # round-7 additions
+    "fuzzy_name_pairs",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

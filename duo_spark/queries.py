@@ -1588,6 +1588,27 @@ FROM pairs WHERE containment >= 0.8
 """
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 1) self-join on customer names
+    (operators/fuzzy.py fuzzy_pairs): SymSpell deletion-neighborhood
+    candidates (equi-join on single-deletion variants, one reused
+    exchange) verified with exact Levenshtein — the short-string
+    near-dup case shingle/minhash methods cannot express. The oracle
+    replays the exhaustive all-pairs definition (safe at sf0.01)."""
+    from duo_spark.operators.fuzzy import fuzzy_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_distance=1)
+
+
+SQL_FUZZY_NAME_PAIRS = """
+SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+       levenshtein(x.c_name, y.c_name) AS dist
+FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+WHERE levenshtein(x.c_name, y.c_name) <= 1
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graph.py label_propagation):
     3 synchronous weighted rounds over the span parent↔child graph,
@@ -4078,12 +4099,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 37-40: operators added/changed in round 7 ---
+    # --- slots 37-41: operators added/changed in round 7 ---
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 41-50: per-family keepers ---
+    # --- slots 42-50: per-family keepers ---
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
@@ -4092,9 +4114,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "kmeans": (q_kmeans, SQL_KMEANS),
     "bm25": (q_bm25, SQL_BM25),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
+    "kmeans": (q_kmeans, SQL_KMEANS),
     "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
