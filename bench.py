@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "label_propagation",
     # round-7 additions
     "fuzzy_name_pairs",
+    "url_dedup",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -249,3 +249,25 @@ def test_chunk_documents_reconstruction_invariant(spark):
         # chunk starts advance by step
         for k, r in enumerate(rows):
             assert r.chunk_idx == k
+
+
+def test_canonical_url(spark):
+    """functions/url.py canonical_url: scheme/host case, default
+    ports, fragments, tracking params, param order, trailing slash."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.functions.url import canonical_url
+
+    cases = {
+        "HTTPS://Example.COM:443/p/1/?utm_source=x&b=2&a=1#f":
+            "https://example.com/p/1?a=1&b=2",
+        "https://example.com/p/1?a=1&b=2": "https://example.com/p/1?a=1&b=2",
+        "http://Example.com:80/": "http://example.com/",
+        "https://example.com:8443/x?gclid=1&fbclid=2&ref=z":
+            "https://example.com:8443/x",
+        "ftp://Files.Example.com/Pub/": "ftp://files.example.com/Pub",
+        "not a url": None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
