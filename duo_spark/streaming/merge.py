@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duo_spark.functions.codec import tags_from_json
-from duo_spark.streaming.rollup import _latest_id, _prune_versions
+from duo_spark.streaming.rollup import _latest_id, _prune_versions, _version_ids
 
 
 def _in_batch_partial(batch: DataFrame) -> DataFrame:
@@ -145,11 +145,77 @@ def streaming_span_merge_fast(stream: DataFrame, out_dir: str, checkpoint_dir: s
 
 
 def read_completed(spark, out_dir: str) -> DataFrame:
-    """All spans completed so far (union of the per-batch deltas —
-    exactly-once: a replayed batch overwrites its own version). The
-    v=<batch_id> dirs are read as a partitioned table (partition
-    pruning on ``v`` comes free for incremental consumers)."""
-    return spark.read.parquet(f"{out_dir}/completed").drop("v")
+    """All spans completed so far: the newest compacted snapshot (if
+    :func:`compact_completed` has run) plus every delta version above
+    it — exactly-once: a replayed batch overwrites its own version,
+    and compaction never folds in versions a replay could still
+    rewrite."""
+    cvid = _latest_id(spark, f"{out_dir}/compacted")
+    deltas = [
+        v for v in _version_ids(spark, f"{out_dir}/completed")
+        if cvid is None or v > cvid
+    ]
+    parts = []
+    if cvid is not None:
+        parts.append(spark.read.parquet(f"{out_dir}/compacted/v={cvid}"))
+    if deltas:
+        parts.append(
+            spark.read.parquet(
+                *[f"{out_dir}/completed/v={v}" for v in deltas]
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"no completed-span versions under {out_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None:
+    """Fold old completed-delta versions into one snapshot — the
+    small-files fix for long-running ingest (a 60 s tick writes ~1,440
+    tiny delta dirs/day; scans degrade with file count, not data).
+
+    Keeps the newest ``retain_latest`` deltas out of the snapshot:
+    only batches at/after the last committed checkpoint can ever be
+    replayed (and replay OVERWRITES its own version), so folding a
+    version that could still be rewritten would freeze its pre-replay
+    content. Crash-safe ordering: the new snapshot (old snapshot +
+    folded deltas) is written to a temp dir and atomically renamed to
+    ``compacted/v=<upto>`` BEFORE any delta is deleted — a crash at
+    any point leaves readers with either the old snapshot + all
+    deltas, or the new snapshot (+ not-yet-deleted deltas it
+    supersedes, which read_completed ignores by version).
+
+    Returns the new snapshot's version id, or None if there was
+    nothing to compact."""
+    from duo_spark.streaming.rollup import _fs
+
+    cvid = _latest_id(spark, f"{out_dir}/compacted")
+    deltas = sorted(
+        v for v in _version_ids(spark, f"{out_dir}/completed")
+        if cvid is None or v > cvid
+    )
+    fold = deltas[:-retain_latest] if retain_latest > 0 else deltas
+    if not fold:
+        return None
+    upto = fold[-1]
+    parts = [
+        spark.read.parquet(*[f"{out_dir}/completed/v={v}" for v in fold])
+    ]
+    if cvid is not None:
+        parts.append(spark.read.parquet(f"{out_dir}/compacted/v={cvid}"))
+    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    tmp = f"{out_dir}/compacted/.tmp-{upto}"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs, tmp_path = _fs(spark, tmp)
+    fs.rename(tmp_path, _fs(spark, f"{out_dir}/compacted/v={upto}")[1])
+    # now safe to drop superseded state
+    _prune_versions(spark, f"{out_dir}/compacted", keep=(upto,))
+    for v in fold:
+        fs.delete(_fs(spark, f"{out_dir}/completed/v={v}")[1], True)
+    return upto
 
 
 def read_open(spark, out_dir: str) -> DataFrame:

@@ -645,3 +645,38 @@ def test_fast_merge_replay_idempotent(spark, sf_dir, scratch):
     assert second == first
     rows = read_completed(spark, out).groupBy("id").count().filter("count > 1").count()
     assert rows == 0, "replay must not duplicate completed spans"
+
+
+def test_fast_merge_compaction_preserves_results(spark, sf_dir, scratch):
+    """compact_completed folds old delta versions into one snapshot
+    without changing read_completed's result, keeps the newest
+    retain_latest deltas as-is (replay safety), and a second compact
+    with nothing new is a no-op."""
+    from duo_spark.streaming.merge import (
+        compact_completed, read_completed, streaming_span_merge_fast,
+    )
+    from duo_spark.streaming.rollup import _version_ids
+
+    records = _fast_records(spark, sf_dir, n=300)
+    src = os.path.join(scratch, "in_compact")
+    for m in range(4):
+        records.filter(f"id % 4 = {m}").coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SPAN_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(scratch, "out_compact")
+    q = streaming_span_merge_fast(stream, out, os.path.join(scratch, "ckc"))
+    q.awaitTermination()
+    before = {(r.id, r.end, r.tags) for r in read_completed(spark, out).collect()}
+    n_deltas = len(_version_ids(spark, f"{out}/completed"))
+    assert n_deltas >= 4
+    upto = compact_completed(spark, out, retain_latest=2)
+    assert upto is not None
+    after = {(r.id, r.end, r.tags) for r in read_completed(spark, out).collect()}
+    assert after == before
+    kept = _version_ids(spark, f"{out}/completed")
+    assert len(kept) == 2 and all(v > upto for v in kept)
+    assert _version_ids(spark, f"{out}/compacted") == [upto]
+    # idempotent: nothing new below the retain window
+    assert compact_completed(spark, out, retain_latest=2) is None
+    assert {(r.id, r.end, r.tags)
+            for r in read_completed(spark, out).collect()} == before
