@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     # round-7 additions
     "fuzzy_name_pairs",
     "url_dedup",
+    "winnowing",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -177,6 +177,59 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 8, keep: int = 4) 
     return F.slice(F.array_sort(F.array_distinct(win_hashes)), 1, keep)
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every word k-gram, slide a window of ``w``
+    consecutive gram hashes, select each window's MINIMUM — the
+    selected set is the document's fingerprint sketch.
+
+    Unlike a global bottom-k sketch (:func:`rolling_hash_fingerprint`)
+    this gives the LOCAL guarantee that makes winnowing the standard
+    for plagiarism/clone detection: any shared run of at least
+    w + k - 1 words between two documents selects at least one common
+    fingerprint, wherever in either document it occurs. Density is
+    ~2/(w+1) of all grams.
+
+    Everything is whole-stage-codegen array ops on the text column —
+    gram slicing, md5 (chosen over xxhash64 because every SQL engine
+    computes the same md5, so the DuckDB oracle replays bit-for-bit),
+    windowed min, distinct — then ONE explode to (id, fp) rows. Texts
+    shorter than k words fingerprint their whole text; w windows
+    clamp to the gram count.
+
+    Returns (``id_col``, ``fp``) — one row per distinct selected
+    fingerprint per document.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    ng = F.size(words) - F.lit(k - 1)
+    grams = F.when(
+        ng > 0,
+        F.transform(
+            F.sequence(F.lit(0), ng - F.lit(1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
+    m = F.size(grams)
+    nwin = F.greatest(m - F.lit(w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nwin - F.lit(1)),
+            lambda j: F.array_min(F.slice(grams, j + 1, w)),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(selected).alias("fp")
+    )
+
+
 def all_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams WITH duplicates (repetition analysis needs the
     multiset; dedup.shingles keeps the distinct set). Texts shorter

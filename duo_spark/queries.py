@@ -957,6 +957,61 @@ FROM documents
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py
+    winnowing_fingerprints — Schleimer et al. 2003 / MOSS): md5 word
+    4-grams, window-5 minima, distinct per doc; then the posting-list
+    self-join counts how many OTHER docs share at least one selected
+    fingerprint (the clone-detection match stage). All array Column
+    codegen + one equi-join; the oracle replays gram hashing, window
+    minima, and the match join in SQL (md5 agrees across engines)."""
+    docs = _docs(spark, sf_dir)
+    fps = text.winnowing_fingerprints(docs, "doc_id", "text", k=4, w=5)
+    matches = (
+        fps.alias("A")
+        .join(fps.alias("B"), "fp")
+        .filter(F.col("A.doc_id") != F.col("B.doc_id"))
+        .select(F.col("A.doc_id").alias("doc_id"), F.col("B.doc_id").alias("other"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matching_docs"))
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id", "n_fp",
+            F.coalesce("n_matching_docs", F.lit(0)).alias("n_matching_docs"),
+        )
+    )
+
+
+SQL_WINNOWING = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(w) >= 4
+    THEN list_transform(range(1, len(w) - 2),
+           i -> md5(array_to_string(w[i:i+3], ' ')))
+    ELSE [md5(array_to_string(w, ' '))] END AS gh
+  FROM ws),
+s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(gh) - 4, 1) + 1),
+    j -> list_min(gh[j:j+4]))) AS fps
+  FROM g),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+m AS (
+  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_matching_docs
+  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id)
+SELECT s.doc_id, len(s.fps) AS n_fp,
+       coalesce(m.n_matching_docs, 0) AS n_matching_docs
+FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -4179,16 +4234,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 37-42: operators added/changed in round 7 ---
+    # --- slots 37-43: operators added/changed in round 7 ---
+    "winnowing": (q_winnowing, SQL_WINNOWING),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 43-50: per-family keepers ---
+    # --- slots 44-50: per-family keepers ---
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -4196,6 +4251,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),

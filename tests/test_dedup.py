@@ -380,3 +380,55 @@ def test_select_canonical_double_quality(spark):
     got = {r.doc_id: r.keep
            for r in select_canonical(clusters, docs, quality_col="q").collect()}
     assert got == {1: False, 2: True}
+
+
+# ---------------------------------------------------------------------
+# round 7: winnowing fingerprints (operators/text.py)
+# ---------------------------------------------------------------------
+
+def test_winnowing_local_match_guarantee(spark):
+    """Schleimer et al.'s guarantee: two docs sharing a run of at
+    least w + k - 1 words select at least one COMMON fingerprint,
+    regardless of where the run sits in either document."""
+    import random
+
+    from duo_spark.operators.text import winnowing_fingerprints
+
+    k, w = 4, 5
+    rng = random.Random(13)
+    shared = " ".join(f"s{i}" for i in range(w + k - 1))  # exactly w+k-1 words
+    def noise(n, tag):
+        return " ".join(f"{tag}{rng.randint(0, 999)}" for _ in range(n))
+    rows = [
+        (1, noise(30, "a") + " " + shared + " " + noise(7, "b")),
+        (2, shared + " " + noise(40, "c")),
+        (3, noise(35, "d")),  # no shared run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run must select a common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_and_short_text(spark):
+    from duo_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))),  # all-distinct grams
+         (2, "one two"),                               # shorter than k
+         (3, "x " * 200)],                             # fully repetitive
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=4, w=5)
+    counts = {r.doc_id: r.n for r in
+              fps.groupBy("doc_id").agg(__import__("pyspark").sql.functions.count(
+                  __import__("pyspark").sql.functions.lit(1)).alias("n")).collect()}
+    # density ~ 2/(w+1) of 97 grams ≈ 32; sliding minima select between
+    # 1/w and ~2/(w+1) on random-ish hashes
+    assert 15 <= counts[1] <= 50
+    assert counts[2] == 1      # whole-text fingerprint
+    assert counts[3] == 1      # one distinct gram -> one fingerprint
