@@ -85,10 +85,25 @@ def _resolve_tags_col() -> F.Column:
     )
 
 
-def streaming_span_merge_fast(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+def streaming_span_merge_fast(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    open_max_age_us: int | None = None,
+):
     """Span completion over a SPAN_SCHEMA stream, JVM-side. Returns the
     started availableNow query; read results with
-    :func:`read_completed` / :func:`read_open`."""
+    :func:`read_completed` / :func:`read_open`.
+
+    ``open_max_age_us`` is the T4 TTL analog for this formulation
+    (duo/src/aggregator.rs buffers opens forever; SURVEY §3 flags that
+    as unbounded): opens whose ``start`` has fallen more than the age
+    behind the high-water event time are dropped from the open table —
+    without it the table grows with abandoned spans forever. The
+    high-water mark is EVENT time (max of start/end seen), folded
+    across batches through a sidecar file next to each open version,
+    so a replayed batch recomputes the identical GC decision from its
+    true predecessor — deterministic, unlike a wall-clock TTL."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -126,6 +141,23 @@ def streaming_span_merge_fast(stream: DataFrame, out_dir: str, checkpoint_dir: s
         # are cheaper and keep the job stateless
         completed = merged.filter(F.col("end").isNotNull())
         still_open = merged.filter(F.col("end").isNull())
+        wm = None
+        if open_max_age_us is not None:
+            # event-time high-water mark: this batch's max event time
+            # folded with the predecessor's sidecar (one single-row
+            # aggregate collect — bounded driver metadata). Replay
+            # reads the true predecessor, so GC is deterministic.
+            row = batch.agg(
+                F.max(F.greatest(F.col("start"), F.coalesce("end", "start")))
+            ).collect()[0][0]
+            prev_wm = _read_wm(spark, out_dir, prev_id)
+            wm = max(
+                (v for v in (row, prev_wm) if v is not None), default=None
+            )
+            if wm is not None:
+                still_open = still_open.filter(
+                    F.col("start") >= wm - open_max_age_us
+                )
         (
             completed.withColumn("tags", _resolve_tags_col())
             .drop("_pairs")
@@ -133,6 +165,8 @@ def streaming_span_merge_fast(stream: DataFrame, out_dir: str, checkpoint_dir: s
             .parquet(f"{out_dir}/completed/v={batch_id}")
         )
         still_open.write.mode("overwrite").parquet(f"{out_dir}/open/v={batch_id}")
+        if wm is not None:
+            _write_wm(spark, out_dir, batch_id, wm)
         keep = (batch_id,) if prev_id is None else (batch_id, prev_id)
         _prune_versions(spark, f"{out_dir}/open", keep=keep)
 
@@ -142,6 +176,36 @@ def streaming_span_merge_fast(stream: DataFrame, out_dir: str, checkpoint_dir: s
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _write_wm(spark, out_dir: str, batch_id: int, wm: int) -> None:
+    """Persist the event-time high-water mark INSIDE the open version
+    dir (underscore-prefixed: parquet readers skip it; version pruning
+    removes it with its version)."""
+    from duo_spark.streaming.rollup import _fs
+
+    fs, p = _fs(spark, f"{out_dir}/open/v={batch_id}/_wm.json")
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(str(int(wm)).encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_wm(spark, out_dir: str, vid: int | None) -> int | None:
+    from duo_spark.streaming.rollup import _fs
+
+    if vid is None:
+        return None
+    fs, p = _fs(spark, f"{out_dir}/open/v={vid}/_wm.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return int(bytes(data).decode("utf-8"))
 
 
 def read_completed(spark, out_dir: str) -> DataFrame:

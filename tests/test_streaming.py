@@ -680,3 +680,34 @@ def test_fast_merge_compaction_preserves_results(spark, sf_dir, scratch):
     assert compact_completed(spark, out, retain_latest=2) is None
     assert {(r.id, r.end, r.tags)
             for r in read_completed(spark, out).collect()} == before
+
+
+def test_fast_merge_open_max_age_gc(spark, scratch):
+    """open_max_age_us drops abandoned opens once the event-time
+    high-water mark passes them by the age — deterministic GC (the T4
+    TTL analog for the foreachBatch formulation): batch 2's fresh
+    events advance the watermark, expiring batch 1's orphan open; the
+    close that still arrives within age completes normally."""
+    from duo_spark.streaming.merge import (
+        read_completed, read_open, streaming_span_merge_fast,
+    )
+
+    hour = 3_600_000_000
+    b1 = [_rec(1, start=BASE),                      # will be abandoned
+          _rec(2, start=BASE + hour - 1000)]        # closes in b2, inside age
+    b2 = [_rec(2, start=BASE + hour - 1000, end=BASE + hour + 500),
+          _rec(3, start=BASE + 3 * hour),           # fresh open, advances wm
+          _rec(3, start=BASE + 3 * hour, end=BASE + 3 * hour + 10)]
+    src = os.path.join(scratch, "in_gc")
+    spark.createDataFrame(b1, SPAN_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, SPAN_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SPAN_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(scratch, "out_gc")
+    q = streaming_span_merge_fast(stream, out, os.path.join(scratch, "ckgc"),
+                                  open_max_age_us=hour)
+    q.awaitTermination()
+    done = {r.id: r.end for r in read_completed(spark, out).collect()}
+    assert done == {2: BASE + hour + 500, 3: BASE + 3 * hour + 10}
+    # span 1's open (age > 1h behind the 3h watermark) was GC'd
+    assert {r.id for r in read_open(spark, out).collect()} == set()
