@@ -217,17 +217,21 @@ def winnowing_fingerprints(
             lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
-    m = F.size(grams)
-    nwin = F.greatest(m - F.lit(w - 1), F.lit(1))
+    # materialize the gram array in its OWN projection: Column trees
+    # have no common-subexpression elimination across lambda bodies,
+    # so inlining `grams` into the window transform re-hashes every
+    # gram once PER WINDOW — O(n²) md5 per doc (measured 28.8 s →
+    # 1.9 s at sf0.1 for the gate query after this split)
+    g = df.select(F.col(id_col), grams.alias("_grams"))
+    ga = F.col("_grams")
+    nwin = F.greatest(F.size(ga) - F.lit(w - 1), F.lit(1))
     selected = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), nwin - F.lit(1)),
-            lambda j: F.array_min(F.slice(grams, j + 1, w)),
+            lambda j: F.array_min(F.slice(ga, j + 1, w)),
         )
     )
-    return df.select(
-        F.col(id_col), F.explode(selected).alias("fp")
-    )
+    return g.select(F.col(id_col), F.explode(selected).alias("fp"))
 
 
 def all_ngrams(col: Column | str, n: int = 3) -> Column:
