@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "url_dedup",
     "winnowing",
+    "funnel_latency",
+    "value_histogram",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -48,3 +48,47 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {parts}) as "
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over [lo, hi) —
+    optionally per group — as (group..., bin, bin_lo, bin_hi, n).
+
+    The profiling companion to :func:`profile_table`: distribution
+    shape per segment in ONE hash aggregate (bin index is a pure
+    arithmetic Column, so binning happens map-side inside the scan and
+    the shuffle carries nbins × groups tiny rows — at 100 TB the cost
+    is the scan). Values below ``lo`` clamp into bin 0, values at or
+    above ``hi`` into the last bin (total count always equals the
+    non-null row count); empty bins are absent (a histogram over a
+    sparse segment stays sparse — left outer join a bin spine if
+    dense output is needed).
+    """
+    if nbins < 1 or not hi > lo:
+        raise ValueError(f"need nbins >= 1 and hi > lo, got {nbins}, [{lo}, {hi})")
+    width = (hi - lo) / nbins
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    keys = [F.col(c) for c in (group_cols or [])]
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *(group_cols or []),
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )

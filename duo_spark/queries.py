@@ -1463,6 +1463,80 @@ SELECT 3, 'purchase', CAST(count(t3) AS BIGINT) FROM s3
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-transition latency for the funnel's completers
+    (operators/funnel.py funnel_steps → one tiny aggregate): per
+    transition (view→click, click→purchase) the completer count and
+    exact min/median/max µs. The per-user step table is k bounded
+    shuffles (same plan as q_funnel); the latency rollup aggregates
+    O(users) rows into 2."""
+    from duo_spark.operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_us().alias("ts_us")
+    )
+    steps = funnel_steps(ev, ["view", "click", "purchase"], window=604_800_000_000)
+    lat = steps.select(
+        F.lit(2).alias("step"),
+        (F.col("t2") - F.col("t1")).alias("d"),
+    ).unionByName(
+        steps.select(F.lit(3).alias("step"), (F.col("t3") - F.col("t2")).alias("d"))
+    ).filter(F.col("d").isNotNull())
+    return lat.groupBy("step").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.min("d").alias("min_us"),
+        F.round(F.expr("percentile(d, 0.5)"), 3).alias("med_us"),
+        F.max("d").alias("max_us"),
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT s1.user_id, t1, min(e.t) AS t2
+       FROM s1 LEFT JOIN ev e
+         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        AND e.t > s1.t1 AND e.t <= s1.t1 + 604800000000
+       GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, t1, t2, min(e.t) AS t3
+       FROM s2 LEFT JOIN ev e
+         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        AND e.t > s2.t2 AND e.t <= s2.t1 + 604800000000
+       GROUP BY 1, 2, 3),
+lat AS (
+  SELECT 2 AS step, t2 - t1 AS d FROM s3 WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 3, t3 - t2 FROM s3 WHERE t3 IS NOT NULL)
+SELECT step, CAST(count(*) AS BIGINT) AS users, min(d) AS min_us,
+       round(quantile_cont(d, 0.5), 3) AS med_us, max(d) AS max_us
+FROM lat GROUP BY step
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event_type (operators/profile.py
+    value_histogram): 20 bins over [0, 500), clamped tails, one hash
+    aggregate with map-side binning. The oracle replays the identical
+    clamped floor arithmetic."""
+    from duo_spark.operators.profile import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(
+        ev, "value", lo=0.0, hi=500.0, nbins=20, group_cols=["event_type"]
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bin
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, bin, 0.0 + bin * 25.0 AS bin_lo,
+       0.0 + (bin + 1) * 25.0 AS bin_hi, count(*) AS n
+FROM b GROUP BY event_type, bin
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (operators/funnel.py cohort_retention):
     users cohorted by first-event week, distinct-counted in each of
@@ -4234,7 +4308,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 37-43: operators added/changed in round 7 ---
+    # --- slots 37-45: operators added/changed in round 7 ---
+    "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "winnowing": (q_winnowing, SQL_WINNOWING),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
@@ -4242,15 +4318,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 44-50: per-family keepers ---
+    # --- slots 46-50: per-family keepers ---
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "kmeans": (q_kmeans, SQL_KMEANS),

@@ -37,3 +37,40 @@ def test_profile_single_pass_plan(spark):
     df = spark.range(100).selectExpr("id", "id % 7 AS m", "CAST(id AS STRING) AS s")
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("range (0, 100") == 1
+
+
+# ---------------------------------------------------------------------
+# round 7: value_histogram
+# ---------------------------------------------------------------------
+
+def test_value_histogram_bins_and_clamp(spark):
+    from duo_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 95.0),
+         ("a", 100.0), ("a", 250.0), ("b", 55.0), ("b", None)],
+        "g string, v double",
+    )
+    got = {(r.g, r.bin): (r.bin_lo, r.bin_hi, r.n)
+           for r in value_histogram(df, "v", 0.0, 100.0, 10,
+                                    group_cols=["g"]).collect()}
+    assert got == {
+        ("a", 0): (0.0, 10.0, 3),    # -5 clamps up, 0.0 and 9.99 in range
+        ("a", 1): (10.0, 20.0, 1),
+        ("a", 9): (90.0, 100.0, 3),  # 95 in range; 100 and 250 clamp down
+        ("b", 5): (50.0, 60.0, 1),   # null dropped
+    }
+    # totals preserved per group (clamping never loses rows)
+    assert sum(n for (g, _), (_, _, n) in got.items() if g == "a") == 7
+
+
+def test_value_histogram_validation(spark):
+    import pytest as _pytest
+
+    from duo_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", 0.0, 0.0, 10)
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", 0.0, 1.0, 0)
