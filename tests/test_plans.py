@@ -263,3 +263,54 @@ def test_service_paths_is_count_plus_topk(spark, sf):
     plan = _plan(QUERIES["service_paths"][0](spark, sf))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------
+# round 7 additions
+# ---------------------------------------------------------------------
+
+def test_fuzzy_pairs_equi_joins_only(spark, sf):
+    """Deletion-neighborhood candidates plan as equi-joins on the
+    variant hash; exact Levenshtein runs only inside candidates —
+    never a nested loop, never a Python stage."""
+    plan = _plan(QUERIES["fuzzy_name_pairs"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_url_dedup_single_aggregate_no_python(spark, sf):
+    """Canonicalization is pure Column regexp/array work inside the
+    scan projection; the dedup is one hash aggregate (the distinct
+    count rewrites via Expand, still one shuffle class)."""
+    plan = _plan(QUERIES["url_dedup"][0](spark, sf))
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_winnowing_no_cartesian_no_python(spark, sf):
+    """Fingerprint selection is per-row array codegen; the match stage
+    is an fp equi-join."""
+    plan = _plan(QUERIES["winnowing"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_value_histogram_one_partial_aggregate(spark, sf):
+    """Binning is arithmetic inside the scan; one partial->final
+    aggregate pair, nothing else."""
+    plan = _plan(QUERIES["value_histogram"][0](spark, sf))
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_funnel_latency_no_window_no_python(spark, sf):
+    """Step table is min-aggregate + equi-join per step; the latency
+    rollup is one tiny aggregate — no per-user window sort."""
+    plan = _plan(QUERIES["funnel_latency"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
