@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "winnowing",
     "funnel_latency",
     "value_histogram",
+    "drift_psi",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

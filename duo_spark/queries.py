@@ -1537,6 +1537,45 @@ FROM b GROUP BY event_type, bin
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (operators/profile.py population_stability):
+    PSI of events.value per event_type, first half-month vs second.
+    Two histogram aggregates + a groups×bins join; additive smoothing
+    keeps empty bins finite and the math deterministic, so the oracle
+    replays it exactly (round-6 absorbs cross-engine ln ulps)."""
+    from duo_spark.operators.profile import population_stability
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", _ts_us().alias("t"))
+    cut = T_2024_01_15
+    return population_stability(
+        ev.filter(F.col("t") < cut),
+        ev.filter(F.col("t") >= cut),
+        "value", lo=0.0, hi=500.0, nbins=10, group_cols=["event_type"],
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS t FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type, t < 1705276800000000 AS is_ref,
+         CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin
+  FROM ev),
+h AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+  FROM b GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM h GROUP BY 1)
+SELECT h.event_type,
+       round(sum(((h.nr + 0.5) / (t.tr + 5.0) - (h.nc + 0.5) / (t.tc + 5.0))
+             * ln(((h.nr + 0.5) / (t.tr + 5.0)) / ((h.nc + 0.5) / (t.tc + 5.0)))), 6) AS psi
+FROM h JOIN tot t ON h.event_type = t.event_type
+GROUP BY 1
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (operators/funnel.py cohort_retention):
     users cohorted by first-event week, distinct-counted in each of
@@ -4308,7 +4347,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 37-45: operators added/changed in round 7 ---
+    # --- slots 37-46: operators added/changed in round 7 ---
+    "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "winnowing": (q_winnowing, SQL_WINNOWING),
@@ -4318,13 +4358,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 46-50: per-family keepers ---
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    # --- slots 47-50: per-family keepers ---
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),

@@ -74,3 +74,26 @@ def test_value_histogram_validation(spark):
         value_histogram(df, "v", 0.0, 0.0, 10)
     with _pytest.raises(ValueError):
         value_histogram(df, "v", 0.0, 1.0, 0)
+
+
+def test_population_stability_detects_planted_drift(spark):
+    """A shifted distribution scores high PSI; an identical one scores
+    ~0; groups present in only one snapshot stay finite (smoothing)."""
+    import random
+
+    from duo_spark.operators.profile import population_stability
+
+    rng = random.Random(7)
+    ref_rows = [("stable", rng.uniform(0, 50)) for _ in range(2000)] \
+        + [("shifted", rng.uniform(0, 50)) for _ in range(2000)] \
+        + [("ref_only", rng.uniform(0, 50)) for _ in range(100)]
+    cur_rows = [("stable", rng.uniform(0, 50)) for _ in range(2000)] \
+        + [("shifted", rng.uniform(50, 100)) for _ in range(2000)]
+    ref = spark.createDataFrame(ref_rows, "g string, v double")
+    cur = spark.createDataFrame(cur_rows, "g string, v double")
+    got = {r.g: r.psi for r in population_stability(
+        ref, cur, "v", 0.0, 100.0, 10, group_cols=["g"]).collect()}
+    assert got["stable"] < 0.05
+    assert got["shifted"] > 1.0          # total mass displacement
+    assert got["ref_only"] == got["ref_only"]  # finite, not NaN
+    assert abs(got["ref_only"]) < 100
