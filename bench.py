@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "funnel_latency",
     "value_histogram",
     "drift_psi",
+    "hll_distinct",
+    "triangle_count",
+    "anomaly_zscore",
+    "bpe_merges",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -367,3 +367,67 @@ def label_propagation(
         lab, lab_ids = nxt, nxt_ids
     release_rdd_ids(spark, scratch_ids)
     return lab
+
+
+def triangle_count(
+    pairs: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph.
+
+    Node-iterator with degree ordering (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to its higher one, join oriented edges on the middle node to form
+    wedges, then semi-join the wedge's (lo, hi) closure edge. Each
+    triangle materializes exactly once — at its lowest-degree corner —
+    so a celebrity node with degree d contributes O(d) oriented
+    OUT-edges instead of O(d^2) wedges: the degree orientation is what
+    makes the wedge join survive power-law skew at corpus scale.
+
+    Plan: one dedup aggregate (canonical edges), one degree aggregate
+    (broadcast back onto the edge list — 2 rows per edge), two
+    equi-joins, one count aggregate. All shuffles are on node ids; no
+    driver state.
+
+    Returns (node, triangles) for every node in >= 1 triangle.
+    """
+    edges = _canonical_edges(pairs, a_col, b_col)
+    deg = (
+        _symmetric(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id); ties impossible on
+    # id so the orientation is total and acyclic
+    e = (
+        edges.join(deg.withColumnsRenamed({"node": "src", "deg": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "deg": "dd"}), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+            )
+            .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -4295,6 +4295,252 @@ FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.day = c.day
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct sketch (operators/sketch.py):
+    per event type, the m=256 register-table estimate of distinct
+    users next to the exact count and the per-mille error. Two hash
+    aggregates with map-side partials — the shuffle carries at most
+    groups x 256 register rows whatever the input volume, which is
+    the whole point at 100 TB (exact distinct shuffles every distinct
+    value). The Lehmer double-round hash, length(bin(w)) rho, and
+    integer fixed-point register sum make the estimate bit-exact in
+    any engine; production code wanting just the number should use
+    Spark's built-in approx_count_distinct (HLL++), this operator
+    exists for persistable/mergeable register TABLES plus oracle
+    replay."""
+    from duo_spark.operators.sketch import approx_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = approx_distinct(ev, ["event_type"], "user_id", m=256)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "register_sum",
+            "estimate",
+            F.floor(
+                F.abs(F.col("estimate") - F.col("n_exact")) * 1000.0
+                / F.col("n_exact")
+            ).cast("long").alias("err_pm"),
+        )
+    )
+
+
+SQL_HLL_DISTINCT = """
+WITH h1 AS (
+  SELECT event_type, (user_id % 2147483647) * 48271 % 2147483647 AS a
+  FROM events WHERE user_id IS NOT NULL),
+h2 AS (
+  SELECT event_type, xor(a, a >> 15) * 69621 % 2147483647 AS c FROM h1),
+v AS (
+  SELECT event_type, xor(c, c >> 13) AS h FROM h2),
+b AS (
+  SELECT event_type, h % 256 AS bucket,
+         CASE WHEN floor(h / 256) = 0 THEN 24
+              ELSE 24 - length(bin(CAST(floor(h / 256) AS BIGINT))) END AS rho
+  FROM v),
+reg AS (
+  SELECT event_type, bucket, max(rho) AS register FROM b GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << CAST(24 - register AS INT)) AS present_sum,
+         count(*) AS n_present
+  FROM reg GROUP BY 1),
+est AS (
+  SELECT event_type,
+         CAST(present_sum + (256 - n_present) * 16777216 AS BIGINT) AS register_sum
+  FROM s),
+fin AS (
+  SELECT event_type, register_sum,
+         CAST(floor(0.7213 / (1.0 + 1.079 / 256) * 65536.0 * 16777216.0
+                    / register_sum) AS BIGINT) AS estimate
+  FROM est),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1)
+SELECT f.event_type, ex.n_exact, f.register_sum, f.estimate,
+       CAST(floor(abs(f.estimate - ex.n_exact) * 1000.0 / ex.n_exact) AS BIGINT)
+         AS err_pm
+FROM fin f JOIN ex ON f.event_type = ex.event_type
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_count) over the
+    parts-bought-together graph: parts co-occurring in a low-quantity
+    order are linked; the top-10 parts by triangle membership are the
+    densest co-purchase neighborhoods. Degree-ordered node-iterator
+    (Suri & Vassilvitskii 2011): every triangle forms exactly one
+    wedge, at its lowest-degree corner, so power-law hubs cost O(deg)
+    oriented edges instead of O(deg^2) wedges. Equi-joins on node ids
+    only; deterministic top-10 via (triangles desc, node asc)."""
+    from duo_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        triangle_count(pairs)
+        .orderBy(F.col("triangles").desc(), F.col("node"))
+        .limit(10)
+        .select(F.col("node").cast("long").alias("node"), "triangles")
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity <= 10),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS v
+  FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node),
+wed AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM o e1 JOIN o e2 ON e1.v = e2.u),
+tri AS (
+  SELECT a, b, c FROM wed
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wed.a AND o.v = wed.c)),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY 1
+ORDER BY triangles DESC, node LIMIT 10
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/anomaly.py): each
+    (event_type, day) volume scored against its trailing-7-day
+    mean/stddev (current day excluded), top-20 by |z|. One hash
+    aggregate reduces the stream to groups x days rows; the window
+    pass runs on that tiny frame (RANGE frame on the integer day so
+    gaps count as absent). z is derived from integer window sums with
+    IEEE divide/sqrt only — bit-exact in the oracle, no round()
+    needed."""
+    from duo_spark.operators.anomaly import top_anomalies
+
+    ev = _t(spark, sf_dir, "events").select("event_type", _ts_us().alias("t"))
+    return top_anomalies(
+        ev, ["event_type"], "t", window_days=7, min_history=5, k=20
+    ).select("event_type", "day", "n", "hist_days", "hist_mean", "z")
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, day, n,
+         sum(n)     OVER w AS s,
+         sum(n * n) OVER w AS ss,
+         count(*)   OVER w AS k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+scored AS (
+  SELECT event_type, day, n,
+         k AS hist_days,
+         s / k AS hist_mean,
+         CASE WHEN k >= 5 AND (k * ss - s * s) / (k * (k - 1)) > 0
+              THEN (n - s / k) / sqrt((k * ss - s * s) / (k * (k - 1)))
+         END AS z
+  FROM win)
+SELECT event_type, day, n, hist_days, hist_mean, z
+FROM scored WHERE z IS NOT NULL
+ORDER BY abs(z) DESC, event_type, day LIMIT 20
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction (operators/bpe.py): the first 3 tokenizer
+    merges trained on the documents corpus. The corpus reduces ONCE
+    to a word-frequency table (hash aggregate — training cost is
+    O(vocab), not O(corpus), at any scale); each merge is an explode
+    + aggregate over that table plus a 1-row argmax collect, and the
+    merge rewrite itself is literal-string replace (doubled-separator
+    trick == BPE's greedy left-to-right scan, no regex, no UDF). Ties
+    break (count desc, pair asc); the oracle replays all three
+    iterations as nested CTEs."""
+    from duo_spark.operators.bpe import bpe_train, merges_df, word_freq_table
+
+    words = word_freq_table(_t(spark, sf_dir, "documents"), "text")
+    _final, merges = bpe_train(words, k=3)
+    _final.unpersist()
+    return merges_df(spark, merges)
+
+
+def _sql_bpe_stage(prev: str, idx: int) -> str:
+    """One oracle BPE iteration: pair counts -> argmax -> merge."""
+    return f"""
+p{idx} AS (
+  SELECT pair, sum(cnt) AS total FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, length(a) - 1),
+                                 i -> a[i] || ' ' || a[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(sym, ' ') AS a FROM {prev})
+    WHERE length(a) >= 2)
+  GROUP BY 1),
+t{idx} AS (SELECT pair, CAST(total AS BIGINT) AS total FROM p{idx}
+           ORDER BY total DESC, pair LIMIT 1),
+s{idx} AS (
+  SELECT cnt,
+         trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+              ' ' || replace((SELECT pair FROM t{idx}), ' ', '  ') || ' ',
+              ' ' || replace((SELECT pair FROM t{idx}), ' ', '') || ' '),
+              '  ', ' ')) AS sym
+  FROM {prev})"""
+
+
+SQL_BPE_MERGES = (
+    """
+WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents)
+  WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1),
+s0 AS (
+  SELECT cnt, array_to_string(string_split(word, ''), ' ') AS sym FROM w0),"""
+    + ",".join(_sql_bpe_stage(f"s{i - 1}", i) for i in (1, 2, 3))
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS iteration,
+         string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,
+         replace(pair, ' ', '') AS merged, total AS pair_count FROM t1
+  UNION ALL
+  SELECT CAST(2 AS INT), string_split(pair, ' ')[1], string_split(pair, ' ')[2],
+         replace(pair, ' ', ''), total FROM t2
+  UNION ALL
+  SELECT CAST(3 AS INT), string_split(pair, ' ')[1], string_split(pair, ' ')[2],
+         replace(pair, ' ', ''), total FROM t3)
+"""
+)
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -4303,10 +4549,10 @@ FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.day = c.day
 # window executes the churn-aware rotation policy (OPERATORS.md): slots 1-36
 # are EVERY query whose newest driver row was r4 or older (4 from r3, 32 from
 # r4) — the entire stale backlog clears this round, so no query's hard driver
-# signal is ever more than 3 rounds old again; slots 37-39 are the queries
-# whose operators changed THIS round (streaming funnel watermark/TTL rework,
-# containment prefix token-frame reuse); slots 40-50 are keepers, one per
-# operator family.  Everything below the cutoff is locked green by
+# signal is ever more than 3 rounds old again; slots 37-46 are the queries
+# whose operators were added or changed THIS round; slots 47-50 are the
+# round-7 late additions (hll/triangles/anomaly/bpe — rotation rule 1
+# outranks keepers).  Everything below the cutoff is locked green by
 # CORRECTNESS_r05/r06 plus the local oracle-parity clone
 # (tests/test_oracle_parity.py replays ALL entries at sf0.001).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -4358,12 +4604,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 47-50: per-family keepers ---
+    # --- slots 47-50: operators added late in round 7 (rotation policy
+    # rule 1: round-N additions outrank per-family keepers; the four
+    # displaced keepers were all green in r6 and move below the cutoff)
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    # --- below the driver's 50-query window: locked green in r5/r6 ---
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
-    # --- below the driver's 50-query window: locked green in r5/r6 ---
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -314,3 +314,73 @@ def test_funnel_latency_no_window_no_python(spark, sf):
     plan = _plan(QUERIES["funnel_latency"][0](spark, sf))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_distinct_two_phase_aggregates_no_python(spark, sf):
+    """Hash -> (bucket, rho) is scan-projection codegen; registers and
+    register sums are hash aggregates with map-side partials — the
+    shuffle carries at most groups x m rows."""
+    plan = _plan(QUERIES["hll_distinct"][0](spark, sf))
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_triangle_count_equi_joins_only(spark, sf):
+    """Degree orientation + wedge join + closure semi-join: every join
+    is an equi-join on node ids — no cartesian, no nested loop, no
+    Python anywhere."""
+    plan = _plan(QUERIES["triangle_count"][0](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan  # deterministic top-10
+
+
+def test_anomaly_zscore_window_on_daily_not_raw(spark, sf):
+    """The window pass must run AFTER the daily aggregate (groups x
+    days rows), never over raw events: the partial aggregate appears
+    below the Window in the plan, and the top-k is a heap."""
+    plan = _plan(QUERIES["anomaly_zscore"][0](spark, sf))
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan.lower()
+    # aggregate strictly below the window operator
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_bpe_pair_counts_partial_aggregate_no_python(spark, sf):
+    """The per-iteration pair count: explode over the (small) word
+    table + hash aggregate with partials. Literal-replace merge is
+    codegen (no Python UDF in the whole loop)."""
+    from duo_spark.operators.bpe import merge_pair, word_freq_table
+
+    words = word_freq_table(
+        spark.read.parquet(f"{sf}/documents.parquet"), "text"
+    )
+    merged = words.select(
+        "cnt",
+        merge_pair(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")), "t", "h"
+        ).alias("sym"),
+    )
+    pairs = (
+        merged.select("cnt", F.split("sym", " ").alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> concat(element_at(a, i + 1), ' ',"
+                    " element_at(a, i + 2)))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("total"))
+    )
+    plan = _plan(pairs)
+    assert "Python" not in plan
+    assert "partial" in plan.lower()

@@ -1,0 +1,239 @@
+"""Round-7 late additions: HLL sketch (mergeability + accuracy),
+triangle counting vs brute force, rolling z-score vs a hand
+computation, and BPE merge semantics vs a reference implementation
+of the greedy merge rule."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from duo_spark.operators.anomaly import rolling_zscore, top_anomalies
+from duo_spark.operators.bpe import bpe_train, merge_pair, word_freq_table
+from duo_spark.operators.graph import triangle_count
+from duo_spark.operators.sketch import (
+    approx_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+# --- HLL ---------------------------------------------------------------
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the property
+    incremental distinct rollups rely on."""
+    rng = random.Random(7)
+    a = [("x", rng.randrange(10_000)) for _ in range(3_000)]
+    b = [("x", rng.randrange(10_000)) for _ in range(3_000)]
+    sa = hll_sketch(_vals(spark, a), ["g"], "v")
+    sb = hll_sketch(_vals(spark, b), ["g"], "v")
+    su = hll_sketch(_vals(spark, a + b), ["g"], "v")
+    merged = hll_merge(sa, sb, group_cols=["g"])
+    got = {(r["g"], r["bucket"]): r["register"] for r in merged.collect()}
+    want = {(r["g"], r["bucket"]): r["register"] for r in su.collect()}
+    assert got == want
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Raw estimate within ~4 standard errors (1.04/sqrt(256) ≈ 6.5%)
+    of the true cardinality, for cardinalities well above the
+    small-range regime."""
+    rng = random.Random(11)
+    rows = [("g", rng.randrange(50_000)) for _ in range(40_000)]
+    truth = len({v for _, v in rows})
+    est = approx_distinct(_vals(spark, rows), ["g"], "v").collect()[0]
+    rel = abs(est["estimate"] - truth) / truth
+    assert rel < 4 * 1.04 / math.sqrt(256), (est["estimate"], truth)
+
+
+def test_hll_register_sum_accounts_for_absent_buckets(spark):
+    """One value -> one register present; the other 255 must
+    contribute 2^24 each to the fixed-point sum."""
+    sk = hll_sketch(_vals(spark, [("g", 42)]), ["g"], "v")
+    assert sk.count() == 1
+    est = hll_estimate(sk, ["g"]).collect()[0]
+    reg = sk.collect()[0]["register"]
+    assert est["register_sum"] == (1 << (24 - reg)) + 255 * (1 << 24)
+
+
+# --- triangles ---------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        es.add((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    per_node: dict[int, int] = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if (u, v) in es and (u, w) in es and (v, w) in es:
+            for n in (u, v, w):
+                per_node[n] = per_node.get(n, 0) + 1
+    return per_node
+
+
+def test_triangle_count_matches_brute_force(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_count_single_triangle_with_hub(spark):
+    """A hub node of high degree plus one triangle: each triangle
+    corner reports exactly 1, the hub's spokes report nothing."""
+    edges = [(1, 2), (2, 3), (1, 3)] + [(99, i) for i in range(10, 40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# --- rolling z-score ---------------------------------------------------
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """7 flat days then a spike: the spike's z is (x-mean)/std of the
+    7 trailing counts; flat days have var=0 -> null z."""
+    us = 86_400_000_000
+    rows = []
+    for day in range(7):
+        rows += [("a", day * us + i) for i in range(10)]
+    rows += [("a", 7 * us + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, t long")
+    out = {
+        r["day"]: r
+        for r in rolling_zscore(df, ["g"], "t", 7, 5).collect()
+    }
+    spike = out[7]
+    assert spike["n"] == 30 and spike["hist_days"] == 7
+    assert spike["hist_mean"] == 10.0
+    assert spike["z"] is None  # var of a flat history is 0
+    # jittered history -> finite z
+    rows2 = [("b", d * us + i) for d in range(7) for i in range(10 + d % 2)]
+    rows2 += [("b", 7 * us + i) for i in range(30)]
+    df2 = spark.createDataFrame(rows2, "g string, t long")
+    z = {r["day"]: r["z"] for r in rolling_zscore(df2, ["g"], "t", 7, 5).collect()}[7]
+    hist = [10, 11, 10, 11, 10, 11, 10]
+    mean = sum(hist) / 7
+    var = sum((x - mean) ** 2 for x in hist) / 6
+    assert abs(z - (30 - mean) / math.sqrt(var)) < 1e-9
+
+
+def test_rolling_zscore_gap_days_use_range_frame(spark):
+    """A 3-day gap: RANGE frame sees only days within 7, not the last
+    7 rows — day 20's history must be empty (null z)."""
+    us = 86_400_000_000
+    rows = [("a", d * us) for d in range(7)] + [("a", 20 * us)]
+    df = spark.createDataFrame(rows, "g string, t long")
+    out = {r["day"]: r for r in rolling_zscore(df, ["g"], "t", 7, 5).collect()}
+    assert out[20]["hist_days"] == 0 and out[20]["z"] is None
+
+
+def test_top_anomalies_deterministic_cut(spark):
+    us = 86_400_000_000
+    rng = random.Random(5)
+    rows = [
+        (g, d * us + i)
+        for g in ("a", "b")
+        for d in range(20)
+        for i in range(10 + rng.randrange(3) + (50 if d == 15 else 0))
+    ]
+    df = spark.createDataFrame(rows, "g string, t long")
+    top = top_anomalies(df, ["g"], "t", k=3).collect()
+    assert len(top) == 3
+    assert abs(top[0]["z"]) >= abs(top[1]["z"]) >= abs(top[2]["z"])
+    assert {r["day"] for r in top[:2]} == {15}
+
+
+# --- BPE ---------------------------------------------------------------
+
+
+def _ref_bpe_merge(sym: str, left: str, right: str) -> str:
+    """Reference greedy left-to-right merge over the symbol list."""
+    toks = sym.split(" ")
+    out = []
+    i = 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return " ".join(out)
+
+
+def test_merge_pair_equals_greedy_scan(spark):
+    """The doubled-separator replace == the sequential greedy merge,
+    including the overlap traps (a a a, a a a a, alternating)."""
+    cases = [
+        ("a a a", "a", "a"),
+        ("a a a a", "a", "a"),
+        ("a a a a a a", "a", "a"),
+        ("b a a c", "a", "a"),
+        ("x y x y", "x", "y"),
+        ("h e l l o", "l", "l"),
+        ("ab c ab c", "ab", "c"),
+        ("q", "a", "b"),
+        ("a b", "b", "a"),
+    ]
+    for s, l, r in cases:
+        got = (
+            spark.createDataFrame([(s,)], "sym string")
+            .select(merge_pair(F.col("sym"), l, r).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == _ref_bpe_merge(s, l, r), (s, l, r, got)
+
+
+def test_bpe_train_three_merges(spark):
+    """Deterministic toy corpus: 'banana' x3 + 'bandana' x2. Most
+    frequent pair is (a, n) [5+... occurrences]; verify the full
+    3-merge trajectory against a driver-side reference trainer."""
+    docs = spark.createDataFrame(
+        [("banana banana banana bandana bandana",)], "text string"
+    )
+    words = word_freq_table(docs, "text")
+    _, merges = bpe_train(words, k=3)
+    assert len(merges) == 3
+
+    # driver-side reference: word freq table -> greedy merges
+    freq = {"banana": 3, "bandana": 2}
+    syms = {w: " ".join(w) for w in freq}
+    for it, lhs, rhs, cnt in merges:
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in freq.items():
+            toks = syms[w].split(" ")
+            for x, y in zip(toks, toks[1:]):
+                pair_counts[(x, y)] = pair_counts.get((x, y), 0) + c
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        assert (lhs, rhs) == best[0], (it, lhs, rhs, best)
+        assert cnt == best[1]
+        for w in syms:
+            syms[w] = _ref_bpe_merge(syms[w], lhs, rhs)
+
+
+def test_word_freq_table_lowercases_and_bounds(spark):
+    docs = spark.createDataFrame(
+        [("The the THE a verylongwordbeyondtwelve ok-ok",)], "text string"
+    )
+    got = {r["word"]: r["cnt"] for r in word_freq_table(docs, "text").collect()}
+    assert got == {"the": 3, "ok": 2}
