@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "triangle_count",
     "anomaly_zscore",
     "bpe_merges",
+    "collocation_lift",
+    "event_transitions",
+    "cms_topk",
+    "bloom_semijoin",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -53,3 +53,51 @@ def session_stats(
         F.max(time_col).alias("end"),
         (F.max(time_col) - F.min(time_col)).alias("duration"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    event_col: str,
+    time_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every ordered pair of consecutive events within a
+    key, (from_event, to_event, n, p) where ``p`` is the row-stochastic
+    probability n / Σ n over the same from_event — the navigation /
+    user-journey summary a funnel analysis generalizes to, and the
+    input to PageRank-style journey models (operators/graph.py).
+
+    ``tiebreak_col`` MUST make the per-key ordering total (e.g. a
+    unique event id) — equal timestamps otherwise make `lead`
+    nondeterministic and the pair counts engine-dependent.
+
+    Scale: ONE hash shuffle on the key with a per-key time sort feeds
+    `lead`; pair counting is a map-side-combined hash aggregate, so
+    the shuffle after the window carries at most |event types|² rows;
+    the normalizing row sums are a window over that tiny aggregate,
+    not over the events. ``p`` is one IEEE divide of exact counts —
+    bit-reproducible. Skew equals true key skew, the floor for any
+    per-key ordering.
+    """
+    order = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order])
+    pairs = (
+        df.select(
+            F.col(event_col).alias("from_event"),
+            F.lead(event_col).over(w).alias("to_event"),
+        )
+        .filter(F.col("to_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_event")
+    return pairs.select(
+        "from_event",
+        "to_event",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("p"),
+    )

@@ -150,3 +150,173 @@ def approx_distinct(
     return hll_estimate(
         hll_sketch(df, group_cols, value_col, m), group_cols, m
     )
+
+
+# count-min sketch
+# ---------------------------------------------------------------------
+
+#: Per-row hash seeds (distinct offsets fed through the same Lehmer
+#: double-round — the xorshift mixing decorrelates constant offsets).
+#: Fixed so sketches from different runs/engines merge and replay.
+_CMS_SEEDS = (0, 907, 92821, 6700417)
+
+#: element_at-able single-bit masks: _BIT_MASKS[i] == 1 << i as a
+#: SIGNED int64 (bit 63 is the sign bit — the value is negative, the
+#: bit pattern is right).
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _hash31_seeded(col: Column, seed: int) -> Column:
+    return _hash31(col.cast("long") + F.lit(seed))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch register table (Cormode & Muthukrishnan 2005):
+    ``(row, bucket, count)``, d·w rows max however large the input.
+    Point estimates are one-sided — min over rows only OVERcounts
+    (collisions add), by ≤ 2N/w with prob ≥ 1 - 2^-d.
+
+    The posexplode fans each input row into d register updates, but
+    the hash aggregate's map-side partials combine them before the
+    shuffle, so the exchange carries at most d×w rows per task.
+    Registers merge ADDITIVELY (`cms_merge`), the property HLL's max
+    registers lack — deletable, slidable (subtract an old window's
+    sketch), and weightable (pre-aggregated counts stream in via
+    ``weight_col``).
+    """
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    buckets = F.array(
+        *[
+            _hash31_seeded(F.col(value_col), s) % w
+            for s in _CMS_SEEDS[:d]
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.posexplode(buckets).alias("row", "bucket"), wt.alias("_w"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("count"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Registers merge with ``sum``: sketch(A ⊎ B) == merge(sketch(A),
+    sketch(B)) exactly (asserted in tests) — incremental rollups add
+    today's sketch, sliding windows subtract the expired one."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("count").alias("count"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point estimates for ``keys[value_col]``: min over the d register
+    rows each key hashes to. The register table is ≤ d·w rows —
+    broadcast, so the lookup never shuffles the key side. Keys absent
+    from the sketch read their collision mass (≥ 0), never less than
+    their true count."""
+    from pyspark.sql.functions import broadcast
+
+    buckets = F.array(
+        *[
+            _hash31_seeded(F.col(value_col), s) % w
+            for s in _CMS_SEEDS[:d]
+        ]
+    )
+    probed = keys.select(
+        value_col, F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        probed.join(broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("estimate"))
+    )
+
+
+# bloom filter
+# ---------------------------------------------------------------------
+
+
+def bloom_build(
+    dim: DataFrame, key_col: str, m: int = 4096, k: int = 4
+) -> list[int]:
+    """Build an m-bit bloom filter over ``dim[key_col]`` as m/64 int64
+    words — the build side of a runtime filter: compute on the
+    (small) dim side distributively, collect the BITMAP (m/64 rows,
+    bounded driver fetch — 64 longs at m=4096), broadcast it inside a
+    literal Column via `bloom_might_contain`, and the fact scan
+    filters with pure codegen bit math before any join or shuffle.
+    Spark's AQE injects this pattern automatically for supported join
+    shapes (InjectRuntimeFilter); this operator makes it explicit,
+    persistable (store the words, OR tomorrow's in), and usable where
+    the optimizer can't see the relationship (pre-aggregated keys,
+    cross-pipeline handoff).
+
+    Hash family: the same seeded Lehmer double-round as the CMS rows —
+    k positions per key, deterministic, oracle-replayable.
+    """
+    words = m // 64
+    pos = F.explode(
+        F.array(
+            *[
+                _hash31_seeded(F.col(key_col), s) % m
+                for s in _CMS_SEEDS[:k]
+            ]
+        )
+    ).alias("pos")
+    rows = (
+        dim.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 64 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    out = [0] * words
+    for r in rows:
+        out[r["word_idx"]] = r["word"]
+    return out
+
+
+def bloom_might_contain(
+    col: Column, words: list[int], m: int = 4096, k: int = 4
+) -> Column:
+    """Membership Column against a `bloom_build` bitmap: true iff all
+    k bit positions are set. Pure whole-stage-codegen integer math
+    over two literal arrays (the bitmap words and the 64 single-bit
+    masks — `element_at` takes a Column index where the shift
+    builtins' DataFrame bindings demand a Python literal) — no join,
+    no shuffle, evaluable in the fact scan's projection so the filter
+    cuts rows BEFORE any exchange. One-sided: never false for a
+    present key; false-positive rate ≈ (1 - e^(-k·n/m))^k, ~2.4% at
+    n=m/8, k=4."""
+    words_arr = F.array(*[F.lit(int(x)) for x in words])
+    masks_arr = F.array(*[F.lit(x) for x in _BIT_MASKS])
+    check = F.lit(True)
+    for s in _CMS_SEEDS[:k]:
+        pos = _hash31_seeded(col, s) % m
+        word = F.element_at(words_arr, F.floor(pos / 64).cast("int") + 1)
+        mask = F.element_at(masks_arr, (pos % 64).cast("int") + 1)
+        check = check & (word.bitwiseAND(mask) != 0)
+    return check

@@ -521,3 +521,75 @@ def gopher_rules(
         | F.col("too_repetitive")
     )
     return out.withColumn("keep", keep)
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k word-bigram collocations by lift — PMI's ratio
+    p(xy) / (p(x)·p(y)) WITHOUT the log (Church & Hanks 1990 compute
+    log2 of exactly this quantity; the log is monotone, so the ranking
+    is identical). Skipping it keeps the score one IEEE divide over
+    exact integer counts — bit-reproducible across engines, where
+    ``ln``'s last ulp is libm-specific (the same policy as the HLL
+    estimator in operators/sketch.py).
+
+    Output: (bigram, n_pair, n_left, n_right, lift), lift descending
+    with a bigram tiebreak, cut at ``min_count`` pair occurrences so
+    one-off typo pairs don't dominate (classic MI failure mode).
+
+    Scale: two map-side-combined hash aggregates (bigrams, unigrams)
+    over one explode each — linear in corpus token count; the bigram→
+    unigram count joins are equi-joins on token, and only bigram rows
+    surviving ``min_count`` enter them. Corpus totals are two scalar
+    aggregates (bounded driver fetch). The lift numerator
+    n_pair·N_uni² stays exact in int64 up to ~10^9 tokens; past that
+    switch the product to double (ranking unchanged — identical
+    rounding both engines) — noted rather than branched because the
+    gate compares int64 bits.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
+    )
+    uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    n_uni = int(uni.agg(F.sum("_c")).first()[0] or 0)
+    grams = df.select(F.explode(all_ngrams(text_col, 2)).alias("bigram"))
+    pairs = (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        # all_ngrams' short-text fallback emits the whole text as one
+        # gram; only true 2-token grams have unigram factors
+        .filter(F.size(F.split(F.col("bigram"), " ")) == 2)
+    )
+    n_bi = int(
+        grams.groupBy().agg(F.count(F.lit(1)).alias("c")).first()[0] or 0
+    )
+    left = uni.select(
+        F.col("_w").alias("_x"), F.col("_c").alias("n_left")
+    )
+    right = uni.select(
+        F.col("_w").alias("_y"), F.col("_c").alias("n_right")
+    )
+    scored = (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .withColumn("_x", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("_y", F.split(F.col("bigram"), " ").getItem(1))
+        .join(left, "_x")
+        .join(right, "_y")
+        .select(
+            "bigram",
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.round(
+                (F.col("n_pair") * F.lit(n_uni) * F.lit(n_uni)).cast("double")
+                / (F.lit(n_bi) * F.col("n_left") * F.col("n_right"))
+                .cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)

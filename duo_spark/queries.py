@@ -4541,19 +4541,209 @@ SELECT * FROM (
 )
 
 
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram collocations by lift (operators/text.py
+    collocation_lift) — PMI's ratio without the monotone log, so the
+    score is exact integer counts plus one IEEE divide and the ranking
+    is bit-reproducible cross-engine. Two map-side-combined hash
+    aggregates plus token equi-joins on the min_count survivors; the
+    corpus totals are bounded scalar fetches."""
+    from duo_spark.operators.text import collocation_lift
+
+    docs = _docs(spark, sf_dir)
+    return collocation_lift(docs, "text", min_count=3, k=30)
+
+
+SQL_COLLOCATION_LIFT = r"""
+WITH docs AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+uni AS (SELECT unnest(w) AS tok FROM docs),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+n1 AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM uc),
+grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      ELSE [array_to_string(w, ' ')] END) AS bigram
+  FROM docs),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS s FROM grams),
+bc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair
+  FROM grams GROUP BY 1),
+b2 AS (
+  SELECT * FROM bc
+  WHERE len(string_split(bigram, ' ')) = 2 AND n_pair >= 3),
+j AS (
+  SELECT bigram, n_pair, ux.c AS n_left, uy.c AS n_right
+  FROM b2
+  JOIN uc ux ON ux.tok = string_split(bigram, ' ')[1]
+  JOIN uc uy ON uy.tok = string_split(bigram, ' ')[2])
+SELECT bigram, n_pair, n_left, n_right,
+       round(CAST(n_pair * n1.s * n1.s AS DOUBLE)
+             / CAST(nb.s * n_left * n_right AS DOUBLE), 6) AS lift
+FROM j, n1, nb
+ORDER BY lift DESC, bigram ASC LIMIT 30
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/sessions.py transition_matrix): one key
+    shuffle + per-key sort feeds `lead`; the pair aggregate and its
+    row-stochastic normalization are |event types|²-sized. event_id
+    is the total-order tiebreak — equal timestamps would otherwise
+    make the pairs engine-dependent."""
+    from duo_spark.operators.sessions import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_event
+  FROM events),
+pc AS (
+  SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2)
+SELECT from_event, to_event, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE), 6) AS p
+FROM pc
+"""
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for the exact top-20 users by
+    event count (operators/sketch.py) — the additive-register
+    complement to the HLL query: registers merge with SUM, so sketches
+    subtract (sliding windows) where HLL's max-registers can't. w=256
+    is deliberately small enough that collisions are visible at sf0.1;
+    the one-sided guarantee (estimate ≥ exact, surfaced as
+    ``overcount``) is what the oracle pins. Sketch shuffle is ≤ d·w
+    rows after map-side combine; the lookup broadcasts the ≤1024-row
+    register table."""
+    from duo_spark.operators.sketch import cms_lookup, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    top = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(20)
+    sk = cms_sketch(ev, "user_id", w=256, d=4)
+    est = cms_lookup(sk, top.select("user_id"), "user_id", w=256, d=4)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "estimate",
+        (F.col("estimate") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+SQL_CMS_TOPK = """
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY 1),
+top AS (SELECT * FROM ex ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+seeds(s) AS (VALUES (0), (907), (92821), (6700417)),
+h1 AS (SELECT user_id, s,
+              ((user_id + s) % 2147483647) * 48271 % 2147483647 AS a
+       FROM e CROSS JOIN seeds),
+h2 AS (SELECT user_id, s, xor(a, a >> 15) * 69621 % 2147483647 AS c FROM h1),
+hv AS (SELECT user_id, s, xor(c, c >> 13) % 256 AS bucket FROM h2),
+sk AS (SELECT s, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM hv GROUP BY 1, 2),
+probe AS (SELECT DISTINCT user_id, s, bucket FROM hv
+          WHERE user_id IN (SELECT user_id FROM top)),
+lk AS (SELECT probe.user_id, min(coalesce(sk.cnt, 0)) AS estimate
+       FROM probe LEFT JOIN sk ON sk.s = probe.s AND sk.bucket = probe.bucket
+       GROUP BY 1)
+SELECT top.user_id, n_exact, estimate, estimate - n_exact AS overcount
+FROM top JOIN lk ON top.user_id = lk.user_id
+"""
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom runtime filter (operators/sketch.py bloom_build /
+    bloom_might_contain): the nation-7 customer keys become an 8192-bit
+    bitmap built distributively and collected as 128 longs; the orders
+    scan filters with pure codegen bit math against the broadcast
+    literal — no join, no shuffle touches the fact table before the
+    cut. Output pins the one-sided contract: n_pass ≥ n_exact, the
+    difference is the (deterministic) false-positive row count."""
+    from duo_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = cust.filter(F.col("c_nationkey") == 7).select("c_custkey")
+    # m sized for ~13 bits/key at sf0.1 (FPR ~0.5%); a production build
+    # picks m from the dim-side count the same way Spark's
+    # InjectRuntimeFilter sizes its bloom from join-side statistics
+    words = bloom_build(dim, "c_custkey", m=8192, k=4)
+    passed = orders.filter(
+        bloom_might_contain(F.col("o_custkey"), words, m=8192, k=4)
+    )
+    exact = orders.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return (
+        dim.agg(F.count(F.lit(1)).alias("n_dim_keys"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_pass")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            "n_dim_keys",
+            "n_pass",
+            "n_exact",
+            (F.col("n_pass") - F.col("n_exact")).alias("n_false_pos"),
+        )
+    )
+
+
+SQL_BLOOM_SEMIJOIN = """
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = 7),
+seeds(s) AS (VALUES (0), (907), (92821), (6700417)),
+dh1 AS (SELECT ((c_custkey + s) % 2147483647) * 48271 % 2147483647 AS a
+        FROM dim CROSS JOIN seeds),
+dh2 AS (SELECT xor(a, a >> 15) * 69621 % 2147483647 AS c FROM dh1),
+dpos AS (SELECT DISTINCT xor(c, c >> 13) % 8192 AS pos FROM dh2),
+fh1 AS (SELECT o_orderkey, s,
+               ((o_custkey + s) % 2147483647) * 48271 % 2147483647 AS a
+        FROM orders CROSS JOIN seeds WHERE o_custkey IS NOT NULL),
+fh2 AS (SELECT o_orderkey, s, xor(a, a >> 15) * 69621 % 2147483647 AS c
+        FROM fh1),
+fpos AS (SELECT o_orderkey, xor(c, c >> 13) % 8192 AS pos FROM fh2),
+hits AS (SELECT o_orderkey FROM fpos JOIN dpos USING (pos)
+         GROUP BY o_orderkey HAVING count(*) = 4)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_pass,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM orders JOIN dim ON o_custkey = c_custkey) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits)
+         - (SELECT CAST(count(*) AS BIGINT)
+            FROM orders JOIN dim ON o_custkey = c_custkey) AS n_false_pos
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
 # Ordering note (round 7): the external correctness driver replays exactly the
 # FIRST 50 entries of this dict against their DuckDB oracles.  The round-7
-# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-36
-# are EVERY query whose newest driver row was r4 or older (4 from r3, 32 from
-# r4) — the entire stale backlog clears this round, so no query's hard driver
-# signal is ever more than 3 rounds old again; slots 37-46 are the queries
-# whose operators were added or changed THIS round; slots 47-50 are the
-# round-7 late additions (hll/triangles/anomaly/bpe — rotation rule 1
-# outranks keepers).  Everything below the cutoff is locked green by
-# CORRECTNESS_r05/r06 plus the local oracle-parity clone
+# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-32
+# are the stale backlog (newest driver row r4 or older); slots 33-50 are the
+# EIGHTEEN queries whose operators were added or changed THIS round (rotation
+# rule 1 — round-N churn outranks everything).  Eighteen new queries left
+# room for only 32 of the 36 stale entries: the four displaced just below
+# the cutoff (in_list, point_lookup, customers_no_orders,
+# top_revenue_orders) are the simplest pure-filter/join queries, r4
+# driver-green, operator code untouched since, and sf0.01 local-parity-green
+# this round — they lead round 8's window.  Everything below the cutoff is
+# locked green by CORRECTNESS_r05/r06 plus the local oracle-parity clone
 # (tests/test_oracle_parity.py replays ALL entries at sf0.001).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- slots 1-36: the full stale backlog (newest driver row <= r4) ---
@@ -4562,7 +4752,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
@@ -4570,7 +4759,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
     "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "in_list": (q_in_list, SQL_IN_LIST),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
@@ -4580,7 +4768,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
     "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
@@ -4589,7 +4776,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
@@ -4611,8 +4797,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),

@@ -384,3 +384,49 @@ def test_bpe_pair_counts_partial_aggregate_no_python(spark, sf):
     plan = _plan(pairs)
     assert "Python" not in plan
     assert "partial" in plan.lower()
+
+
+def test_collocation_lift_jvm_only_topk(spark, sf):
+    """Bigram/unigram counts are two-phase hash aggregates, the count
+    joins broadcast the min_count survivors, and the final cut plans
+    as TakeOrderedAndProject — no Python, no cartesian, no global
+    sort."""
+    plan = _plan(QUERIES["collocation_lift"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_event_transitions_one_key_shuffle(spark, sf):
+    """lead() rides ONE key-partitioned sort; pair counting is a
+    map-side-combined aggregate and the row-stochastic normalization
+    windows over the tiny pair table, never the events."""
+    plan = _plan(QUERIES["event_transitions"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    # the lead window is keyed, not a single-partition global sort
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_cms_topk_broadcast_lookup(spark, sf):
+    """The register table (≤ d·w rows) broadcasts to the probe side;
+    sketch build is a two-phase hash aggregate after the posexplode —
+    the exchange carries at most d·w rows per task."""
+    plan = _plan(QUERIES["cms_topk"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_bloom_semijoin_filters_fact_scan_without_join(spark, sf):
+    """The bloom membership check is literal-array bit math evaluated
+    against the orders scan — the n_pass branch has NO join at all
+    (the bitmap rode in as a literal); the only joins left are the
+    exact-count comparison branch and the 1-row stat crossJoins."""
+    plan = _plan(QUERIES["bloom_semijoin"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
