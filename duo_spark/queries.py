@@ -4674,7 +4674,10 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan filters with pure codegen bit math against the broadcast
     literal — no join, no shuffle touches the fact table before the
     cut. Output pins the one-sided contract: n_pass ≥ n_exact, the
-    difference is the (deterministic) false-positive row count."""
+    difference is the (deterministic) false-positive row count. The
+    gate uses the oracle-replayable portable hash chain; production
+    wants ``portable=False`` (xxhash64 double hashing, ~4.5× cheaper
+    per fact row, SCALING.md probe 15)."""
     from duo_spark.operators.sketch import bloom_build, bloom_might_contain
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")

@@ -187,3 +187,30 @@ def test_bloom_pass_superset_of_exact_and_empty_dim(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_bloom_fast_path_no_false_negatives_and_differs(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = cust.filter("c_nationkey = 7").select("c_custkey")
+    words = bloom_build(dim, "c_custkey", m=2048, k=4, portable=False)
+    missed = dim.filter(
+        ~bloom_might_contain(
+            F.col("c_custkey"), words, m=2048, k=4, portable=False
+        )
+    ).count()
+    assert missed == 0
+    n_pass = orders.filter(
+        bloom_might_contain(
+            F.col("o_custkey"), words, m=2048, k=4, portable=False
+        )
+    ).count()
+    n_exact = orders.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        "left_semi",
+    ).count()
+    assert n_pass >= n_exact
+    # the two hash families lay out different bitmaps — build and
+    # probe must agree on the flag
+    assert words != bloom_build(dim, "c_custkey", m=2048, k=4)
