@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "cms_topk",
     "bloom_semijoin",
+    "key_skew_profile",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -15,7 +15,7 @@ The reference has no join surface beyond broadcast enrichment
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,3 +46,53 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return big2.join(small2, [*keys, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnostic for a join/aggregation key — the
+    numbers that DECIDE between a plain shuffle, AQE skew-split, and
+    `salted_join`, and size the salt when chosen.
+
+    Output: ``(n_rows, n_keys, max_count, avg_count, p50_count,
+    p99_count, top1_share, gini)``. ``top1_share`` (hottest key's row
+    fraction) and ``gini`` (0 = uniform, →1 = one key owns the table)
+    are exact integer sums plus one IEEE divide each, 6-dp rounded —
+    cross-engine reproducible. Salt sizing: a key with ``max_count``
+    rows needs ~``ceil(max_count / (n_rows / shuffle_partitions))``
+    sub-keys to flatten into average-sized buckets.
+
+    Scale: per-key counts are ONE map-side-combined hash aggregate
+    (shuffle carries n_keys rows); the Gini rank is a single global
+    sort of those counts — fine to ~10^8 keys on one pass. The exact
+    `percentile` pins cross-engine parity at gate scale; production
+    swaps `percentile_approx` (same plan shape, bounded memory). The
+    2·Σ(i·cᵢ) term stays exact in int64 up to n_keys·n_rows ≈ 9·10^18
+    — switch the rank product to double past ~10^9 keys×rows².
+    """
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # Gini needs ascending-count ranks; (count, key) makes ties total
+    w = Window.orderBy(F.asc("_c"), F.asc(key_col))
+    ranked = counts.select(
+        "_c", F.row_number().over(w).alias("_i")
+    )
+    return ranked.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_c").alias("max_count"),
+        F.round(F.avg("_c"), 6).alias("avg_count"),
+        F.expr("percentile(_c, 0.5)").alias("p50_count"),
+        F.expr("percentile(_c, 0.99)").alias("p99_count"),
+        F.round(
+            F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+        ).alias("top1_share"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("_i") * F.col("_c"))
+                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("_c")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("_c")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

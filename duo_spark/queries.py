@@ -4732,6 +4732,73 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/skew.py key_skew_profile)
+    for three hot keys — the report that decides plain shuffle vs AQE
+    skew-split vs salted_join, and sizes the salt. Per key: one
+    map-side-combined count aggregate (shuffle carries n_keys rows)
+    plus a Gini rank over the counts; exact integer sums, IEEE
+    divides, 6-dp rounding."""
+    from duo_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = [
+        key_skew_profile(ev, "user_id").withColumn(
+            "key", F.lit("events.user_id")
+        ),
+        key_skew_profile(orders, "o_custkey").withColumn(
+            "key", F.lit("orders.o_custkey")
+        ),
+        key_skew_profile(li, "l_suppkey").withColumn(
+            "key", F.lit("lineitem.l_suppkey")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "key",
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "avg_count",
+        "p50_count",
+        "p99_count",
+        "top1_share",
+        "gini",
+    )
+
+
+def _sql_skew_block(label: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{label}' AS key,
+       CAST(sum(_c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(_c) AS BIGINT) AS max_count,
+       round(avg(_c), 6) AS avg_count,
+       quantile_cont(_c, 0.5) AS p50_count,
+       quantile_cont(_c, 0.99) AS p99_count,
+       round(CAST(max(_c) AS DOUBLE) / CAST(sum(_c) AS DOUBLE), 6)
+         AS top1_share,
+       round(CAST(2 * sum(_i * _c) - (count(*) + 1) * sum(_c) AS DOUBLE)
+             / CAST(count(*) * sum(_c) AS DOUBLE), 6) AS gini
+FROM (
+  SELECT _c, row_number() OVER (ORDER BY _c ASC, {key} ASC) AS _i
+  FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS _c FROM {table}
+        WHERE {key} IS NOT NULL GROUP BY 1))"""
+
+
+SQL_KEY_SKEW_PROFILE = (
+    _sql_skew_block("events.user_id", "events", "user_id")
+    + "\nUNION ALL"
+    + _sql_skew_block("orders.o_custkey", "orders", "o_custkey")
+    + "\nUNION ALL"
+    + _sql_skew_block("lineitem.l_suppkey", "lineitem", "l_suppkey")
+)
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -4757,7 +4824,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
     "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
@@ -4804,12 +4870,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),

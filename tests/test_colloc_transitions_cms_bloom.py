@@ -214,3 +214,35 @@ def test_bloom_fast_path_no_false_negatives_and_differs(spark, sf_dir):
     # the two hash families lay out different bitmaps — build and
     # probe must agree on the flag
     assert words != bloom_build(dim, "c_custkey", m=2048, k=4)
+
+
+# key skew profile
+# ---------------------------------------------------------------------
+
+
+def test_key_skew_profile_uniform_and_skewed(spark):
+    from duo_spark.operators.skew import key_skew_profile
+
+    uniform = spark.createDataFrame([Row(k=i) for i in (1, 2, 3, 4)])
+    r = key_skew_profile(uniform, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (4, 4, 1)
+    assert r["gini"] == 0.0 and r["top1_share"] == 0.25
+    # counts [1,1,1,97]: gini = (2*(1+2+3+4*97) - 5*100)/(4*100) = 0.72
+    skewed = spark.createDataFrame(
+        [Row(k=1), Row(k=2), Row(k=3)] + [Row(k=9)] * 97
+    )
+    r = key_skew_profile(skewed, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (100, 4, 97)
+    assert r["top1_share"] == 0.97
+    assert r["gini"] == 0.72
+    assert r["p50_count"] == 1.0
+
+
+def test_key_skew_profile_ignores_nulls(spark):
+    from duo_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [Row(k=1), Row(k=None), Row(k=1)], "k int"
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"]) == (2, 1)

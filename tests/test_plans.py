@@ -430,3 +430,15 @@ def test_bloom_semijoin_filters_fact_scan_without_join(spark, sf):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_key_skew_profile_window_rides_the_aggregate(spark, sf):
+    """Per-key counts are a two-phase hash aggregate; the Gini rank's
+    single-partition Window sorts the n_keys-row COUNT table (the
+    documented ~10^8-key bound), never the raw events — so a
+    HashAggregate must sit below every Window in the plan."""
+    plan = _plan(QUERIES["key_skew_profile"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "HashAggregate" in plan
