@@ -541,11 +541,13 @@ def collocation_lift(
     with a bigram tiebreak, cut at ``min_count`` pair occurrences so
     one-off typo pairs don't dominate (classic MI failure mode).
 
-    Scale: two map-side-combined hash aggregates (bigrams, unigrams)
-    over one explode each — linear in corpus token count; the bigram→
-    unigram count joins are equi-joins on token, and only bigram rows
-    surviving ``min_count`` enter them. Corpus totals are two scalar
-    aggregates (bounded driver fetch). The lift numerator
+    Scale: the corpus is scanned exactly twice (token explode, bigram
+    explode), each feeding one map-side-combined hash aggregate; the
+    corpus totals are 1-row aggregates OVER those count tables,
+    broadcast back in — fully lazy, no driver-side actions, and the
+    unigram count table's exchange is reused across its three
+    consumers (both join sides + the total). Only bigram rows
+    surviving ``min_count`` enter the joins. The lift numerator
     n_pair·N_uni² stays exact in int64 up to ~10^9 tokens; past that
     switch the product to double (ranking unchanged — identical
     rounding both engines) — noted rather than branched because the
@@ -555,38 +557,40 @@ def collocation_lift(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
     )
     uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-    n_uni = int(uni.agg(F.sum("_c")).first()[0] or 0)
+    n_uni = uni.agg(F.sum("_c").alias("_n_uni"))
     grams = df.select(F.explode(all_ngrams(text_col, 2)).alias("bigram"))
-    pairs = (
-        grams.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+    bigram_counts = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    # Σ n_pair over the UNFILTERED count table == total gram count, so
+    # the total rides the same aggregate instead of a third scan
+    n_bi = bigram_counts.agg(F.sum("n_pair").alias("_n_bi"))
+    pairs = bigram_counts.filter(
         # all_ngrams' short-text fallback emits the whole text as one
         # gram; only true 2-token grams have unigram factors
-        .filter(F.size(F.split(F.col("bigram"), " ")) == 2)
-    )
-    n_bi = int(
-        grams.groupBy().agg(F.count(F.lit(1)).alias("c")).first()[0] or 0
-    )
-    left = uni.select(
-        F.col("_w").alias("_x"), F.col("_c").alias("n_left")
-    )
-    right = uni.select(
-        F.col("_w").alias("_y"), F.col("_c").alias("n_right")
-    )
+        F.size(F.split(F.col("bigram"), " ")) == 2
+    ).filter(F.col("n_pair") >= min_count)
+    # join the UN-renamed uni (alias-disambiguated self-joins, renames
+    # after) so both join sides and the n_uni total share ONE _w
+    # exchange — a pre-join Project below the exchange defeats the
+    # reuse (containment_pairs' measured lesson, operators/dedup.py)
+    keyed = pairs.withColumn(
+        "_x", F.split(F.col("bigram"), " ").getItem(0)
+    ).withColumn("_y", F.split(F.col("bigram"), " ").getItem(1))
     scored = (
-        pairs.filter(F.col("n_pair") >= min_count)
-        .withColumn("_x", F.split(F.col("bigram"), " ").getItem(0))
-        .withColumn("_y", F.split(F.col("bigram"), " ").getItem(1))
-        .join(left, "_x")
-        .join(right, "_y")
+        keyed.join(uni.alias("L"), keyed["_x"] == F.col("L._w"))
+        .join(uni.alias("R"), keyed["_y"] == F.col("R._w"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
         .select(
             "bigram",
             "n_pair",
-            "n_left",
-            "n_right",
+            F.col("L._c").alias("n_left"),
+            F.col("R._c").alias("n_right"),
             F.round(
-                (F.col("n_pair") * F.lit(n_uni) * F.lit(n_uni)).cast("double")
-                / (F.lit(n_bi) * F.col("n_left") * F.col("n_right"))
+                (F.col("n_pair") * F.col("_n_uni") * F.col("_n_uni"))
+                .cast("double")
+                / (F.col("_n_bi") * F.col("L._c") * F.col("R._c"))
                 .cast("double"),
                 6,
             ).alias("lift"),

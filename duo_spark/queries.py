@@ -4547,7 +4547,9 @@ def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is exact integer counts plus one IEEE divide and the ranking
     is bit-reproducible cross-engine. Two map-side-combined hash
     aggregates plus token equi-joins on the min_count survivors; the
-    corpus totals are bounded scalar fetches."""
+    corpus totals ride the count tables as broadcast 1-row aggregates
+    (fully lazy, no driver actions), and the unigram exchange is
+    reused across both join sides and the total."""
     from duo_spark.operators.text import collocation_lift
 
     docs = _docs(spark, sf_dir)
@@ -4804,15 +4806,16 @@ SQL_KEY_SKEW_PROFILE = (
 
 # Ordering note (round 7): the external correctness driver replays exactly the
 # FIRST 50 entries of this dict against their DuckDB oracles.  The round-7
-# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-32
-# are the stale backlog (newest driver row r4 or older); slots 33-50 are the
-# EIGHTEEN queries whose operators were added or changed THIS round (rotation
-# rule 1 — round-N churn outranks everything).  Eighteen new queries left
-# room for only 32 of the 36 stale entries: the four displaced just below
+# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-31
+# are the stale backlog (newest driver row r4 or older); slots 32-50 are the
+# NINETEEN queries whose operators were added or changed THIS round (rotation
+# rule 1 — round-N churn outranks everything).  Nineteen new queries left
+# room for only 31 of the 36 stale entries: the five displaced just below
 # the cutoff (in_list, point_lookup, customers_no_orders,
-# top_revenue_orders) are the simplest pure-filter/join queries, r4
-# driver-green, operator code untouched since, and sf0.01 local-parity-green
-# this round — they lead round 8's window.  Everything below the cutoff is
+# top_revenue_orders, events_daily) are the simplest pure-filter/join/rollup
+# queries, r4 driver-green, operator code untouched since, and sf0.01
+# local-parity-green this round — they lead round 8's window.  Everything
+# below the cutoff (incl. the r6-green keepers like hotcold_search) is
 # locked green by CORRECTNESS_r05/r06 plus the local oracle-parity clone
 # (tests/test_oracle_parity.py replays ALL entries at sf0.001).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

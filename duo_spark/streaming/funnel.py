@@ -171,12 +171,20 @@ def make_funnel_update(
                 # advances the watermark batch-by-batch but not the
                 # wall clock, still bounds state (idle_ttl_ms cannot)
                 mx = max((lst[-1] for lst in cur_lists if lst), default=None)
-                if mx is not None:
-                    # Spark requires the timeout timestamp to be beyond
-                    # the current watermark; a user already expired
-                    # under the new watermark arms for the next batch
-                    ts = mx // 1000 + event_age_ms
-                    state.setTimeoutTimestamp(max(ts, _wm_us(state) // 1000 + 1))
+                if mx is None:
+                    # every stored list is empty (late step-2+ events
+                    # all pruned, step 1 never seen): the entry carries
+                    # no information, and an UNARMED entry never times
+                    # out — the exact leak the event-time TTL exists to
+                    # prevent. Drop it outright.
+                    if state.exists:
+                        state.remove()
+                    return
+                # Spark requires the timeout timestamp to be beyond
+                # the current watermark; a user already expired
+                # under the new watermark arms for the next batch
+                ts = mx // 1000 + event_age_ms
+                state.setTimeoutTimestamp(max(ts, _wm_us(state) // 1000 + 1))
 
         if not changed:
             if state.exists:

@@ -108,6 +108,19 @@ _LOG_CORE_PY: dict[str, type | tuple[type, ...]] = {
     f.name: (int if pa.types.is_integer(f.type) else str) for f in _LOG_ARROW
 }
 
+#: value range per integer core slot — an int of the right Python type
+#: but outside the arrow type's range (fields:{"line": 2**40}) would
+#: still poison Table.from_pydict at flush time
+_LOG_CORE_RANGE: dict[str, tuple[int, int]] = {
+    f.name: (
+        (-(1 << 31), (1 << 31) - 1)
+        if pa.types.is_int32(f.type)
+        else (-(1 << 63), (1 << 63) - 1)
+    )
+    for f in _LOG_ARROW
+    if pa.types.is_integer(f.type)
+}
+
 
 def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
     """C6 message extraction + proto int level decode
@@ -135,10 +148,12 @@ def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
                 # empty AND the value matches the core arrow type —
                 # a mistyped value (fields:{"line":"forty"}) would
                 # otherwise poison the whole batch at from_pydict
+                rng = _LOG_CORE_RANGE.get(k)
                 if (
                     rec.get(k) is not None
                     or isinstance(v, bool)
                     or not isinstance(v, _LOG_CORE_PY[k])
+                    or (rng is not None and not rng[0] <= v <= rng[1])
                 ):
                     continue
             if v is not None and not isinstance(v, (bool, int, float, str)):

@@ -20,6 +20,17 @@ array_union is associative+commutative, so any batch schedule yields
 the same final pairs, and therefore the same resolved tags, as the
 one-shot batch merge. ``tests/test_streaming.py`` pins this.
 
+Bounded-state caveat (the watermark contract every streaming engine
+makes): a record for a span that already COMPLETED in an earlier
+batch merges into nothing — its id is gone from the open table, so a
+duplicate/late close re-emits a partial row into a later completed
+delta. Equality with the batch merge therefore holds for records
+that arrive before (or in the batch of) their span's completion;
+later strays are resolved FIRST-COMPLETION-WINS: ``read_completed``
+and ``compact_completed`` dedup by id keeping the lowest-version row
+(the one merged while the open state was still present), so reads
+stay exactly-once under at-least-once delivery.
+
 State layout under ``out_dir``:
   open/v=<batch_id>       all ids still missing an ``end`` (two
                           newest versions kept — the rollup.py replay
@@ -123,9 +134,9 @@ def streaming_span_merge_fast(
                 F.least(partial["name"], p["_p_name"]).alias("name"),
                 F.least(partial["process_id"], p["_p_process_id"]).alias("process_id"),
                 F.least(partial["start"], p["_p_start"]).alias("start"),
-                # opens carry end=NULL by construction, so any non-null
-                # wins; two non-nulls (dup closes across batches) take
-                # the later one, matching max("end")
+                # prev-open rows carry end=NULL by construction
+                # (still_open filters end IS NULL), so greatest is
+                # simply "the batch's close wins if present"
                 F.greatest(partial["end"], p["_p_end"]).alias("end"),
                 F.array_distinct(
                     F.concat(
@@ -208,32 +219,48 @@ def _read_wm(spark, out_dir: str, vid: int | None) -> int | None:
     return int(bytes(data).decode("utf-8"))
 
 
+def _first_completion_wins(parts: list[tuple[DataFrame, int]]) -> DataFrame:
+    """Union completed versions and dedup by id keeping the row from
+    the LOWEST version — the row merged while the span's open state
+    was still present (a later duplicate/late close carries only its
+    own batch's partial fields). One min_by hash aggregate; with no
+    duplicates it is the identity on the union."""
+    tagged = [df.withColumn("_v", F.lit(int(v))) for df, v in parts]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    cols = [c for c in out.columns if c not in ("id", "_v")]
+    return (
+        out.groupBy("id")
+        .agg(F.min_by(F.struct(*cols), F.col("_v")).alias("_s"))
+        .select("id", *[F.col(f"_s.{c}").alias(c) for c in cols])
+    )
+
+
 def read_completed(spark, out_dir: str) -> DataFrame:
     """All spans completed so far: the newest compacted snapshot (if
     :func:`compact_completed` has run) plus every delta version above
     it — exactly-once: a replayed batch overwrites its own version,
-    and compaction never folds in versions a replay could still
-    rewrite."""
+    compaction never folds in versions a replay could still rewrite,
+    and a late duplicate close dedups first-completion-wins (the
+    snapshot counts as the earliest version). The dedup is one hash
+    aggregate over snapshot+deltas; compaction keeps the snapshot
+    side pre-deduped."""
     cvid = _latest_id(spark, f"{out_dir}/compacted")
     deltas = [
         v for v in _version_ids(spark, f"{out_dir}/completed")
         if cvid is None or v > cvid
     ]
-    parts = []
+    parts: list[tuple[DataFrame, int]] = []
     if cvid is not None:
-        parts.append(spark.read.parquet(f"{out_dir}/compacted/v={cvid}"))
-    if deltas:
         parts.append(
-            spark.read.parquet(
-                *[f"{out_dir}/completed/v={v}" for v in deltas]
-            )
+            (spark.read.parquet(f"{out_dir}/compacted/v={cvid}"), -1)
         )
+    for v in sorted(deltas):
+        parts.append((spark.read.parquet(f"{out_dir}/completed/v={v}"), v))
     if not parts:
         raise FileNotFoundError(f"no completed-span versions under {out_dir}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _first_completion_wins(parts)
 
 
 def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None:
@@ -265,16 +292,28 @@ def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None
     if not fold:
         return None
     upto = fold[-1]
-    parts = [
-        spark.read.parquet(*[f"{out_dir}/completed/v={v}" for v in fold])
-    ]
+    parts: list[tuple[DataFrame, int]] = []
     if cvid is not None:
-        parts.append(spark.read.parquet(f"{out_dir}/compacted/v={cvid}"))
-    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        parts.append(
+            (spark.read.parquet(f"{out_dir}/compacted/v={cvid}"), -1)
+        )
+    for v in fold:
+        parts.append((spark.read.parquet(f"{out_dir}/completed/v={v}"), v))
+    merged = _first_completion_wins(parts)
     tmp = f"{out_dir}/compacted/.tmp-{upto}"
     merged.write.mode("overwrite").parquet(tmp)
     fs, tmp_path = _fs(spark, tmp)
-    fs.rename(tmp_path, _fs(spark, f"{out_dir}/compacted/v={upto}")[1])
+    if not fs.rename(tmp_path, _fs(spark, f"{out_dir}/compacted/v={upto}")[1]):
+        # Hadoop rename signals failure by RETURNING FALSE (dest
+        # already exists from a racing compaction, or an fs error) —
+        # proceeding would delete state the new snapshot never
+        # captured. Leave everything (old snapshot + all deltas)
+        # intact and surface the failure.
+        fs.delete(tmp_path, True)
+        raise RuntimeError(
+            f"compact_completed: rename {tmp} -> v={upto} failed; "
+            "no versions were deleted (racing compaction?)"
+        )
     # now safe to drop superseded state
     _prune_versions(spark, f"{out_dir}/compacted", keep=(upto,))
     for v in fold:

@@ -514,3 +514,24 @@ def test_streaming_funnel_event_age_e2e(spark, tmp_path):
     # arbitrary — t2 is None either way; a completed chain would have
     # won the tie with seq=2.)
     assert got[1][1] is None
+
+
+def test_streaming_funnel_event_age_drops_empty_state():
+    """Code-review r7: a user whose only events are late step-2+ ones
+    (all pruned below the watermark, step 1 never seen) must not leave
+    an UNARMED all-empty state entry behind — under EventTimeTimeout an
+    unarmed key never times out, so the entry would leak forever."""
+    from duo_spark.streaming.funnel import make_funnel_update
+
+    upd = make_funnel_update(
+        ["a", "b"], "user_id", "event_type", "ts_us",
+        window=100, idle_ttl_ms=None, event_age_ms=60_000,
+    )
+    st = _EventTimeState()
+    st.wm_ms = 10_000  # watermark at 10^7 us: the late event is dead
+    _drive(upd, st, [("b", 5_000_000)])
+    assert st.removed and not st.exists
+    # and a user with surviving state still arms normally
+    st2 = _EventTimeState()
+    _drive(upd, st2, [("a", 20_000_000)])
+    assert st2.exists and st2.timeout_ts is not None

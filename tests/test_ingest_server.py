@@ -325,3 +325,29 @@ def test_tick_thread_survives_flush_failure(scratch, monkeypatch):
     finally:
         monkeypatch.undo()
         server.stop()
+
+
+def test_core_collision_out_of_range_int_skipped(scratch):
+    """Code-review r7: an int of the right Python type but outside the
+    core slot's arrow range (fields:{"line": 2**40}) passed the
+    isinstance guard and still poisoned from_pydict at flush — range
+    must be part of the adoption check."""
+    log_dir = os.path.join(scratch, "log_range")
+    with IngestServer(os.path.join(scratch, "span_range"), log_dir,
+                      tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE, level="INFO",
+                     fields={"message": "huge-line", "line": 1 << 40})
+        c.record_log(process_id="p-0", time=BASE + 1, level="INFO",
+                     fields={"message": "ok-line", "line": 40})
+        c.close()
+        server.quiesce()
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(log_dir, f) for f in os.listdir(log_dir)
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    d = pq.read_table(files[0]).to_pydict()
+    by_msg = dict(zip(d["message"], d["line"]))
+    assert by_msg == {"huge-line": None, "ok-line": 40}

@@ -711,3 +711,92 @@ def test_fast_merge_open_max_age_gc(spark, scratch):
     assert done == {2: BASE + hour + 500, 3: BASE + 3 * hour + 10}
     # span 1's open (age > 1h behind the 3h watermark) was GC'd
     assert {r.id for r in read_open(spark, out).collect()} == set()
+
+
+def test_fast_merge_late_duplicate_close_first_completion_wins(spark, scratch):
+    """Code-review r7: a close arriving AFTER its span completed used
+    to re-emit a partial row into a later delta (the id is gone from
+    the open table, so there is nothing to merge into) — read_completed
+    now dedups by id keeping the LOWEST version, the row merged while
+    the open state was present."""
+    from duo_spark.streaming.merge import (
+        compact_completed, read_completed, streaming_span_merge_fast,
+    )
+
+    src = os.path.join(scratch, "in_late")
+    open_rec = [_rec(1, parent=10, end=None, tags='{"k":"open"}')]
+    close_rec = [_rec(1, end=BASE + 5, tags='{"k":"close"}')]
+    late_dup = [_rec(1, name="stray", end=BASE + 99, tags='{"k":"late"}')]
+    for batch in (open_rec, close_rec, late_dup):
+        spark.createDataFrame(batch, SPAN_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (spark.readStream.schema(SPAN_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(scratch, "out_late")
+    q = streaming_span_merge_fast(stream, out, os.path.join(scratch, "ck_late"))
+    q.awaitTermination()
+    rows = read_completed(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the first completion's merge (open+close fields), not the stray's
+    assert (r.parent_id, r.name, r.end) == (10, "op", BASE + 5)
+    # compaction folds the duplicate away too (snapshot stays deduped)
+    compact_completed(spark, out, retain_latest=0)
+    rows = read_completed(spark, out).collect()
+    assert len(rows) == 1 and rows[0].end == BASE + 5
+
+
+def test_fast_merge_compaction_rename_failure_deletes_nothing(
+    spark, scratch, monkeypatch
+):
+    """Code-review r7: Hadoop fs.rename signals failure by RETURNING
+    FALSE — compact_completed used to ignore it and delete the old
+    snapshot plus all folded deltas anyway, losing completed spans. A
+    failed rename must now raise and leave every version intact."""
+    import duo_spark.streaming.rollup as rollup
+    from duo_spark.streaming.merge import (
+        compact_completed, read_completed, streaming_span_merge_fast,
+    )
+    from duo_spark.streaming.rollup import _version_ids
+
+    records = _fast_records(spark, sf_dir="/root/testdata/sf0.001", n=60)
+    src = os.path.join(scratch, "in_race")
+    for p in (records.filter("id % 2 = 0"), records.filter("id % 2 = 1")):
+        p.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SPAN_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(scratch, "out_race")
+    q = streaming_span_merge_fast(stream, out, os.path.join(scratch, "ck_race"))
+    q.awaitTermination()
+    before = {(r.id, r.end) for r in read_completed(spark, out).collect()}
+    deltas = sorted(_version_ids(spark, f"{out}/completed"))
+    assert deltas
+
+    class _RenameFailsFs:
+        """Proxy over the real Hadoop FileSystem: rename reports
+        failure (false), everything else passes through."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, a, b):  # noqa: ARG002
+            return False
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_fs = rollup._fs
+    monkeypatch.setattr(
+        rollup, "_fs",
+        lambda sp, path: (
+            (_RenameFailsFs(real_fs(sp, path)[0]), real_fs(sp, path)[1])
+        ),
+    )
+    with pytest.raises(RuntimeError, match="rename"):
+        compact_completed(spark, out, retain_latest=0)
+    monkeypatch.setattr(rollup, "_fs", real_fs)
+    # nothing was deleted by the failed attempt
+    assert sorted(_version_ids(spark, f"{out}/completed")) == deltas
+    assert compact_completed(spark, out, retain_latest=0) == deltas[-1]
+    assert {(r.id, r.end) for r in read_completed(spark, out).collect()} == before
