@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "cms_topk",
     "bloom_semijoin",
     "key_skew_profile",
+    "random_projection",
+    "bpe_vocab",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -143,3 +143,33 @@ def merges_df(spark: SparkSession, merges) -> DataFrame:
         F.concat("lhs", "rhs").alias("merged"),
         "pair_count",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 12,
+) -> DataFrame:
+    """Apply a shipped merge list to a corpus — the ENCODE half of the
+    tokenizer (bpe_train learns the merges; this is what a data
+    pipeline runs per document forever after): the post-merge
+    vocabulary as ``(token, n)`` weighted by word frequency.
+
+    Encoding replays the merges in training order on the word-frequency
+    table, so the per-document cost is O(distinct words), not O(corpus)
+    — the same reduction training uses, and the reason this stays two
+    hash aggregates plus k literal `replace` passes (pure Column
+    codegen) at any corpus size. Sennrich et al. 2016 §3: applying
+    merges in learned order reproduces the training segmentation.
+    """
+    words = word_freq_table(df, text_col, min_len, max_len)
+    sym = _spaced(F.col("word"))
+    for _, left, right, _ in merges:
+        sym = merge_pair(sym, left, right)
+    return (
+        words.select("cnt", F.explode(F.split(sym, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+    )

@@ -911,3 +911,51 @@ def centroids_by_group(
         )
         centroid = F.transform(centroid, lambda x: x / nrm)
     return agg.select(group_col, "n", centroid.alias("centroid"))
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection (Achlioptas 2003:
+    r_ij ∈ {±1} preserves pairwise distances like Gaussian R, database-
+    friendly): y_j = Σ_i x_i·sign(i,j) / √d_out, appended as
+    ``projected`` (array<double>, 6-dp). The dimensionality-reduction
+    step in front of ANN/LSH at 100 TB: a 4× narrower vector shrinks
+    every downstream shuffle, index, and distance kernel 4× while JL
+    bounds the distance distortion (ε ≈ √(8·ln n / d_out)).
+
+    The sign matrix is never materialized: sign(i,j) is the parity of
+    the same Lehmer double-round hash the sketch family uses
+    (operators/sketch.py) on index (i-1)·d_out + j — deterministic,
+    shippable (any engine reproduces the projection from the two
+    dims), and oracle-replayable. Whole-stage codegen nested HOFs,
+    no UDF, no shuffle — evaluated in the scan projection.
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(d_out)
+    # sign(i,j) from the hash parity; all-integer modular math. The
+    # Lehmer double-round is spelled once via nested lambdas (k = the
+    # flattened matrix index, a/h = the two mix rounds) instead of
+    # textual repetition — Spark SQL's scalar xor is the ^ operator.
+    proj = f"""
+    transform(sequence(1, {d_out}), j ->
+      round(aggregate(sequence(1, {d_in}), cast(0 as double), (acc, i) ->
+        acc + cast(element_at({vec_col}, i) as double) *
+          cast(1 - 2 * (
+            aggregate(
+              transform(
+                array((cast(i - 1 as bigint) * {d_out} + j) * 48271
+                      % 2147483647),
+                a -> (a ^ shiftright(a, 15)) * 69621 % 2147483647
+              ),
+              cast(0 as bigint),
+              (z, h) -> (h ^ shiftright(h, 13)) % 2
+            )
+          ) as double)
+      ) * {inv!r}, 6))
+    """
+    return df.withColumn("projected", F.expr(proj))

@@ -4801,23 +4801,101 @@ SQL_KEY_SKEW_PROFILE = (
 )
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64→16 (operators/
+    similarity.py random_projection, Achlioptas 2003) — the
+    dimensionality-reduction pass in front of ANN at 100 TB (4×
+    narrower vectors shrink every downstream shuffle and distance
+    kernel 4×). The ±1 matrix is the parity of the sketch family's
+    Lehmer hash on the flattened index — never materialized,
+    reproducible in any engine. Output exploded to (vec_id, dim, val)
+    scalars so the gate hashes exactly."""
+    from duo_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "embedding", d_in=64, d_out=16)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim0", "val")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).cast("long").alias("dim"), "val"
+    )
+
+
+def _sql_rp_sign() -> str:
+    """The oracle's copy of the sign(i,j) hash — built by substitution
+    so the Lehmer chain is spelled once."""
+    k = "(CAST((i - 1) * 16 + j AS BIGINT))"
+    a = f"(({k} * 48271) % 2147483647)"
+    b = f"((xor({a}, {a} >> 15) * 69621) % 2147483647)"
+    h = f"xor({b}, {b} >> 13)"
+    return f"(1 - 2 * ({h} % 2))"
+
+
+SQL_RANDOM_PROJECTION = f"""
+WITH p AS (
+  SELECT vec_id,
+         list_transform(range(1, 17), j ->
+           round(list_sum(list_transform(range(1, 65), i ->
+             CAST(embedding[i] AS DOUBLE) * CAST({_sql_rp_sign()} AS DOUBLE)
+           )) * {1.0 / 4.0!r}, 6)) AS proj
+  FROM embeddings)
+SELECT vec_id, j AS dim, proj[j] AS val
+FROM p, range(1, 17) t(j)
+"""
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round trip (operators/bpe.py): train 3 merges, then
+    ENCODE the corpus with them — the top-20 post-merge vocabulary by
+    weighted count. Encoding replays the merges on the word-frequency
+    table (O(distinct words) literal replaces, pure Column codegen);
+    the train-side cached symbol table is released once the merges are
+    extracted."""
+    from duo_spark.operators.bpe import bpe_encode, bpe_train, word_freq_table
+
+    docs = _t(spark, sf_dir, "documents")
+    words = word_freq_table(docs, "text")
+    _final, merges = bpe_train(words, k=3)
+    _final.unpersist()
+    vocab = bpe_encode(docs, merges, "text")
+    return vocab.orderBy(F.desc("n"), F.asc("token")).limit(20)
+
+
+SQL_BPE_VOCAB = (
+    """
+WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents)
+  WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1),
+s0 AS (
+  SELECT cnt, array_to_string(string_split(word, ''), ' ') AS sym FROM w0),"""
+    + ",".join(_sql_bpe_stage(f"s{i - 1}", i) for i in (1, 2, 3))
+    + """
+SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+  SELECT cnt, unnest(string_split(sym, ' ')) AS token FROM s3)
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+"""
+)
+
+
 # registry
 # ---------------------------------------------------------------------
 
 # Ordering note (round 7): the external correctness driver replays exactly the
 # FIRST 50 entries of this dict against their DuckDB oracles.  The round-7
-# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-31
-# are the stale backlog (newest driver row r4 or older); slots 32-50 are the
-# NINETEEN queries whose operators were added or changed THIS round (rotation
-# rule 1 — round-N churn outranks everything).  Nineteen new queries left
-# room for only 31 of the 36 stale entries: the five displaced just below
-# the cutoff (in_list, point_lookup, customers_no_orders,
-# top_revenue_orders, events_daily) are the simplest pure-filter/join/rollup
-# queries, r4 driver-green, operator code untouched since, and sf0.01
-# local-parity-green this round — they lead round 8's window.  Everything
-# below the cutoff (incl. the r6-green keepers like hotcold_search) is
-# locked green by CORRECTNESS_r05/r06 plus the local oracle-parity clone
-# (tests/test_oracle_parity.py replays ALL entries at sf0.001).
+# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-29
+# are the stale backlog (newest driver row r4 or older); slots 30-50 are the
+# TWENTY-ONE queries whose operators were added or changed THIS round
+# (rotation rule 1 — round-N churn outranks everything).  Twenty-one new
+# queries left room for only 29 of the 36 stale entries: the seven displaced
+# just below the cutoff (in_list, point_lookup, customers_no_orders,
+# top_revenue_orders, events_daily, text_stats, token_count) are the
+# simplest pure-filter/join/Column queries, r4 driver-green, operator code
+# untouched since, and sf0.01 local-parity-green this round — they lead
+# round 8's window.  Everything below the cutoff (incl. the r6-green keepers
+# like hotcold_search) is locked green by CORRECTNESS_r05/r06 plus the local
+# oracle-parity clone (tests/test_oracle_parity.py replays ALL entries).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- slots 1-36: the full stale backlog (newest driver row <= r4) ---
     "decontam": (q_decontam, SQL_DECONTAM),
@@ -4846,8 +4924,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
     "store_retention": (q_store_retention, SQL_STORE_RETENTION),
     "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
@@ -4874,6 +4950,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     # --- below the driver's 50-query window: locked green in r5/r6 ---
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "in_list": (q_in_list, SQL_IN_LIST),
@@ -4881,6 +4959,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),

@@ -442,3 +442,23 @@ def test_key_skew_profile_window_rides_the_aggregate(spark, sf):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
     assert "HashAggregate" in plan
+
+
+def test_random_projection_scan_projection_only(spark, sf):
+    """The JL projection is nested HOF codegen evaluated in the scan
+    projection — no UDF, no join, no exchange on the vector side
+    beyond the explode's own partitioning."""
+    plan = _plan(QUERIES["random_projection"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_bpe_vocab_two_aggregates_topk(spark, sf):
+    """Encode = word-frequency aggregate + k literal replaces + token
+    aggregate, cut with TakeOrderedAndProject."""
+    plan = _plan(QUERIES["bpe_vocab"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan

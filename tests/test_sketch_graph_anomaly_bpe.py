@@ -237,3 +237,61 @@ def test_word_freq_table_lowercases_and_bounds(spark):
     )
     got = {r["word"]: r["cnt"] for r in word_freq_table(docs, "text").collect()}
     assert got == {"the": 3, "ok": 2}
+
+
+# random projection + bpe encode (round-7 late additions)
+# ---------------------------------------------------------------------
+
+
+def test_random_projection_deterministic_and_jl(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from duo_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    p1 = {r["vec_id"]: r["projected"]
+          for r in random_projection(emb).select("vec_id", "projected").collect()}
+    p2 = {r["vec_id"]: r["projected"]
+          for r in random_projection(emb).select("vec_id", "projected").collect()}
+    assert p1 == p2  # hash-derived matrix: no RNG, no seed drift
+    assert all(len(v) == 16 for v in p1.values())
+    # JL sanity: projected pairwise distances within a loose band of
+    # the originals (d_out=16 gives ~50% eps at n=50; assert 0.2-2.5x)
+    orig = {r["vec_id"]: r["embedding"]
+            for r in emb.select("vec_id", "embedding").collect()}
+    ids = sorted(orig)[:10]
+    for a, b in zip(ids, ids[1:]):
+        do = math.dist(orig[a], orig[b])
+        dp = math.dist(p1[a], p1[b])
+        if do > 0:
+            assert 0.2 < dp / do < 2.5, (a, b, dp, do)
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark, sf_dir):
+    """Sennrich et al. §3: encoding with the learned merge list yields
+    the same vocabulary as the training run's final symbol table."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.operators.bpe import bpe_encode, bpe_train, word_freq_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_freq_table(docs, "text")
+    final, merges = bpe_train(words, k=3)
+    want = {
+        (r["token"], r["n"])
+        for r in final.select(
+            "cnt", F.explode(F.split("sym", " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    final.unpersist()
+    got = {(r["token"], r["n"])
+           for r in bpe_encode(docs, merges, "text").collect()}
+    assert got == want and got
+    # merged symbols actually appear in the encoded vocabulary
+    merged_syms = {l + r for _, l, r, _ in merges}
+    assert merged_syms & {t for t, _ in got}
