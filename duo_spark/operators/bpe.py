@@ -151,6 +151,7 @@ def bpe_encode(
     text_col: str = "text",
     min_len: int = 2,
     max_len: int = 12,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a shipped merge list to a corpus — the ENCODE half of the
     tokenizer (bpe_train learns the merges; this is what a data
@@ -163,8 +164,13 @@ def bpe_encode(
     hash aggregates plus k literal `replace` passes (pure Column
     codegen) at any corpus size. Sennrich et al. 2016 §3: applying
     merges in learned order reproduces the training segmentation.
+
+    Pass ``words`` (a precomputed/cached (word, cnt) table) to skip
+    the corpus aggregate — a train-then-encode pipeline already has
+    it.
     """
-    words = word_freq_table(df, text_col, min_len, max_len)
+    if words is None:
+        words = word_freq_table(df, text_col, min_len, max_len)
     sym = _spaced(F.col("word"))
     for _, left, right, _ in merges:
         sym = merge_pair(sym, left, right)

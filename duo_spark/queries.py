@@ -4854,10 +4854,13 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duo_spark.operators.bpe import bpe_encode, bpe_train, word_freq_table
 
     docs = _t(spark, sf_dir, "documents")
-    words = word_freq_table(docs, "text")
+    # ONE corpus aggregate shared by train and encode (vocab-sized
+    # checkpoint; retention: released with the session cache, the
+    # lm_score policy)
+    words = word_freq_table(docs, "text").localCheckpoint(eager=True)
     _final, merges = bpe_train(words, k=3)
     _final.unpersist()
-    vocab = bpe_encode(docs, merges, "text")
+    vocab = bpe_encode(docs, merges, "text", words=words)
     return vocab.orderBy(F.desc("n"), F.asc("token")).limit(20)
 
 
@@ -4897,7 +4900,7 @@ GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
 # like hotcold_search) is locked green by CORRECTNESS_r05/r06 plus the local
 # oracle-parity clone (tests/test_oracle_parity.py replays ALL entries).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- slots 1-36: the full stale backlog (newest driver row <= r4) ---
+    # --- slots 1-29: the stale backlog (newest driver row <= r4) ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -4927,7 +4930,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 37-46: operators added/changed in round 7 ---
+    # --- slots 30-50: operators added or changed in round 7 ---
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
@@ -4938,9 +4941,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # --- slots 47-50: operators added late in round 7 (rotation policy
-    # rule 1: round-N additions outrank per-family keepers; the four
-    # displaced keepers were all green in r6 and move below the cutoff)
+    # (rotation rule 1: round-N additions outrank per-family keepers —
+    # all keepers, plus the seven simplest stale entries, moved below
+    # the cutoff; see the block comment above)
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
@@ -4952,7 +4955,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    # --- below the driver's 50-query window: locked green in r5/r6 ---
+    # --- below the driver's 50-query window: the seven displaced stale
+    # entries LEAD round 8; everything else locked green in r5/r6 ---
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),

@@ -158,6 +158,15 @@ def _normalize_log(rec: dict[str, Any]) -> dict[str, Any]:
                     continue
             if v is not None and not isinstance(v, (bool, int, float, str)):
                 v = json.dumps(v, sort_keys=True)
+            if (
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and not -(1 << 63) <= v < (1 << 63)
+            ):
+                # beyond int64: pa.Table.from_pydict raises
+                # OverflowError and the whole buffered batch would be
+                # lost — store the digits as the Utf8 fallback instead
+                v = str(v)
             rec[k] = v
     lvl = rec.get("level")
     if isinstance(lvl, int) and not isinstance(lvl, bool):

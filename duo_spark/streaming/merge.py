@@ -260,6 +260,11 @@ def read_completed(spark, out_dir: str) -> DataFrame:
         parts.append((spark.read.parquet(f"{out_dir}/completed/v={v}"), v))
     if not parts:
         raise FileNotFoundError(f"no completed-span versions under {out_dir}")
+    if len(parts) == 1:
+        # one version (a pre-deduped snapshot, or a single delta whose
+        # ids are unique by construction): the dedup is the identity —
+        # skip its shuffle and return the bare scan
+        return parts[0][0]
     return _first_completion_wins(parts)
 
 

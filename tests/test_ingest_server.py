@@ -351,3 +351,30 @@ def test_core_collision_out_of_range_int_skipped(scratch):
     d = pq.read_table(files[0]).to_pydict()
     by_msg = dict(zip(d["message"], d["line"]))
     assert by_msg == {"huge-line": None, "ok-line": 40}
+
+
+def test_noncore_int_beyond_int64_stored_as_text(scratch):
+    """Code-review r7 (second pass): a NON-core int field beyond int64
+    (fields:{'retries': 2**70}) made from_pydict raise OverflowError
+    and lose the whole buffered batch — unrepresentable ints now land
+    as the Utf8 digits fallback, like other non-scalar values."""
+    log_dir = os.path.join(scratch, "log_bigint")
+    with IngestServer(os.path.join(scratch, "span_bigint"), log_dir,
+                      tick_seconds=30) as server:
+        host, port = server.address
+        c = IngestClient(host, port)
+        c.record_log(process_id="p-0", time=BASE, level="INFO",
+                     fields={"message": "big", "retries": 1 << 70})
+        c.record_log(process_id="p-0", time=BASE + 1, level="INFO",
+                     fields={"message": "small", "retries": 3})
+        c.close()
+        server.quiesce()
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(log_dir, f) for f in os.listdir(log_dir)
+             if f.endswith(".parquet")]
+    assert len(files) == 1  # the batch survived
+    d = pq.read_table(files[0]).to_pydict()
+    by_msg = dict(zip(d["message"], d["retries"]))
+    # int+str values widen the inferred column to Utf8
+    assert by_msg == {"big": str(1 << 70), "small": "3"}
