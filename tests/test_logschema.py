@@ -91,3 +91,57 @@ def test_conform_casts_and_nulls(spark, store):
     conformed = reg.conform(b1)
     assert dict(conformed.dtypes)["n"] == "double"
     assert [f.name for f in conformed.schema.fields] == CORE + ["n"]
+
+
+# lattice properties of the widening merge (hypothesis)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from duo_spark.sources.logschema import merge_schemas, widen
+
+_TYPES = [
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(), T.StringType(), T.BooleanType(),
+    T.DateType(), T.TimestampType(), T.ArrayType(T.LongType()),
+]
+_types = st.sampled_from(_TYPES)
+_schemas = st.dictionaries(
+    st.sampled_from([f"f{i}" for i in range(6)]), _types, max_size=6
+).map(lambda d: T.StructType(
+    [T.StructField(n, t, True) for n, t in sorted(d.items())]
+))
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=_types, b=_types, c=_types)
+def test_widen_is_a_join_semilattice(a, b, c):
+    """Commutative, idempotent, associative — the algebra that makes
+    cross-batch merging order-insensitive (any batch arrival order
+    converges to the same persisted schema)."""
+    assert widen(a, a) == a
+    assert widen(a, b) == widen(b, a)
+    assert widen(widen(a, b), c) == widen(a, widen(b, c))
+    # string is the lattice top
+    assert widen(widen(a, b), T.StringType()) == T.StringType()
+
+
+@settings(max_examples=200, deadline=None)
+@given(base=_schemas, b1=_schemas, b2=_schemas)
+def test_merge_schemas_order_insensitive_types(base, b1, b2):
+    """Merging batches in either order yields the same field->type map
+    (field ORDER is first-seen and may differ — the queryable content
+    must not), the base field order survives as a prefix, and merging
+    a schema into itself is the identity."""
+    m12 = merge_schemas(merge_schemas(base, b1), b2)
+    m21 = merge_schemas(merge_schemas(base, b2), b1)
+    assert {f.name: f.dataType for f in m12.fields} == {
+        f.name: f.dataType for f in m21.fields
+    }
+    base_names = [f.name for f in base.fields]
+    assert [f.name for f in m12.fields][: len(base_names)] == base_names
+    assert merge_schemas(base, base) == T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in base.fields]
+    )
