@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "random_projection",
     "bpe_vocab",
+    "scd2_history",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -4882,6 +4882,40 @@ GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
 )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 user-state history (operators/scd.py scd2_history):
+    each user's event_type as a slowly-changing attribute — versioned
+    [valid_from, valid_to) intervals, consecutive duplicates
+    collapsed, one open row per user. ONE key shuffle; lag-collapse,
+    lead-intervals, and version numbers all ride the same window
+    sort. The internal tiebreak column is dropped from the gate
+    output (it exists so equal timestamps stay deterministic)."""
+    from duo_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    return hist.select(
+        "user_id", "state", "valid_from", "valid_to", "version"
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH seq AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT * FROM seq WHERE prev IS NULL OR prev <> state)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS INT) AS version
+FROM chg
+"""
+
+
 # registry
 # ---------------------------------------------------------------------
 
@@ -4957,6 +4991,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     # --- below the driver's 50-query window: the seven displaced stale
     # entries LEAD round 8; everything else locked green in r5/r6 ---
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),

@@ -462,3 +462,15 @@ def test_bpe_vocab_two_aggregates_topk(spark, sf):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_history_single_key_shuffle(spark, sf):
+    """Collapse (lag), intervals (lead), and version numbers all ride
+    ONE key-partitioned window sort — one exchange, no joins."""
+    plan = _plan(QUERIES["scd2_history"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    non_broadcast = [ln for ln in plan.splitlines()
+                     if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(non_broadcast) == 1, non_broadcast
