@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "random_projection",
     "bpe_vocab",
     "scd2_history",
+    "hll_rollup",
+    "cms_sliding",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -176,6 +176,7 @@ def cms_sketch(
     w: int = 1024,
     d: int = 4,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count-min sketch register table (Cormode & Muthukrishnan 2005):
     ``(row, bucket, count)``, d·w rows max however large the input.
@@ -187,8 +188,11 @@ def cms_sketch(
     shuffle, so the exchange carries at most d×w rows per task.
     Registers merge ADDITIVELY (`cms_merge`), the property HLL's max
     registers lack — deletable, slidable (subtract an old window's
-    sketch), and weightable (pre-aggregated counts stream in via
-    ``weight_col``).
+    sketch, or RANGE-window-sum per-period register tables: the
+    `cms_sliding` gate query), and weightable (pre-aggregated counts
+    stream in via ``weight_col``). ``group_cols`` keys the register
+    table (one sketch per group — per hour, per tenant); the shuffle
+    bound becomes groups × d × w.
     """
     wt = (
         F.col(weight_col).cast("long")
@@ -201,22 +205,30 @@ def cms_sketch(
             for s in _CMS_SEEDS[:d]
         ]
     )
+    g = list(group_cols or [])
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.posexplode(buckets).alias("row", "bucket"), wt.alias("_w"))
-        .groupBy("row", "bucket")
+        .select(
+            *g, F.posexplode(buckets).alias("row", "bucket"), wt.alias("_w")
+        )
+        .groupBy(*g, "row", "bucket")
         .agg(F.sum("_w").alias("count"))
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Registers merge with ``sum``: sketch(A ⊎ B) == merge(sketch(A),
     sketch(B)) exactly (asserted in tests) — incremental rollups add
     today's sketch, sliding windows subtract the expired one."""
+    g = list(group_cols or [])
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("count").alias("count"))
+    return out.groupBy(*g, "row", "bucket").agg(
+        F.sum("count").alias("count")
+    )
 
 
 def cms_lookup(

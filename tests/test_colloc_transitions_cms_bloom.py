@@ -246,3 +246,27 @@ def test_key_skew_profile_ignores_nulls(spark):
     )
     r = key_skew_profile(df, "k").collect()[0]
     assert (r["n_rows"], r["n_keys"]) == (2, 1)
+
+
+def test_cms_grouped_sketch_merge_equals_whole(spark, sf_dir):
+    """group_cols path: per-group registers summed across groups equal
+    the ungrouped sketch — the identity the sliding-window query
+    builds on."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "half", F.col("event_id") % 2
+    )
+    grouped = cms_sketch(ev, "user_id", w=128, group_cols=["half"])
+    folded = grouped.groupBy("row", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+    whole = cms_sketch(ev, "user_id", w=128)
+    diff = (
+        folded.alias("f")
+        .join(whole.alias("w"), ["row", "bucket"], "full")
+        .filter(
+            F.coalesce(F.col("f.count"), F.lit(0))
+            != F.coalesce(F.col("w.count"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0

@@ -474,3 +474,20 @@ def test_scd2_history_single_key_shuffle(spark, sf):
     non_broadcast = [ln for ln in plan.splitlines()
                      if "Exchange" in ln and "BroadcastExchange" not in ln]
     assert len(non_broadcast) == 1, non_broadcast
+
+
+def test_hll_rollup_two_phase_no_python(spark, sf):
+    plan = _plan(QUERIES["hll_rollup"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_cms_sliding_probe_sized_joins(spark, sf):
+    """The range join runs probe-side (hours x 5 users x d buckets)
+    against the d x w x hours register table — events are touched only
+    by the two map-side-combined sketch/count aggregates."""
+    plan = _plan(QUERIES["cms_sliding"][0](spark, sf))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
