@@ -40,12 +40,17 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(
         F.asc(ts_col), F.asc(tiebreak_col)
     )
+    w_all = Window.partitionBy(key_col)
     seq = changes.select(
         key_col,
         F.col(state_col).alias("state"),
         F.col(ts_col).alias("_ts"),
         F.col(tiebreak_col).alias("_tb"),
         F.lag(state_col).over(w).alias("_prev"),
+        # newest INGESTED time, not newest retained change: collapsed
+        # duplicates advance the stream without adding a version, and
+        # scd2_merge's exactness contract is stated against this
+        F.max(F.col(ts_col)).over(w_all).alias("_last_seen"),
     )
     chg = seq.filter(
         F.col("_prev").isNull() | (F.col("_prev") != F.col("state"))
@@ -58,6 +63,7 @@ def scd2_history(
         F.lead("_ts").over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
         F.col("_tb").alias("_tiebreak"),
+        "_last_seen",
     )
 
 
@@ -71,17 +77,20 @@ def scd2_merge(
 ) -> DataFrame:
     """Merge a new change batch into an existing history: closes each
     key's open version when its state actually changes, appends the
-    new versions, renumbers. For IN-ORDER batches (no change older
-    than its key's newest history point — the watermark contract)
-    this exactly equals rebuilding from the full change stream
-    (asserted property-style in tests), because a type-2 history is a
-    lossless compaction of its change points once the past is sealed —
-    so the recompute unions the version table (one row per change,
-    small) with the batch, never the raw stream. A LATE change that
-    splices between existing versions is applied against the retained
-    points: correct intervals, but an event that was collapsed as a
+    new versions, renumbers. For IN-ORDER batches — every change
+    strictly newer than its key's ``_last_seen`` (the newest INGESTED
+    event time, which collapsed duplicates advance even though they
+    add no version; a retained-point bound would be too weak) — this
+    exactly equals rebuilding from the full change stream (asserted
+    property-style in tests), because a type-2 history is a lossless
+    compaction of its change points once the past is sealed. The
+    recompute therefore unions the version table (one row per change,
+    small) with the batch, never the raw stream. A change that
+    violates the contract splices against the retained points only:
+    correct intervals for what was kept, but an event collapsed as a
     consecutive duplicate cannot retroactively reappear — the
-    precision any compacting SCD pipeline gives up.
+    precision any compacting SCD pipeline gives up (pinned by a
+    counterexample test).
     """
     points = history.select(
         key_col,
@@ -90,6 +99,19 @@ def scd2_merge(
         F.col("_tiebreak").alias(tiebreak_col),
     )
     batch = changes.select(key_col, state_col, ts_col, tiebreak_col)
-    return scd2_history(
+    merged = scd2_history(
         points.unionByName(batch), key_col, state_col, ts_col, tiebreak_col
+    )
+    # the recompute only saw retained points, so its _last_seen can
+    # regress below the true one — carry the old high-water mark
+    old_ls = history.groupBy(key_col).agg(
+        F.max("_last_seen").alias("_ls_old")
+    )
+    return (
+        merged.join(old_ls, key_col, "left")
+        .withColumn(
+            "_last_seen",
+            F.greatest(F.col("_last_seen"), F.coalesce("_ls_old", "_last_seen")),
+        )
+        .drop("_ls_old")
     )

@@ -913,11 +913,37 @@ def centroids_by_group(
     return agg.select(group_col, "n", centroid.alias("centroid"))
 
 
+#: above this many matrix cells the baked-literal plan text gets big
+#: enough to threaten Janino's 64 KB codegen limits — fall back to
+#: evaluating the hash per cell (same bits, dimension-independent)
+_RP_BAKE_MAX_CELLS = 4096
+
+
+def _rp_sign_py(i: int, j: int, d_out: int) -> int:
+    """sign(i,j): the Lehmer double-round parity on the flattened
+    index — same arithmetic as the sketch family's _hash31 (all
+    values < 2^47: exact in any engine's int64)."""
+    k = (i - 1) * d_out + j
+    a = (k * 48271) % 2147483647
+    b = ((a ^ (a >> 15)) * 69621) % 2147483647
+    return 1 - 2 * ((b ^ (b >> 13)) % 2)
+
+
+def _rp_sign_sql(d_out: int) -> str:
+    """The same parity as a Spark SQL expression over lambda vars
+    (i, j) — used when the matrix is too big to bake as literals."""
+    k = f"(cast(i - 1 as bigint) * {d_out} + j)"
+    a = f"(({k} * 48271) % 2147483647)"
+    b = f"((({a} ^ shiftright({a}, 15)) * 69621) % 2147483647)"
+    return f"cast(1 - 2 * (({b} ^ shiftright({b}, 13)) % 2) as double)"
+
+
 def random_projection(
     df: DataFrame,
     vec_col: str = "embedding",
     d_in: int = 64,
     d_out: int = 16,
+    bake: bool | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random sign projection (Achlioptas 2003:
     r_ij ∈ {±1} preserves pairwise distances like Gaussian R, database-
@@ -927,40 +953,39 @@ def random_projection(
     every downstream shuffle, index, and distance kernel 4× while JL
     bounds the distance distortion (ε ≈ √(8·ln n / d_out)).
 
-    The sign matrix is sign(i,j) = parity of the sketch family's
-    Lehmer double-round hash (operators/sketch.py) on the flattened
-    index (i-1)·d_out + j — deterministic and engine-independent. It
-    is baked into the plan as a d_out×d_in LITERAL array (computed
-    once here, 4 bytes/entry), so the hot path is one multiply-add
-    per matrix cell with zero per-row hash arithmetic (measured 5×
-    vs evaluating the hash chain per row); the DuckDB oracle derives
-    the same signs FROM the hash, cross-checking this bake. Pure
-    whole-stage-codegen HOFs — no UDF, no shuffle, evaluated in the
+    sign(i,j) is the parity of the sketch family's Lehmer double-round
+    hash on the flattened index — deterministic and engine-independent
+    (the DuckDB oracle re-derives every sign FROM the hash). Up to
+    ``_RP_BAKE_MAX_CELLS`` cells the matrix is baked into the plan as
+    a d_out×d_in literal array of double signs (computed once here:
+    the hot path becomes one multiply-add per cell — measured 6× at
+    sf0.1, 2.88→0.48 s); past that the plan text would threaten
+    Janino's 64 KB codegen limits (768×64 ≈ 49k literals), so the
+    hash evaluates per cell instead — identical bits, dimension-
+    independent plan size (equality of the two paths is unit-tested).
+    ``bake`` forces a path; None picks by size. Pure whole-stage-
+    codegen HOFs either way — no UDF, no shuffle, evaluated in the
     scan projection.
     """
     import math
 
     inv = 1.0 / math.sqrt(d_out)
-
-    def _sign(i: int, j: int) -> int:
-        # the Lehmer double-round parity, same arithmetic as the
-        # sketch family's _hash31 (all values < 2^47: exact anywhere)
-        k = (i - 1) * d_out + j
-        a = (k * 48271) % 2147483647
-        b = ((a ^ (a >> 15)) * 69621) % 2147483647
-        return 1 - 2 * ((b ^ (b >> 13)) % 2)
-
-    rows = ", ".join(
-        "array(" + ", ".join(
-            f"{_sign(i, j)}.0D" for i in range(1, d_in + 1)
-        ) + ")"
-        for j in range(1, d_out + 1)
-    )
+    if bake is None:
+        bake = d_in * d_out <= _RP_BAKE_MAX_CELLS
+    if bake:
+        rows = ", ".join(
+            "array(" + ", ".join(
+                f"{_rp_sign_py(i, j, d_out)}.0D" for i in range(1, d_in + 1)
+            ) + ")"
+            for j in range(1, d_out + 1)
+        )
+        sign = f"element_at(element_at(array({rows}), j), i)"
+    else:
+        sign = _rp_sign_sql(d_out)
     proj = f"""
     transform(sequence(1, {d_out}), j ->
       round(aggregate(sequence(1, {d_in}), cast(0 as double), (acc, i) ->
-        acc + cast(element_at({vec_col}, i) as double)
-            * element_at(element_at(array({rows}), j), i)
+        acc + cast(element_at({vec_col}, i) as double) * {sign}
       ) * {inv!r}, 6))
     """
     return df.withColumn("projected", F.expr(proj))

@@ -4986,38 +4986,45 @@ def q_cms_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = hours.crossJoin(
         top.select("user_id", F.posexplode(buckets).alias("row", "bucket"))
     )
-    in_win = (F.col("_sh") >= F.col("hr") - 2) & (F.col("_sh") <= F.col("hr"))
+    skr = sk.select(
+        F.col("hr").alias("_sh"),
+        F.col("row").alias("_sr"),
+        F.col("bucket").alias("_sb"),
+        "count",
+    )
+    # the hour-range predicate lives IN the join condition (matching
+    # the oracle's ON clause), so each probe row matches at most 3
+    # register rows instead of every hour's — the left join + coalesce
+    # still hands empty-window probes a 0 for the min
     est = (
         probe.join(
-            sk.select(F.col("hr").alias("_sh"), "row", "bucket", "count"),
-            ["row", "bucket"],
+            skr,
+            (probe["row"] == skr["_sr"])
+            & (probe["bucket"] == skr["_sb"])
+            & (skr["_sh"] >= probe["hr"] - 2)
+            & (skr["_sh"] <= probe["hr"]),
             "left",
         )
-        # conditional sum, NOT a filter: a probe whose only register
-        # rows fall outside the window must still contribute 0 to the
-        # min, not vanish from the group
         .groupBy("hr", "user_id", "row")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(in_win, F.col("count"))), F.lit(0)
-            ).alias("_rc")
-        )
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("_rc"))
         .groupBy("hr", "user_id")
         .agg(F.min("_rc").alias("estimate"))
     )
     hourly = ev.groupBy("user_id", F.col("hr").alias("_eh")).agg(
         F.count(F.lit(1)).alias("_c")
     )
-    eh_in = (F.col("_eh") >= F.col("hr") - 2) & (F.col("_eh") <= F.col("hr"))
+    hk = hours.crossJoin(top)
+    hourly2 = hourly.withColumnRenamed("user_id", "_hu")
     exact = (
-        hours.crossJoin(top)
-        .join(hourly, ["user_id"], "left")
-        .groupBy("hr", "user_id")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(eh_in, F.col("_c"))), F.lit(0)
-            ).alias("n_exact")
+        hk.join(
+            hourly2,
+            (hk["user_id"] == hourly2["_hu"])
+            & (hourly2["_eh"] >= hk["hr"] - 2)
+            & (hourly2["_eh"] <= hk["hr"]),
+            "left",
         )
+        .groupBy("hr", "user_id")
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n_exact"))
     )
     return exact.join(est, ["hr", "user_id"]).select(
         "hr",

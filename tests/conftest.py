@@ -79,3 +79,34 @@ def spans_df(spark):
 def logs_df(spark):
     _, rows = _gen_spans_logs()
     return spark.createDataFrame(rows, LOG_CORE_SCHEMA).cache()
+
+
+class FakeGroupState:
+    """Shared GroupState stand-in for driving applyInPandasWithState
+    update functions without a streaming query (used by test_funnel.py
+    and test_funnel_properties.py — ONE fake, so a GroupState interface
+    change cannot silently diverge the two)."""
+
+    def __init__(self):
+        self._val, self.exists, self.hasTimedOut = None, False, False
+        self.wm_ms, self.removed = 0, False
+        self.ttl, self.timeout_ts = None, None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val, self.exists = v, True
+
+    def remove(self):
+        self.removed, self.exists, self._val = True, False, None
+
+    def setTimeoutDuration(self, ms):
+        self.ttl = ms
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms

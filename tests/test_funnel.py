@@ -202,28 +202,7 @@ def test_streaming_funnel_custom_user_col(spark, tmp_path):
 # round 6: windowed streaming funnel — watermark prune + idle TTL
 # ---------------------------------------------------------------------
 
-class _FakeState:
-    """Minimal GroupState stand-in for driving make_funnel_update."""
-
-    def __init__(self):
-        self._val, self.exists, self.hasTimedOut = None, False, False
-        self.wm_ms, self.removed, self.ttl = 0, False, None
-
-    @property
-    def get(self):
-        return self._val
-
-    def update(self, v):
-        self._val, self.exists = v, True
-
-    def remove(self):
-        self.removed, self.exists, self._val = True, False, None
-
-    def setTimeoutDuration(self, ms):
-        self.ttl = ms
-
-    def getCurrentWatermarkMs(self):
-        return self.wm_ms
+from conftest import FakeGroupState as _FakeState  # noqa: E402 — shared fake
 
 
 def _drive(update, state, rows):
@@ -419,12 +398,7 @@ def test_funnel_update_survives_wm_raise():
 
 
 class _EventTimeState(_FakeState):
-    def __init__(self):
-        super().__init__()
-        self.timeout_ts = None
-
-    def setTimeoutTimestamp(self, ms):
-        self.timeout_ts = ms
+    pass  # the shared fake already records setTimeoutTimestamp
 
 
 def test_streaming_funnel_event_age_ttl():

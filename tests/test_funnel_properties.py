@@ -21,29 +21,7 @@ STEPS = ["a", "b", "c"]
 K = len(STEPS)
 
 
-class _State:
-    def __init__(self):
-        self._val, self.exists, self.hasTimedOut = None, False, False
-        self.wm_ms, self.removed = 0, False
-
-    @property
-    def get(self):
-        return self._val
-
-    def update(self, v):
-        self._val, self.exists = v, True
-
-    def remove(self):
-        self.removed, self.exists, self._val = True, False, None
-
-    def setTimeoutDuration(self, ms):
-        pass
-
-    def setTimeoutTimestamp(self, ms):
-        pass
-
-    def getCurrentWatermarkMs(self):
-        return self.wm_ms
+from conftest import FakeGroupState as _State  # noqa: E402 — shared fake
 
 
 def _drive(update, state, chunk):
@@ -66,10 +44,13 @@ def _final_chain(outs, default):
     ]
 
 
+# event times are MILLISECOND-ALIGNED microseconds: the fake state's
+# watermark is in ms (Spark's unit), so unaligned times would truncate
+# to wm 0 and never exercise the prune
 events_strategy = st.lists(
     st.tuples(
         st.sampled_from(["a", "b", "c", "x"]),  # x = non-step noise
-        st.integers(min_value=0, max_value=1_000),
+        st.integers(min_value=0, max_value=1_000).map(lambda x: x * 1_000),
     ),
     max_size=40,
 )
@@ -80,7 +61,9 @@ events_strategy = st.lists(
     events=events_strategy,
     seed=st.randoms(use_true_random=False),
     n_chunks=st.integers(min_value=1, max_value=5),
-    window=st.one_of(st.none(), st.integers(min_value=10, max_value=500)),
+    window=st.one_of(
+        st.none(), st.integers(min_value=10_000, max_value=500_000)
+    ),
 )
 def test_any_chunking_and_order_matches_batch_without_watermark(
     events, seed, n_chunks, window
@@ -113,7 +96,7 @@ def test_any_chunking_and_order_matches_batch_without_watermark(
 @given(
     events=events_strategy,
     n_chunks=st.integers(min_value=1, max_value=5),
-    window=st.integers(min_value=10, max_value=500),
+    window=st.integers(min_value=10_000, max_value=500_000),
 )
 def test_in_order_chunks_with_watermark_prune_match_batch(
     events, n_chunks, window
@@ -130,20 +113,25 @@ def test_in_order_chunks_with_watermark_prune_match_batch(
     size = max(1, (len(ordered) + n_chunks - 1) // n_chunks)
     st_ = _State()
     outs = []
-    wm_at_update = 0
+    wm_at_change = 0
     for i in range(0, len(ordered), size):
         chunk = ordered[i : i + size]
-        wm_at_update = st_.wm_ms
-        outs.extend(_drive(upd, st_, chunk))
+        wm_before = st_.wm_ms
+        emitted = _drive(upd, st_, chunk)
+        if emitted:  # the update emits iff it changed (and re-pruned)
+            wm_at_change = wm_before
+        outs.extend(emitted)
         # watermark advances AFTER the batch (Spark semantics)
         st_.wm_ms = max(t for _, t in chunk) // 1000
     assert _final_chain(outs, [None] * K) == _batch_chain(events, window)
-    # stored lists are pruned w.r.t. the watermark AT the last update
-    # (the post-batch advance applies on the next delivery)
+    # stored lists are pruned w.r.t. the watermark at the last
+    # state-CHANGING update — an unchanged batch legitimately skips
+    # the re-prune (stale sub-watermark times are unselectable: any
+    # future chain start must be a non-late event, hence > wm)
     if st_.exists:
         stored = st_.get
         lists = [list(stored[i] or []) for i in range(K)]
-        assert lists == _prune_lists(lists, wm_at_update * 1000, window)
+        assert lists == _prune_lists(lists, wm_at_change * 1000, window)
 
 
 @settings(max_examples=150, deadline=None)

@@ -89,3 +89,47 @@ def test_scd2_incremental_merge_equals_batch(spark, sf_dir, cut):
     assert {tuple(r) for r in merged.select(cols).collect()} == {
         tuple(r) for r in batch.select(cols).collect()
     }
+
+
+def test_scd2_merge_contract_bound_is_last_seen_not_last_point(spark):
+    """Code-review r7 (third pass): head (A@10, A@20-dup) compacts to
+    one point at 10 but _last_seen=20; a batch change at t=15 violates
+    the strong contract (15 < 20) and CANNOT reproduce the full
+    rebuild (the collapsed A@20 can't retroactively reappear) — while
+    a batch at t=25 (> _last_seen) merges exactly."""
+    head = spark.createDataFrame(
+        [Row(k=1, s="A", t=10, i=1), Row(k=1, s="A", t=20, i=2)],
+        "k int, s string, t long, i long",
+    )
+    h = scd2_history(head, "k", "s", "t", "i")
+    assert h.select("_last_seen").first()[0] == 20  # dup advances it
+    # in-contract batch: exact
+    tail_ok = spark.createDataFrame(
+        [Row(k=1, s="B", t=25, i=3)], "k int, s string, t long, i long"
+    )
+    merged = scd2_merge(h, tail_ok, "k", "s", "t", "i")
+    full = scd2_history(
+        head.unionByName(tail_ok), "k", "s", "t", "i"
+    )
+    cols = ["k", "state", "valid_from", "valid_to", "version"]
+    assert {tuple(r) for r in merged.select(cols).collect()} == {
+        tuple(r) for r in full.select(cols).collect()
+    }
+    # merged history keeps the true high-water mark
+    assert merged.agg(F.max("_last_seen")).first()[0] == 25
+    # contract violation: the documented divergence (A@20 is gone, so
+    # the full rebuild's A-reversion at 20 cannot be reproduced)
+    tail_bad = spark.createDataFrame(
+        [Row(k=1, s="B", t=15, i=4)], "k int, s string, t long, i long"
+    )
+    merged_bad = scd2_merge(h, tail_bad, "k", "s", "t", "i")
+    full_bad = scd2_history(
+        head.unionByName(tail_bad), "k", "s", "t", "i"
+    )
+    got = {tuple(r) for r in merged_bad.select(cols).collect()}
+    want = {tuple(r) for r in full_bad.select(cols).collect()}
+    assert got == {(1, "A", 10, 15, 1), (1, "B", 15, None, 2)}
+    assert want == {
+        (1, "A", 10, 15, 1), (1, "B", 15, 20, 2), (1, "A", 20, None, 3)
+    }
+    assert got != want

@@ -295,3 +295,26 @@ def test_bpe_encode_reproduces_training_segmentation(spark, sf_dir):
     # merged symbols actually appear in the encoded vocabulary
     merged_syms = {l + r for _, l, r, _ in merges}
     assert merged_syms & {t for t, _ in got}
+
+
+def test_random_projection_bake_and_hash_paths_identical(spark, sf_dir):
+    """The size-gated literal bake must be bit-identical to the
+    per-cell hash evaluation it replaces, and the hash path must
+    handle dimensions where baking would blow up the plan text."""
+    from pyspark.sql import Row
+
+    from duo_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(30)
+    a = {r["vec_id"]: r["projected"] for r in
+         random_projection(emb, bake=True).select("vec_id", "projected").collect()}
+    b = {r["vec_id"]: r["projected"] for r in
+         random_projection(emb, bake=False).select("vec_id", "projected").collect()}
+    assert a == b
+    # 768x64 auto-selects the hash path (49k cells > threshold) and
+    # still plans + runs
+    big = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[float(i % 7) for i in range(768)])]
+    )
+    out = random_projection(big, d_in=768, d_out=64).select("projected").first()
+    assert len(out["projected"]) == 64
