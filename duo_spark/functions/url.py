@@ -12,7 +12,8 @@ Canonical form:
   - fragment stripped
   - tracking params dropped (utm_*, gclid, fbclid, ref)
   - remaining query params sorted lexicographically
-  - trailing slash stripped from a non-root path
+  - trailing slashes stripped from a non-root path (all of them —
+    single-strip would not be idempotent)
 """
 
 from __future__ import annotations
@@ -44,10 +45,14 @@ def canonical_url(url: Column) -> Column:
         F.substring(authority, F.lit(1), F.length(authority) - 4),
     ).otherwise(authority)
 
-    path_norm = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
+    # strip ALL trailing slashes (a single-strip rule is not
+    # idempotent: canon("//") would change again on a second pass —
+    # caught by the hypothesis idempotence property); an all-slash
+    # path collapses to the root "/"
+    stripped = F.regexp_replace(path, "/+$", "")
+    path_norm = F.when(path == "", path).when(
+        stripped == "", F.lit("/")
+    ).otherwise(stripped)
 
     kept = F.array_sort(
         F.filter(

@@ -1840,8 +1840,9 @@ norm AS (
          WHEN scheme = 'https' AND authority LIKE '%:443'
            THEN left(authority, length(authority) - 4)
          ELSE authority END AS host,
-    CASE WHEN length(path) > 1 AND path LIKE '%/'
-           THEN left(path, length(path) - 1) ELSE path END AS path_norm,
+    CASE WHEN path = '' THEN path
+         WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path, '/+$', '') END AS path_norm,
     list_sort(list_filter(string_split(query, '&'),
       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))) AS kept
   FROM parts),

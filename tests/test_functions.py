@@ -271,3 +271,44 @@ def test_canonical_url(spark):
     df = spark.createDataFrame([(k,) for k in cases], "u string")
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, host, port, path, params, frag: (
+                f"{scheme}://{host}{port}{path}"
+                + ("?" + "&".join(params) if params else "")
+                + frag
+            ),
+            st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+            st.from_regex(r"[A-Za-z]([A-Za-z0-9-]{0,8}\.){1,2}[A-Za-z]{2,4}", fullmatch=True),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/?", fullmatch=True),
+            st.lists(
+                st.from_regex(r"[a-z]{1,6}=[A-Za-z0-9]{0,4}", fullmatch=True),
+                max_size=4,
+            ),
+            st.sampled_from(["", "#frag", "#a/b"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonical_url_idempotent(spark, urls):
+    """The defining canonicalizer property: canon(canon(u)) ==
+    canon(u) for generated scheme/host/port/path/param/fragment
+    combinations — one Spark job per hypothesis example over the
+    whole batch."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
