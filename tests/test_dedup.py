@@ -432,3 +432,40 @@ def test_winnowing_density_and_short_text(spark):
     assert 15 <= counts[1] <= 50
     assert counts[2] == 1      # whole-text fingerprint
     assert counts[3] == 1      # one distinct gram -> one fingerprint
+
+
+# property: the exact-dedup key normalizer is idempotent
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_normalize_text_idempotent(spark, texts):
+    """normalize(normalize(t)) == normalize(t) for arbitrary unicode —
+    the property that makes the exact-dedup content hash stable no
+    matter how many pipeline stages re-normalize (the same class of
+    bug the URL canonicalizer's single-strip slash rule had)."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.operators.dedup import normalize_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    bad = df.select(
+        normalize_text(F.col("t")).alias("c1"),
+        normalize_text(normalize_text(F.col("t"))).alias("c2"),
+    ).filter(F.col("c1") != F.col("c2"))
+    assert bad.count() == 0
