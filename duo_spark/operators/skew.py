@@ -15,7 +15,7 @@ The reference has no join surface beyond broadcast enrichment
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,38 +61,57 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     rows needs ~``ceil(max_count / (n_rows / shuffle_partitions))``
     sub-keys to flatten into average-sized buckets.
 
-    Scale: per-key counts are ONE map-side-combined hash aggregate
-    (shuffle carries n_keys rows); the Gini rank is a single global
-    sort of those counts — fine to ~10^8 keys on one pass. The exact
-    `percentile` pins cross-engine parity at gate scale; production
-    swaps `percentile_approx` (same plan shape, bounded memory). The
-    2·Σ(i·cᵢ) term stays exact in int64 up to n_keys·n_rows ≈ 9·10^18
-    — switch the rank product to double past ~10^9 keys×rows².
+    Scale (round 8 — this used to be the repo's one global
+    no-partition window): per-key counts are ONE map-side-combined
+    hash aggregate (shuffle carries n_keys rows); those counts then
+    collapse to a ``(count_value, n_keys_with_it)`` frequency table
+    whose size D is PROVABLY ≤ √(2·n_rows) — D distinct positive
+    counts sum to ≥ D(D+1)/2, which must be ≤ n_rows — so even at
+    10^12 rows, D ≤ ~1.4M. The Gini rank term needs the exclusive
+    prefix R_c = Σ_{c'<c} t_{c'}; that is the two-level running-total
+    decomposition from :mod:`duo_spark.operators.sharding`
+    (range-partition by count value, O(partitions) offset collect,
+    per-partition window) — no single-partition sort anywhere. A tie
+    block of t keys at count c occupies ranks R+1..R+t, contributing
+    c·(t·R + t(t+1)/2) to Σ i·cᵢ — identical to ranking each key
+    (ties among equal counts cannot change the sum). Percentiles use
+    Spark's exact frequency-weighted ``percentile(c, p, t)``, so the
+    aggregate state is D entries, not n_keys. Everything stays exact
+    in int64 to n_keys·n_rows ≈ 9·10^18.
     """
+    from duo_spark.operators.sharding import with_running_total
+
     counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
         F.count(F.lit(1)).alias("_c")
     )
-    # Gini needs ascending-count ranks; (count, key) makes ties total
-    w = Window.orderBy(F.asc("_c"), F.asc(key_col))
-    ranked = counts.select(
-        "_c", F.row_number().over(w).alias("_i")
+    by_count = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_t"))
+    rt = with_running_total(by_count, "_c", "_t", "_rt")
+    # exclusive prefix of key-counts below this count value
+    r_exc = (F.col("_rt") - F.col("_t")).cast("long")
+    tie_block = F.col("_c").cast("long") * (
+        F.col("_t").cast("long") * r_exc
+        + F.expr("CAST(_t AS BIGINT) * (CAST(_t AS BIGINT) + 1) div 2")
     )
+    ranked = rt.select("_c", "_t", tie_block.alias("_ic"))
+    n_rows = F.sum(F.col("_c") * F.col("_t"))
+    n_keys = F.sum("_t")
     return ranked.agg(
-        F.sum("_c").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
+        n_rows.alias("n_rows"),
+        n_keys.alias("n_keys"),
         F.max("_c").alias("max_count"),
-        F.round(F.avg("_c"), 6).alias("avg_count"),
-        F.expr("percentile(_c, 0.5)").alias("p50_count"),
-        F.expr("percentile(_c, 0.99)").alias("p99_count"),
+        F.round(n_rows.cast("double") / n_keys.cast("double"), 6).alias(
+            "avg_count"
+        ),
+        F.expr("percentile(_c, 0.5, _t)").alias("p50_count"),
+        F.expr("percentile(_c, 0.99, _t)").alias("p99_count"),
         F.round(
-            F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+            F.max("_c").cast("double") / n_rows.cast("double"), 6
         ).alias("top1_share"),
         F.round(
             (
-                F.lit(2) * F.sum(F.col("_i") * F.col("_c"))
-                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("_c")
+                F.lit(2) * F.sum("_ic") - (n_keys + F.lit(1)) * n_rows
             ).cast("double")
-            / (F.count(F.lit(1)) * F.sum("_c")).cast("double"),
+            / (n_keys * n_rows).cast("double"),
             6,
         ).alias("gini"),
     )
