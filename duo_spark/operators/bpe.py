@@ -77,36 +77,30 @@ def merge_pair(sym, left: str, right: str) -> F.Column:
 
 
 def bpe_train(
-    words: DataFrame, k: int = 3
-) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    words: DataFrame, k: int = 3, return_table: bool = True
+) -> tuple[DataFrame | None, list[tuple[int, str, str, int]]]:
     """``k`` BPE merges over a (word, cnt) table.
 
     Returns (final symbolized word table, merge list): the merge list
     is [(iteration, left, right, weighted pair count)], the artifact
     a tokenizer ships. One 1-row collect per iteration (the argmax
     pair) is the only driver traffic.
+
+    Cache ownership (ADVICE r7): the returned table is CACHED and the
+    caller must ``unpersist()`` it when done. A caller that only wants
+    the merge list passes ``return_table=False`` — the table is
+    unpersisted here and the first element is None.
+
+    Scale note: greedy top-1 runs one Spark job per merge — exact
+    (the oracle contract) but driver-bound at tokenizer-scale k≈30k.
+    :func:`bpe_train_batched` cuts that to ~k/B jobs.
     """
     cur = words.select("cnt", _spaced(F.col("word")).alias("sym"))
     cur.cache()
     cur.count()
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, k + 1):
-        pairs = (
-            cur.select("cnt", F.split("sym", " ").alias("a"))
-            .filter(F.size("a") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(a) - 2),"
-                        " i -> concat(element_at(a, i + 1), ' ',"
-                        " element_at(a, i + 2)))"
-                    )
-                ).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("total"))
-        )
+        pairs = _pair_counts(cur)
         top = pairs.orderBy(F.col("total").desc(), F.col("pair")).limit(1).collect()
         if not top:
             break
@@ -118,6 +112,101 @@ def bpe_train(
         nxt.count()
         cur.unpersist()
         cur = nxt
+    if not return_table:
+        cur.unpersist()
+        return None, merges
+    return cur, merges
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """(pair, total) over the symbolized word table — the per-round
+    aggregate both trainers share."""
+    return (
+        cur.select("cnt", F.split("sym", " ").alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> concat(element_at(a, i + 1), ' ',"
+                    " element_at(a, i + 2)))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def bpe_train_batched(
+    words: DataFrame,
+    k: int = 3,
+    batch: int = 8,
+    return_table: bool = True,
+) -> tuple[DataFrame | None, list[tuple[int, str, str, int]]]:
+    """BPE training with B merges per Spark job — the tokenizer-scale
+    path (VERDICT r7 #5): greedy top-1 is one job per merge, which
+    binds the DRIVER at k≈30k (30k sequential job submissions over a
+    table that fits one executor); this variant takes the top-``batch``
+    pairwise SYMBOL-DISJOINT pairs per round and applies them in one
+    literal-replace pass, so k merges cost ~k/B jobs.
+
+    Why disjointness: merging (a,b)→ab only rewrites symbols a and b,
+    so it cannot create or destroy occurrences of any pair built from
+    symbols ∉ {a,b} — every pair selected this round still has its
+    counted frequency when its turn comes. The approximation vs
+    sequential greedy is that a merge may CREATE a new pair (e.g.
+    ``x·ab``) that outranks the round's remaining selections;
+    sequential greedy would pick it first. Standard large-vocab
+    trainers (SentencePiece's --train_extremely_large_corpus regime)
+    accept exactly this trade. When merges don't interact the output
+    is PINNED IDENTICAL to :func:`bpe_train` (unit-tested).
+
+    Same return contract and cache ownership as :func:`bpe_train`.
+    """
+    cur = words.select("cnt", _spaced(F.col("word")).alias("sym"))
+    cur.cache()
+    cur.count()
+    merges: list[tuple[int, str, str, int]] = []
+    it = 0
+    while it < k:
+        want = min(batch, k - it)
+        # over-fetch: disjointness filtering can reject candidates
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.col("total").desc(), F.col("pair"))
+            .limit(want * 4)
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        round_merges: list[tuple[str, str, int]] = []
+        for r in top:
+            left, right = r["pair"].split(" ")
+            merged = left + right
+            if {left, right, merged} & used:
+                continue
+            used.update((left, right, merged))
+            round_merges.append((left, right, int(r["total"])))
+            if len(round_merges) >= want:
+                break
+        if not round_merges:
+            break
+        sym = F.col("sym")
+        for left, right, total in round_merges:
+            it += 1
+            merges.append((it, left, right, total))
+            sym = merge_pair(sym, left, right)
+        nxt = cur.select("cnt", sym.alias("sym"))
+        nxt.cache()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    if not return_table:
+        cur.unpersist()
+        return None, merges
     return cur, merges
 
 

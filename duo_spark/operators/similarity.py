@@ -966,6 +966,13 @@ def random_projection(
     ``bake`` forces a path; None picks by size. Pure whole-stage-
     codegen HOFs either way — no UDF, no shuffle, evaluated in the
     scan projection.
+
+    Vectors shorter than ``d_in`` raise at run time (``raise_error``
+    inside the projection): Spark's ``element_at`` past the end yields
+    NULL and poisons the fold to NULL, while DuckDB's ``list_sum``
+    skips NULLs and returns a partial sum — a silent cross-engine
+    divergence (ADVICE r7). Malformed input fails loudly instead;
+    callers that want to keep short vectors filter or pad first.
     """
     import math
 
@@ -983,9 +990,15 @@ def random_projection(
     else:
         sign = _rp_sign_sql(d_out)
     proj = f"""
-    transform(sequence(1, {d_out}), j ->
-      round(aggregate(sequence(1, {d_in}), cast(0 as double), (acc, i) ->
-        acc + cast(element_at({vec_col}, i) as double) * {sign}
-      ) * {inv!r}, 6))
+    CASE WHEN {vec_col} IS NULL THEN NULL
+    WHEN size({vec_col}) >= {d_in} THEN
+      transform(sequence(1, {d_out}), j ->
+        round(aggregate(sequence(1, {d_in}), cast(0 as double), (acc, i) ->
+          acc + cast(element_at({vec_col}, i) as double) * {sign}
+        ) * {inv!r}, 6))
+    ELSE raise_error(concat(
+      'random_projection: vector shorter than d_in={d_in} (got ',
+      cast(size({vec_col}) as string), ')'))
+    END
     """
     return df.withColumn("projected", F.expr(proj))

@@ -170,6 +170,18 @@ def _hash31_seeded(col: Column, seed: int) -> Column:
     return _hash31(col.cast("long") + F.lit(seed))
 
 
+def _require_seeds(n: int, what: str) -> None:
+    """Fail loudly when a caller asks for more hash rows than the
+    fixed seed table provides — silently truncating d=8 to 4 would
+    hand back a sketch whose error bound is worse than requested
+    (ADVICE r7)."""
+    if n > len(_CMS_SEEDS):
+        raise ValueError(
+            f"{what}={n} exceeds the {len(_CMS_SEEDS)} fixed hash seeds; "
+            "extend _CMS_SEEDS (and the oracle replay) to go wider"
+        )
+
+
 def cms_sketch(
     df: DataFrame,
     value_col: str,
@@ -194,6 +206,7 @@ def cms_sketch(
     table (one sketch per group — per hour, per tenant); the shuffle
     bound becomes groups × d × w.
     """
+    _require_seeds(d, "d")
     wt = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -245,6 +258,7 @@ def cms_lookup(
     their true count."""
     from pyspark.sql.functions import broadcast
 
+    _require_seeds(d, "d")
     buckets = F.array(
         *[
             _hash31_seeded(F.col(value_col), s) % w
@@ -277,6 +291,7 @@ def _bloom_positions(col: Column, m: int, k: int, portable: bool) -> list[Column
     sf0.1; the bit layout differs, so build and probe must agree on
     the flag. ``pmod`` (not abs) keeps Long.MIN_VALUE ANSI-safe."""
     if portable:
+        _require_seeds(k, "k")
         return [_hash31_seeded(col, s) % m for s in _CMS_SEEDS[:k]]
     h1 = F.pmod(F.xxhash64(col), F.lit(m))
     h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m)).bitwiseOR(F.lit(1))

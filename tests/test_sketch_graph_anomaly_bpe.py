@@ -318,3 +318,112 @@ def test_random_projection_bake_and_hash_paths_identical(spark, sf_dir):
     )
     out = random_projection(big, d_in=768, d_out=64).select("projected").first()
     assert len(out["projected"]) == 64
+
+
+# round 8: batched BPE trainer + guards
+# ---------------------------------------------------------------------
+
+
+def test_bpe_train_batched_pinned_equal_when_disjoint(spark):
+    """Three symbol-disjoint two-letter words: batched (one round,
+    B=3) must reproduce the sequential greedy trajectory exactly —
+    the non-interacting-merges equivalence contract."""
+    from duo_spark.operators.bpe import bpe_train, bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [(" ".join(["xy"] * 10 + ["pq"] * 8 + ["rs"] * 6),)],
+        "text string",
+    )
+    words = word_freq_table(docs, "text")
+    _t1, seq = bpe_train(words, k=3)
+    _t1.unpersist()
+    _t2, bat = bpe_train_batched(words, k=3, batch=3)
+    _t2.unpersist()
+    assert seq == bat == [(1, "x", "y", 10), (2, "p", "q", 8), (3, "r", "s", 6)]
+
+
+def test_bpe_train_batched_batch1_equals_sequential(spark, sf_dir):
+    """batch=1 degenerates to greedy top-1 — pinned identical merges
+    AND identical final symbol tables on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.operators.bpe import bpe_train, bpe_train_batched
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_freq_table(docs, "text")
+    t1, seq = bpe_train(words, k=4)
+    t2, bat = bpe_train_batched(words, k=4, batch=1)
+    assert seq == bat
+    rows1 = sorted((r["cnt"], r["sym"]) for r in t1.collect())
+    rows2 = sorted((r["cnt"], r["sym"]) for r in t2.collect())
+    t1.unpersist()
+    t2.unpersist()
+    assert rows1 == rows2
+
+
+def test_bpe_train_batched_skips_interacting_pairs_within_round(spark):
+    """'aaaa'x5: top pair is (a,a); the next-ranked candidates all
+    share the symbol 'a', so a B=3 round must select only (a,a) and
+    defer the rest — never apply two merges touching one symbol in
+    the same pass."""
+    from duo_spark.operators.bpe import bpe_train_batched
+
+    docs = spark.createDataFrame([(" ".join(["aaaa"] * 5),)], "text string")
+    words = word_freq_table(docs, "text")
+    _t, merges = bpe_train_batched(words, k=2, batch=3)
+    _t.unpersist()
+    # round 1: only (a,a) selectable; round 2: (aa,aa)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[1][1:3] == ("aa", "aa")
+
+
+def test_bpe_train_return_table_false_returns_none(spark):
+    from duo_spark.operators.bpe import bpe_train, bpe_train_batched
+
+    docs = spark.createDataFrame([("banana banana",)], "text string")
+    words = word_freq_table(docs, "text")
+    t, merges = bpe_train(words, k=2, return_table=False)
+    assert t is None and len(merges) == 2
+    t, merges = bpe_train_batched(words, k=2, batch=2, return_table=False)
+    assert t is None and merges
+
+
+def test_cms_and_bloom_reject_too_many_hash_rows(spark):
+    """ADVICE r7: d/k beyond the fixed seed table must raise, not
+    silently degrade the error bound."""
+    import pytest
+
+    from duo_spark.operators.sketch import (
+        bloom_build,
+        cms_lookup,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="fixed hash seeds"):
+        cms_sketch(df, "v", d=8)
+    with pytest.raises(ValueError, match="fixed hash seeds"):
+        cms_lookup(cms_sketch(df, "v", d=4), df, "v", d=5)
+    with pytest.raises(ValueError, match="fixed hash seeds"):
+        bloom_build(df, "v", k=6, portable=True)
+
+
+def test_random_projection_short_vector_raises_null_passes(spark):
+    """ADVICE r7: a vector shorter than d_in must fail loudly (Spark's
+    element_at would NULL-poison the fold while DuckDB's list_sum
+    skips NULLs — silent cross-engine divergence); NULL vectors stay
+    NULL."""
+    import pytest
+
+    from duo_spark.operators.similarity import random_projection
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="shorter than d_in"):
+        random_projection(bad, "embedding", d_in=64, d_out=16).collect()
+    nul = spark.createDataFrame(
+        [(1, None)], "vec_id int, embedding array<double>"
+    )
+    got = random_projection(nul, "embedding", d_in=64, d_out=16).collect()
+    assert got[0]["projected"] is None
