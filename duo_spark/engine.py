@@ -58,11 +58,18 @@ class DuoEngine:
         memory_mode: bool = False,
         granularity: str = "minute",
         trigger_seconds: int = 5,
+        span_engine: str = "fast",
     ):
         self.spark = spark
         self.data_dir = data_dir
         self.memory_mode = memory_mode
         self.trigger_seconds = trigger_seconds
+        #: span completion formulation (round 8 default flip — VERDICT
+        #: r7 #4): "fast" = JVM foreachBatch partial-merge writing the
+        #: exactly-once versioned delta log (36x throughput, SCALING.md
+        #: probe 13); "stateful" = per-event applyInPandasWithState
+        #: with wall-clock TTL + intact flag into the flat K1 layout.
+        self.span_engine = span_engine
         self.store = PartitionedStore(spark, data_dir, granularity=granularity)
         self.process_registry = ProcessRegistry(self.store)
         self.log_schema_registry = LogSchemaRegistry(self.store)
@@ -109,6 +116,8 @@ class DuoEngine:
             kwargs.update(memory_mode=True, memory_table=mem_table)
         else:
             kwargs.update(out_dir=self.store.table_path(table))
+        if table == "span":
+            kwargs.update(engine=self.span_engine)
         return kwargs
 
     def start_pipelines(self) -> None:
@@ -147,6 +156,19 @@ class DuoEngine:
     def _table_df(self, table: str, mem_table: str) -> DataFrame:
         if self.memory_mode:
             return self.spark.table(mem_table)
+        if table == "span" and self.span_engine == "fast":
+            from duo_spark.streaming.merge import read_completed
+            from duo_spark.streaming.pipeline import completed_span_schema
+
+            try:
+                return read_completed(
+                    self.spark, self.store.table_path("span")
+                )
+            except FileNotFoundError:
+                # nothing completed yet — an empty engine is queryable
+                return self.spark.createDataFrame(
+                    [], completed_span_schema()
+                )
         return HotColdTable(self.store, table).df()
 
     def spans(self) -> DataFrame:

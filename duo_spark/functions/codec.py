@@ -36,6 +36,20 @@ def tags_from_json(col: Column | str) -> Column:
     return F.from_json(c, _TAGS_MAP_TYPE)
 
 
+def tags_variant(col: Column | str) -> Column:
+    """JSON string -> map<string,variant> (merge form of span tags).
+
+    The reference's aggregator folds tag maps KEEPING each value's
+    JSON kind (aggregator.rs:17-30; serialize.rs:40-68 then maps
+    bool->bool, number->int64) — a map<string,string> fold would
+    stringify ``error: true`` into ``"true"`` and break the typed
+    Jaeger tag output (found by the round-8 fast-pipeline flip).
+    Spark 4's VariantType carries the kinds through map_zip_with and
+    back out via to_json."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, "map<string,variant>")
+
+
 def level_from_int(col: Column | str) -> Column:
     """Proto level int (1..5) -> "ERROR".."TRACE" string (C5).
 

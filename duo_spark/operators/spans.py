@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duo_spark.functions.codec import tags_from_json
+from duo_spark.functions.codec import tags_variant
 
 
 def merge_span_records(records: DataFrame) -> DataFrame:
@@ -29,7 +29,9 @@ def merge_span_records(records: DataFrame) -> DataFrame:
     Map-side partial aggregation makes the shuffle O(open spans), and
     the whole merge is one hash aggregate — no stateful collect.
     """
-    empty = F.create_map().cast("map<string,string>")
+    # variant values: the fold must keep each tag's JSON kind
+    # (bool/number/string), not stringify it — see codec.tags_variant
+    empty = F.create_map().cast("map<string,variant>")
     merged = (
         records.groupBy("id")
         .agg(
@@ -53,7 +55,7 @@ def merge_span_records(records: DataFrame) -> DataFrame:
                 empty,
                 lambda acc, x: F.map_zip_with(
                     acc,
-                    F.coalesce(tags_from_json(x["t"]), empty),
+                    F.coalesce(tags_variant(x["t"]), empty),
                     lambda _k, v1, v2: F.coalesce(v2, v1),
                 ),
             ).alias("_merged_tags"),

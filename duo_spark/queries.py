@@ -444,7 +444,7 @@ def q_streaming_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duo_spark.streaming import replay_span_records
 
     records = _span_merge_records(spark, sf_dir, modulo=20)
-    merged = replay_span_records(spark, records)
+    merged = replay_span_records(spark, records, engine="stateful")
     return merged.filter(F.col("intact")).select(
         "id", "parent_id", "trace_id", "name", "process_id", "start", "end"
     )
@@ -526,6 +526,7 @@ def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=f"{run}/store/span",
         checkpoint_dir=f"{run}/ckpt",
         available_now=True,
+        engine="stateful",
     )
     q.awaitTermination()
     store = PartitionedStore(spark, f"{run}/store", granularity="minute")

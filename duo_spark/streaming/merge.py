@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duo_spark.functions.codec import tags_from_json
+from duo_spark.functions.codec import tags_variant
 from duo_spark.streaming.rollup import _latest_id, _prune_versions, _version_ids
 
 
@@ -82,39 +82,46 @@ def _resolve_tags_col() -> F.Column:
     """Sorted fold of the accumulated (start, json) pairs — identical
     to merge_span_records' later-keys-win fold, so the emitted JSON
     matches the batch operator byte-for-byte."""
-    empty = F.create_map().cast("map<string,string>")
+    empty = F.create_map().cast("map<string,variant>")
     return F.to_json(
         F.aggregate(
             F.sort_array(F.col("_pairs")),
             empty,
             lambda acc, x: F.map_zip_with(
                 acc,
-                F.coalesce(tags_from_json(x["t"]), empty),
+                F.coalesce(tags_variant(x["t"]), empty),
                 lambda _k, v1, v2: F.coalesce(v2, v1),
             ),
         )
     )
 
 
-def streaming_span_merge_fast(
-    stream: DataFrame,
+def fast_merge_processor(
     out_dir: str,
-    checkpoint_dir: str,
     open_max_age_us: int | None = None,
+    partition_completed: bool = False,
+    on_batch=None,
 ):
-    """Span completion over a SPAN_SCHEMA stream, JVM-side. Returns the
-    started availableNow query; read results with
-    :func:`read_completed` / :func:`read_open`.
+    """Build the foreachBatch processor behind
+    :func:`streaming_span_merge_fast` — factored out (round 8) so
+    ``pipeline.start_span_pipeline`` can run the SAME merge under any
+    trigger and sink arrangement (VERDICT r7 #4: the 36× path is now
+    the pipeline default).
 
-    ``open_max_age_us`` is the T4 TTL analog for this formulation
-    (duo/src/aggregator.rs buffers opens forever; SURVEY §3 flags that
-    as unbounded): opens whose ``start`` has fallen more than the age
-    behind the high-water event time are dropped from the open table —
-    without it the table grows with abandoned spans forever. The
-    high-water mark is EVENT time (max of start/end seen), folded
-    across batches through a sidecar file next to each open version,
-    so a replayed batch recomputes the identical GC decision from its
-    true predecessor — deterministic, unlike a wall-clock TTL."""
+    ``partition_completed=True`` writes each completed delta version
+    in the batch store's K1 layout (date=/hour=/minute= dirs + the
+    trace_id bloom filter) INSIDE ``completed/v=<id>`` — partition
+    pruning and bloom skipping work per version, and
+    :func:`read_completed` still unions versions exactly-once. An
+    empty completed batch SKIPS its version entirely (a partitioned
+    write of zero rows creates no readable files): deterministic
+    replay recomputes the identical emptiness, so a missing version
+    and an empty one are indistinguishable by construction.
+
+    ``on_batch(spark, batch_id)``, if given, runs after each batch's
+    state is committed — the memory-mode hook that refreshes the
+    reader view.
+    """
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -169,20 +176,61 @@ def streaming_span_merge_fast(
                 still_open = still_open.filter(
                     F.col("start") >= wm - open_max_age_us
                 )
-        (
-            completed.withColumn("tags", _resolve_tags_col())
-            .drop("_pairs")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/completed/v={batch_id}")
-        )
+        done = completed.withColumn("tags", _resolve_tags_col()).drop("_pairs")
+        if partition_completed:
+            if done.limit(1).count() > 0:
+                from duo_spark.sources.store import with_partition_cols
+
+                (
+                    with_partition_cols(done, "start", "minute")
+                    .write.mode("overwrite")
+                    .option("parquet.bloom.filter.enabled#trace_id", "true")
+                    .partitionBy("date", "hour", "minute")
+                    .parquet(f"{out_dir}/completed/v={batch_id}")
+                )
+            else:
+                # replay idempotence: a pre-crash non-empty write for a
+                # batch that deterministically completes nothing cannot
+                # exist, so there is no stale version to clear
+                pass
+        else:
+            done.write.mode("overwrite").parquet(
+                f"{out_dir}/completed/v={batch_id}"
+            )
         still_open.write.mode("overwrite").parquet(f"{out_dir}/open/v={batch_id}")
         if wm is not None:
             _write_wm(spark, out_dir, batch_id, wm)
         keep = (batch_id,) if prev_id is None else (batch_id, prev_id)
         _prune_versions(spark, f"{out_dir}/open", keep=keep)
+        if on_batch is not None:
+            on_batch(spark, batch_id)
 
+    return process
+
+
+def streaming_span_merge_fast(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    open_max_age_us: int | None = None,
+):
+    """Span completion over a SPAN_SCHEMA stream, JVM-side. Returns the
+    started availableNow query; read results with
+    :func:`read_completed` / :func:`read_open`.
+
+    ``open_max_age_us`` is the T4 TTL analog for this formulation
+    (duo/src/aggregator.rs buffers opens forever; SURVEY §3 flags that
+    as unbounded): opens whose ``start`` has fallen more than the age
+    behind the high-water event time are dropped from the open table —
+    without it the table grows with abandoned spans forever. The
+    high-water mark is EVENT time (max of start/end seen), folded
+    across batches through a sidecar file next to each open version,
+    so a replayed batch recomputes the identical GC decision from its
+    true predecessor — deterministic, unlike a wall-clock TTL."""
     return (
-        stream.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(
+            fast_merge_processor(out_dir, open_max_age_us)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -217,6 +265,22 @@ def _read_wm(spark, out_dir: str, vid: int | None) -> int | None:
     finally:
         stream.close()
     return int(bytes(data).decode("utf-8"))
+
+
+def _read_version(spark, path: str) -> DataFrame:
+    """Read one version dir with partition-value TYPE INFERENCE OFF —
+    partitioned completed versions (fast pipeline, K1 layout inside
+    each version) must yield the same string-typed date/hour/minute
+    columns the batch store reads, and versions written partitioned
+    and unpartitioned must union."""
+    conf = spark.conf
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = conf.get(key, "true")
+    conf.set(key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        conf.set(key, old)
 
 
 def _first_completion_wins(parts: list[tuple[DataFrame, int]]) -> DataFrame:
@@ -254,10 +318,10 @@ def read_completed(spark, out_dir: str) -> DataFrame:
     parts: list[tuple[DataFrame, int]] = []
     if cvid is not None:
         parts.append(
-            (spark.read.parquet(f"{out_dir}/compacted/v={cvid}"), -1)
+            (_read_version(spark, f"{out_dir}/compacted/v={cvid}"), -1)
         )
     for v in sorted(deltas):
-        parts.append((spark.read.parquet(f"{out_dir}/completed/v={v}"), v))
+        parts.append((_read_version(spark, f"{out_dir}/completed/v={v}"), v))
     if not parts:
         raise FileNotFoundError(f"no completed-span versions under {out_dir}")
     if len(parts) == 1:
@@ -300,10 +364,10 @@ def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None
     parts: list[tuple[DataFrame, int]] = []
     if cvid is not None:
         parts.append(
-            (spark.read.parquet(f"{out_dir}/compacted/v={cvid}"), -1)
+            (_read_version(spark, f"{out_dir}/compacted/v={cvid}"), -1)
         )
     for v in fold:
-        parts.append((spark.read.parquet(f"{out_dir}/completed/v={v}"), v))
+        parts.append((_read_version(spark, f"{out_dir}/completed/v={v}"), v))
     merged = _first_completion_wins(parts)
     tmp = f"{out_dir}/compacted/.tmp-{upto}"
     merged.write.mode("overwrite").parquet(tmp)

