@@ -145,3 +145,119 @@ def read_rollup(spark, out_dir: str) -> DataFrame:
     if vid is None:
         raise FileNotFoundError(f"no rollup versions under {out_dir}")
     return spark.read.parquet(f"{out_dir}/v={vid}")
+
+
+# sketch rollups (round 8 — VERDICT r7 #6)
+# ---------------------------------------------------------------------
+#
+# HLL and CMS register tables were DESIGNED mergeable (operators/
+# sketch.py: max per register / sum per bucket), which makes them
+# streaming aggregates for free: each micro-batch sketches itself
+# (one map-side-combined hash aggregate, shuffle bounded by
+# groups × m), then merges into the previous register-table version
+# with the SAME fold the batch operators use — so the continuously
+# maintained sketch is bit-identical to sketching the whole stream at
+# once (pinned in tests and the streaming_hll_rollup gate). Versioning
+# discipline is streaming_rollup's: batch b reads the newest version
+# strictly below b and overwrites v=b, so replays are idempotent.
+
+
+def _streaming_register_rollup(
+    stream: DataFrame,
+    partial_fn,
+    key_cols: list[str],
+    value_col: str,
+    merge_agg,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Shared versioned-merge loop: ``partial_fn(batch)`` -> register
+    table keyed by ``key_cols``; versions merge by unioning and
+    re-aggregating ``value_col`` with ``merge_agg`` (max for HLL, sum
+    for CMS) — associative+commutative, so any batch schedule yields
+    the whole-stream sketch."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = partial_fn(batch)
+        prev_id = _latest_id(spark, out_dir, below=batch_id)
+        if prev_id is None:
+            merged = partial
+        else:
+            prev = spark.read.schema(partial.schema).parquet(
+                f"{out_dir}/v={prev_id}"
+            )
+            merged = (
+                partial.unionByName(prev)
+                .groupBy(*key_cols)
+                .agg(merge_agg(F.col(value_col)).alias(value_col))
+            )
+        merged.write.mode("overwrite").parquet(f"{out_dir}/v={batch_id}")
+        keep = (batch_id,) if prev_id is None else (batch_id, prev_id)
+        _prune_versions(spark, out_dir, keep=keep)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_hll_rollup(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    m: int = 256,
+):
+    """Continuously maintained per-group HLL register table: the
+    incremental distinct-count rollup (operators/sketch.hll_sketch /
+    hll_merge) running as a stream — yesterday's registers persist,
+    today's union in with ``max``, and the estimate is available at
+    any moment via ``read_rollup`` + ``hll_estimate`` WITHOUT
+    re-reading any historical event. Returns the started availableNow
+    query."""
+    from duo_spark.operators.sketch import hll_sketch
+
+    return _streaming_register_rollup(
+        stream,
+        lambda b: hll_sketch(b, group_cols, value_col, m),
+        [*group_cols, "bucket"],
+        "register",
+        F.max,
+        out_dir,
+        checkpoint_dir,
+    )
+
+
+def streaming_cms_rollup(
+    stream: DataFrame,
+    value_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    w: int = 1024,
+    d: int = 4,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+):
+    """Continuously maintained count-min register table: per-batch
+    sketches merge ADDITIVELY into the running one (operators/
+    sketch.cms_merge's sum), so point estimates over the whole stream
+    are one broadcast lookup away at any moment. Returns the started
+    availableNow query."""
+    from duo_spark.operators.sketch import cms_sketch
+
+    g = list(group_cols or [])
+    return _streaming_register_rollup(
+        stream,
+        lambda b: cms_sketch(
+            b, value_col, w=w, d=d, weight_col=weight_col, group_cols=g
+        ),
+        [*g, "row", "bucket"],
+        "count",
+        F.sum,
+        out_dir,
+        checkpoint_dir,
+    )
