@@ -1792,14 +1792,22 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp = (F.col("user_id") % 5).cast("string")
     raw = (
         F.when(
-            F.col("event_id") % 3 == 0,
+            F.col("event_id") % 4 == 0,
             F.concat(F.lit("HTTPS://Shop.Example.COM:443/item/"), item,
                      F.lit("/?utm_source=feed&q="), qp, F.lit("#top")),
         )
         .when(
-            F.col("event_id") % 3 == 1,
+            F.col("event_id") % 4 == 1,
             F.concat(F.lit("https://shop.example.com/item/"), item,
                      F.lit("?q="), qp),
+        )
+        .when(
+            # round 8: RFC 3986 escapes — %69 ('i', unreserved) must
+            # decode, %3<d> must decode to the digit, so this variant
+            # collapses into the same canonical key as the others
+            F.col("event_id") % 4 == 2,
+            F.concat(F.lit("https://shop.example.com/%69tem/"), item,
+                     F.lit("?q=%3"), qp),
         )
         .otherwise(
             F.concat(F.lit("http://Shop.example.com:80/item/"), item,
@@ -1817,21 +1825,40 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pct(expr: str) -> str:
+    """DuckDB replay of functions/url.pct_normalize: split on '%',
+    each later piece's first two chars are the escape hex — decode
+    unreserved (RFC 3986 §2.3), uppercase the rest."""
+    h = "('0x' || upper(p[1:2]))::INT"
+    return (
+        f"string_split({expr}, '%')[1] || "
+        "coalesce(list_aggregate(list_transform("
+        f"list_slice(string_split({expr}, '%'), 2, 1000000), "
+        "p -> CASE WHEN NOT regexp_matches(p, '^[0-9A-Fa-f]{2}') THEN '%' || p "
+        f"WHEN ({h} BETWEEN 48 AND 57) OR ({h} BETWEEN 65 AND 90) "
+        f"OR ({h} BETWEEN 97 AND 122) OR {h} IN (45, 46, 95, 126) "
+        f"THEN chr({h}) || p[3:] "
+        "ELSE '%' || upper(p[1:2]) || p[3:] END), 'string_agg', ''), '')"
+    )
+
+
 SQL_URL_DEDUP = r"""
 WITH raw AS (
-  SELECT CASE event_id % 3
+  SELECT CASE event_id % 4
     WHEN 0 THEN 'HTTPS://Shop.Example.COM:443/item/' || CAST(event_id % 40 AS VARCHAR)
              || '/?utm_source=feed&q=' || CAST(user_id % 5 AS VARCHAR) || '#top'
     WHEN 1 THEN 'https://shop.example.com/item/' || CAST(event_id % 40 AS VARCHAR)
              || '?q=' || CAST(user_id % 5 AS VARCHAR)
+    WHEN 2 THEN 'https://shop.example.com/%69tem/' || CAST(event_id % 40 AS VARCHAR)
+             || '?q=%3' || CAST(user_id % 5 AS VARCHAR)
     ELSE 'http://Shop.example.com:80/item/' || CAST(event_id % 40 AS VARCHAR)
              || '/?q=' || CAST(user_id % 5 AS VARCHAR) || '&utm_campaign=x'
   END AS raw FROM events),
 parts AS (
   SELECT raw,
     lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
-    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS authority,
-    regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path,
+    lower(__PCT_AUTH__) AS authority,
+    __PCT_PATH__ AS path,
     regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS query
   FROM raw),
 norm AS (
@@ -1844,7 +1871,8 @@ norm AS (
     CASE WHEN path = '' THEN path
          WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
          ELSE regexp_replace(path, '/+$', '') END AS path_norm,
-    list_sort(list_filter(string_split(query, '&'),
+    list_sort(list_filter(
+      list_transform(string_split(query, '&'), q0 -> __PCT_Q__),
       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))) AS kept
   FROM parts),
 canon AS (
@@ -1856,7 +1884,13 @@ canon AS (
   FROM norm)
 SELECT url, count(*) AS n_raw, count(DISTINCT raw) AS n_variants
 FROM canon GROUP BY url
-"""
+""".replace(
+    "__PCT_AUTH__",
+    _sql_pct(r"regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)"),
+).replace(
+    "__PCT_PATH__",
+    _sql_pct(r"regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3)"),
+).replace("__PCT_Q__", _sql_pct("q0"))
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,6 +267,12 @@ def test_canonical_url(spark):
             "https://example.com:8443/x",
         "ftp://Files.Example.com/Pub/": "ftp://files.example.com/Pub",
         "not a url": None,
+        # round 8 — RFC 3986 §6.2.2: unreserved escapes decode,
+        # retained escapes get uppercase hex, invalid escapes pass
+        "https://example.com/%7Euser/a%2fb?x=%41%3d1":
+            "https://example.com/~user/a%2Fb?x=A%3D1",
+        "https://example.com/100%zz": "https://example.com/100%zz",
+        "https://ex%41mple.com/x": "https://example.com/x",
     }
     df = spark.createDataFrame([(k,) for k in cases], "u string")
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
@@ -285,7 +291,10 @@ def test_canonical_url(spark):
             st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
             st.from_regex(r"[A-Za-z]([A-Za-z0-9-]{0,8}\.){1,2}[A-Za-z]{2,4}", fullmatch=True),
             st.sampled_from(["", ":80", ":443", ":8080"]),
-            st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/?", fullmatch=True),
+            st.from_regex(
+                r"(/([A-Za-z0-9._~-]|%[0-9A-Fa-f]{2}|%z){0,6}){0,3}/?",
+                fullmatch=True,
+            ),
             st.lists(
                 st.from_regex(r"[a-z]{1,6}=[A-Za-z0-9]{0,4}", fullmatch=True),
                 max_size=4,
@@ -312,3 +321,33 @@ def test_canonical_url_idempotent(spark, urls):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, r
+
+
+def test_canonical_url_idn_fold(spark):
+    """fold_idn=True: non-ASCII hosts punycode-fold (RFC 3490 ToASCII)
+    so unicode and xn-- spellings share a dedup key; ASCII hosts stay
+    on the codegen path; the fold is idempotent."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.functions.url import canonical_url
+
+    cases = {
+        "https://B\u00fcCHER.example/x": "https://xn--bcher-kva.example/x",
+        "https://xn--bcher-kva.example/x": "https://xn--bcher-kva.example/x",
+        "https://plain.example/x": "https://plain.example/x",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r.u: r.c
+        for r in df.select(
+            "u", canonical_url(F.col("u"), fold_idn=True).alias("c")
+        ).collect()
+    }
+    assert got == cases
+    out = df.select(
+        canonical_url(F.col("u"), fold_idn=True).alias("c1"),
+        canonical_url(
+            canonical_url(F.col("u"), fold_idn=True), fold_idn=True
+        ).alias("c2"),
+    ).collect()
+    assert all(r.c1 == r.c2 for r in out)
