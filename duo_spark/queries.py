@@ -5185,7 +5185,69 @@ FROM exact JOIN est ON est.hr = exact.hr AND est.user_id = exact.user_id
 # like hotcold_search) is locked green by CORRECTNESS_r05/r06 plus the local
 # oracle-parity clone (tests/test_oracle_parity.py replays ALL entries).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- slots 1-29: the stale backlog (newest driver row <= r4) ---
+
+    # --- ROUND-8 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
+    # 1-10: the ten debt queries (3 never driver-checked + 7 displaced
+    # at r4) exactly as DEVIATIONS #12 / VERDICT r7 #2 promised;
+    # 11: streaming_hll_rollup, added this round (rule 1);
+    # 12-23: queries whose operators changed this round (rule 2 —
+    # skew two-level rank, URL pct/IDN, variant tag folds in the
+    # span merges + pipeline default flip, BPE refactor, sketch
+    # guards, random_projection guard);
+    # 24-44: the 21 stalest entries (newest driver row r5, rule 3);
+    # 45-50: r6 per-family keepers, stalest-first fill.
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
+    "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
+    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
+    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
+    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
+    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "bm25": (q_bm25, SQL_BM25),
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # --- below the driver window: every entry here has an r6/r7
+    # driver-green row; the full local parity clone covers all ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -5211,56 +5273,22 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
     "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
     "store_retention": (q_store_retention, SQL_STORE_RETENTION),
-    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
     "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
     "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    # --- slots 30-50: operators added or changed in round 7 ---
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "winnowing": (q_winnowing, SQL_WINNOWING),
-    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
-    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
     "funnel": (q_funnel, SQL_FUNNEL),
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    # (rotation rule 1: round-N additions outrank per-family keepers —
-    # all keepers, plus the seven simplest stale entries, moved below
-    # the cutoff; see the block comment above)
-    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
-    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
-    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
-    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
-    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
-    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    # --- below the driver's 50-query window: the seven displaced stale
-    # entries LEAD round 8; everything else locked green in r5/r6 ---
-    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
-    "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
-    "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
-    "in_list": (q_in_list, SQL_IN_LIST),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "bm25": (q_bm25, SQL_BM25),
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
@@ -5274,7 +5302,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
     "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
     "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
     "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
@@ -5300,25 +5327,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
     "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
-    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
-    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
-    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
-    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
