@@ -171,6 +171,7 @@ BENCH_EXCLUDED = {
     "streaming_enrich",
     "streaming_funnel",
     "streaming_rollup",
+    "streaming_hll_rollup",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",
