@@ -86,18 +86,26 @@ def bpe_train(
     a tokenizer ships. One 1-row collect per iteration (the argmax
     pair) is the only driver traffic.
 
-    Cache ownership (ADVICE r7): the returned table is CACHED and the
-    caller must ``unpersist()`` it when done. A caller that only wants
-    the merge list passes ``return_table=False`` — the table is
-    unpersisted here and the first element is None.
+    The iteration state rotates through ``localCheckpoint(eager=True)``
+    — NOT cache()/unpersist() (round-8 fix, SCALING.md probe 18): a
+    cached rotation leaves each iteration's ANALYZED plan referencing
+    the full projection chain back to the source, and re-analyzing
+    that growing tree every iteration compounds GEOMETRICALLY
+    (measured ~1.7× per merge: iteration 18 took 97 s and tens of GB
+    of driver heap on a 30-word table). The checkpoint truncates the
+    lineage, making per-iteration cost flat (~0.2 s) and k-linear
+    total — the difference between k≈15 and tokenizer-scale k.
+    ``return_table=False`` (ADVICE r7) returns None as the first
+    element when only the merge list is wanted; the returned table
+    holds no cache a caller must release.
 
-    Scale note: greedy top-1 runs one Spark job per merge — exact
-    (the oracle contract) but driver-bound at tokenizer-scale k≈30k.
+    Scale note: greedy top-1 still runs one Spark job per merge —
+    exact (the oracle contract) but driver-bound at k≈30k.
     :func:`bpe_train_batched` cuts that to ~k/B jobs.
     """
-    cur = words.select("cnt", _spaced(F.col("word")).alias("sym"))
-    cur.cache()
-    cur.count()
+    cur = words.select("cnt", _spaced(F.col("word")).alias("sym")).localCheckpoint(
+        eager=True
+    )
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, k + 1):
         pairs = _pair_counts(cur)
@@ -107,13 +115,10 @@ def bpe_train(
         pair, total = top[0]["pair"], int(top[0]["total"])
         left, right = pair.split(" ")
         merges.append((it, left, right, total))
-        nxt = cur.select("cnt", merge_pair(F.col("sym"), left, right).alias("sym"))
-        nxt.cache()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        cur = cur.select(
+            "cnt", merge_pair(F.col("sym"), left, right).alias("sym")
+        ).localCheckpoint(eager=True)
     if not return_table:
-        cur.unpersist()
         return None, merges
     return cur, merges
 
@@ -163,11 +168,12 @@ def bpe_train_batched(
     accept exactly this trade. When merges don't interact the output
     is PINNED IDENTICAL to :func:`bpe_train` (unit-tested).
 
-    Same return contract and cache ownership as :func:`bpe_train`.
+    Same return contract and localCheckpoint lineage rotation as
+    :func:`bpe_train`.
     """
-    cur = words.select("cnt", _spaced(F.col("word")).alias("sym"))
-    cur.cache()
-    cur.count()
+    cur = words.select("cnt", _spaced(F.col("word")).alias("sym")).localCheckpoint(
+        eager=True
+    )
     merges: list[tuple[int, str, str, int]] = []
     it = 0
     while it < k:
@@ -199,13 +205,8 @@ def bpe_train_batched(
             it += 1
             merges.append((it, left, right, total))
             sym = merge_pair(sym, left, right)
-        nxt = cur.select("cnt", sym.alias("sym"))
-        nxt.cache()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        cur = cur.select("cnt", sym.alias("sym")).localCheckpoint(eager=True)
     if not return_table:
-        cur.unpersist()
         return None, merges
     return cur, merges
 

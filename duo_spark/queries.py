@@ -4525,8 +4525,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duo_spark.operators.bpe import bpe_train, merges_df, word_freq_table
 
     words = word_freq_table(_t(spark, sf_dir, "documents"), "text")
-    _final, merges = bpe_train(words, k=3)
-    _final.unpersist()
+    _none, merges = bpe_train(words, k=3, return_table=False)
     return merges_df(spark, merges)
 
 
@@ -4894,8 +4893,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint; retention: released with the session cache, the
     # lm_score policy)
     words = word_freq_table(docs, "text").localCheckpoint(eager=True)
-    _final, merges = bpe_train(words, k=3)
-    _final.unpersist()
+    _none, merges = bpe_train(words, k=3, return_table=False)
     vocab = bpe_encode(docs, merges, "text", words=words)
     return vocab.orderBy(F.desc("n"), F.asc("token")).limit(20)
 

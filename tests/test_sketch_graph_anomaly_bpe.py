@@ -335,10 +335,8 @@ def test_bpe_train_batched_pinned_equal_when_disjoint(spark):
         "text string",
     )
     words = word_freq_table(docs, "text")
-    _t1, seq = bpe_train(words, k=3)
-    _t1.unpersist()
-    _t2, bat = bpe_train_batched(words, k=3, batch=3)
-    _t2.unpersist()
+    _n1, seq = bpe_train(words, k=3, return_table=False)
+    _n2, bat = bpe_train_batched(words, k=3, batch=3, return_table=False)
     assert seq == bat == [(1, "x", "y", 10), (2, "p", "q", 8), (3, "r", "s", 6)]
 
 
@@ -356,8 +354,6 @@ def test_bpe_train_batched_batch1_equals_sequential(spark, sf_dir):
     assert seq == bat
     rows1 = sorted((r["cnt"], r["sym"]) for r in t1.collect())
     rows2 = sorted((r["cnt"], r["sym"]) for r in t2.collect())
-    t1.unpersist()
-    t2.unpersist()
     assert rows1 == rows2
 
 
@@ -370,8 +366,7 @@ def test_bpe_train_batched_skips_interacting_pairs_within_round(spark):
 
     docs = spark.createDataFrame([(" ".join(["aaaa"] * 5),)], "text string")
     words = word_freq_table(docs, "text")
-    _t, merges = bpe_train_batched(words, k=2, batch=3)
-    _t.unpersist()
+    _t, merges = bpe_train_batched(words, k=2, batch=3, return_table=False)
     # round 1: only (a,a) selectable; round 2: (aa,aa)
     assert merges[0][1:3] == ("a", "a")
     assert merges[1][1:3] == ("aa", "aa")
