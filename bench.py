@@ -156,6 +156,12 @@ BENCH_QUERIES = [
     "scd2_history",
     "hll_rollup",
     "cms_sliding",
+    # round-8 additions
+    "label_resolution",
+    "annotator_kappa",
+    "moments_quantiles",
+    "validate_orders",
+    "hard_negatives",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -1002,3 +1002,47 @@ def random_projection(
     END
     """
     return df.withColumn("projected", F.expr(proj))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+    anchor_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (round 8): for
+    each anchor, the ``k`` corpus vectors MOST similar to it that
+    carry a DIFFERENT label — the near-miss negatives that make a
+    contrastive loss learn boundaries instead of memorizing easy
+    pairs (the in-batch-negatives upgrade every embedding-model
+    pipeline ships).
+
+    Scale shape: identical to :func:`cosine_topk_many` — broadcast
+    the (small) anchor set, score each corpus row map-side, DROP
+    same-label pairs before any aggregation (the filter is the whole
+    semantic difference and costs one codegen comparison per scored
+    pair), then the shared two-phase top-k reduction: shuffle volume
+    is O(|anchors| · k · partitions), never the scored pairs. The
+    anchor itself (same id) is also excluded, so an unlabeled anchor
+    never returns itself.
+    """
+    corpus = ensure_parallelism(corpus)
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col(label_col) != F.col(anchor_label_col))
+            & (F.col(id_col) != F.col(anchor_id_col))
+        )
+        .select(
+            F.col(anchor_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(anchor_vec_col)).alias("cosine"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    return _topk_two_phase(scored, k, id_col, anchor_id_col)

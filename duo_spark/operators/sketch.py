@@ -368,3 +368,115 @@ def bloom_might_contain(
         mask = F.element_at(masks_arr, (pos % 64).cast("int") + 1)
         check = check & (word.bitwiseAND(mask) != 0)
     return check
+
+
+# moments sketch (quantiles from power sums)
+# ---------------------------------------------------------------------
+
+
+def moments_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Mergeable moments sketch (Gan et al. 2018, "Moment-Based
+    Quantile Sketches for Efficient High Cardinality Aggregation
+    Queries"): per group, the exact integer power sums Σv, Σv², Σv³,
+    Σv⁴ plus n/min/max over the value scaled to integers
+    (``round(value·scale)``) — a CONSTANT-width summary that answers
+    mean/variance/skew/kurtosis and moment-based quantile estimates.
+
+    This completes the repo's mergeable-sketch family and its merge
+    algebra: HLL registers merge with MAX, CMS registers with SUM —
+    moments also merge with plain ADDITION (`moments_merge`), so
+    yesterday's sketch folds into today's without re-reading anything
+    and the sketch drops into `streaming/rollup._streaming_register_
+    rollup`'s versioned-merge discipline (sum every m-column).
+
+    Exactness discipline: the scaled values are int64; the power sums
+    accumulate in DECIMAL(38,0), which Spark and DuckDB both sum
+    exactly (no float order-dependence — the reason this is
+    bit-reproducible where a double Σv⁴ is not). With |v·scale| ≤ 10⁶,
+    v⁴ ≤ 10²⁴ and 10¹³ rows still fit decimal38. One shuffle of
+    groups × 1 rows.
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    d = "decimal(38,0)"
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, v.alias("_v"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+            F.sum(F.col("_v").cast(d)).alias("m1"),
+            F.sum((F.col("_v") * F.col("_v")).cast(d)).alias("m2"),
+            F.sum((F.col("_v") * F.col("_v") * F.col("_v")).cast(d)).alias("m3"),
+            F.sum(
+                (F.col("_v") * F.col("_v") * F.col("_v") * F.col("_v")).cast(d)
+            ).alias("m4"),
+        )
+    )
+
+
+def moments_merge(*sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Moments merge with ADDITION (min/max with min/max): sketch(A ⊎ B)
+    == merge(sketch(A), sketch(B)) exactly — asserted in tests."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("m1").alias("m1"),
+        F.sum("m2").alias("m2"),
+        F.sum("m3").alias("m3"),
+        F.sum("m4").alias("m4"),
+    )
+
+
+def moments_stats(
+    sketch: DataFrame, group_cols: list[str], scale: int = 100
+) -> DataFrame:
+    """Descriptive statistics + a moment-based quantile estimate from
+    a moments sketch: mean, stddev (population), skewness,
+    and the Cornish-Fisher p95 estimate (normal quantile corrected by
+    the skew term — the standard 2-term expansion; exact only for
+    near-Gaussian groups, one-sided error bounded by the next term).
+
+    All inputs are exact decimals; every output is a fixed IEEE
+    expression over them, 6-dp rounded — deterministic cross-engine.
+    ``z95`` is the literal Φ⁻¹(0.95) so no engine's erfinv is needed.
+    """
+    z = 1.6448536269514722  # Phi^-1(0.95)
+    nd = F.col("n").cast("double")
+    m1 = F.col("m1").cast("double") / nd
+    m2 = F.col("m2").cast("double") / nd
+    m3 = F.col("m3").cast("double") / nd
+    var = m2 - m1 * m1
+    sd = F.sqrt(var)
+    # central third moment via raw moments
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    skew = F.when(sd > 0, mu3 / (sd * sd * sd)).otherwise(F.lit(0.0))
+    cf95 = m1 + sd * (F.lit(z) + (F.lit(z) * z - 1) / 6 * skew)
+    inv = 1.0 / scale
+    return sketch.select(
+        *group_cols,
+        "n",
+        F.round(m1 * inv, 6).alias("mean"),
+        F.round(sd * inv, 6).alias("stddev"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(
+            F.least(
+                F.greatest(cf95, F.col("vmin").cast("double")),
+                F.col("vmax").cast("double"),
+            )
+            * inv,
+            6,
+        ).alias("p95_est"),
+        F.round(F.col("vmin").cast("double") * inv, 6).alias("vmin"),
+        F.round(F.col("vmax").cast("double") * inv, 6).alias("vmax"),
+    )

@@ -1,0 +1,102 @@
+"""Declarative data validation — expectation rules over a table in
+ONE pass.
+
+The data-quality gate every production pipeline runs before training
+or serving (Great-Expectations-style): a rule set like "o_totalprice
+> 0", "o_orderkey is unique", "o_orderstatus in ('O','F','P')"
+evaluated together, reporting per-rule violation counts. At 100 TB
+the design constraint is ONE SCAN: each row-level rule becomes a
+``sum(case when not pred then 1)`` in a single map-side-combined
+aggregate — R rules cost one pass + an R-cell row, never R scans.
+
+Uniqueness is the one rule class that cannot ride the row-local
+aggregate (it needs a per-key count): it runs as its own groupBy
+whose shuffle carries distinct keys, then contributes one row to the
+same report shape. Everything is exact integer counts — oracle-
+replayable trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate(
+    df: DataFrame,
+    rules: dict[str, str],
+    unique: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate ``rules`` (name -> SQL boolean predicate that a GOOD
+    row satisfies) and optional ``unique`` column-sets over ``df``.
+
+    Returns one row per rule: ``(rule, n_rows, n_violations,
+    violation_ppm)`` — violations are rows where the predicate is
+    false OR null (an unevaluable expectation is a failed one), ppm =
+    floor(violations·10⁶ / rows) keeps the rate integer-exact.
+
+    Row-level rules share ONE aggregate (one scan however many rules);
+    each uniqueness rule adds one distinct-key aggregate (shuffle =
+    distinct keys; its violation count is rows carrying a duplicated
+    key value, NULLs exempt like SQL UNIQUE).
+    """
+    if not rules and not unique:
+        raise ValueError("validate: no rules given")
+    total = F.count(F.lit(1)).alias("n_rows")
+    aggs = [total] + [
+        F.sum(
+            F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+        ).alias(f"_viol_{i}")
+        for i, pred in enumerate(rules.values())
+    ]
+    row = df.agg(*aggs)
+    names = list(rules.keys())
+    parts = []
+    if names:
+        stacked = row.select(
+            F.col("n_rows"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("rule"),
+                            F.col(f"_viol_{i}").cast("long").alias("n_violations"),
+                        )
+                        for i, name in enumerate(names)
+                    ]
+                )
+            ).alias("_r"),
+        ).select(
+            F.col("_r.rule").alias("rule"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("_r.n_violations").alias("n_violations"),
+        )
+        parts.append(stacked)
+    for cols in unique or []:
+        key = [cols] if isinstance(cols, str) else list(cols)
+        dup_rows = (
+            df.na.drop(subset=key)
+            .groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n_violations"))
+        )
+        n_all = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        parts.append(
+            n_all.crossJoin(dup_rows).select(
+                F.lit("unique(" + ", ".join(key) + ")").alias("rule"),
+                F.col("n_rows").cast("long"),
+                F.col("n_violations").cast("long"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.floor(
+            F.col("n_violations") * F.lit(1_000_000) / F.col("n_rows")
+        ).cast("long").alias("violation_ppm"),
+    )

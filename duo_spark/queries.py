@@ -5176,6 +5176,247 @@ FROM exact JOIN est ON est.hr = exact.hr AND est.user_id = exact.user_id
 # (rotation rule 1 — round-N churn outranks everything).  Twenty-one new
 # queries left room for only 29 of the 36 stale entries: the seven displaced
 # just below the cutoff (in_list, point_lookup, customers_no_orders,
+
+# round-8 operator wave: labels / moments / validation / hard negatives
+# ----------------------------------------------------------------------
+
+
+def q_label_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label resolution (operators/labels.py
+    resolve_labels, round 8): events as a multi-rater annotation table
+    (item = event_id % 200, label = event_type) collapsed to one label
+    per item with the per-item agreement signal — two map-side-combined
+    hash aggregates, deterministic tie-break (votes desc, label asc),
+    exact integer counts + one IEEE divide."""
+    from duo_spark.operators.labels import resolve_labels
+
+    votes = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 200).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return resolve_labels(votes, "item", "label")
+
+
+SQL_LABEL_RESOLUTION = """
+WITH votes AS (
+  SELECT event_id % 200 AS item, event_type AS label FROM events
+  WHERE event_type IS NOT NULL),
+c AS (SELECT item, label, CAST(count(*) AS BIGINT) AS votes
+      FROM votes GROUP BY 1, 2),
+r AS (SELECT item, label, votes,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY votes DESC, label ASC) AS rk,
+             SUM(votes) OVER (PARTITION BY item) AS n_votes
+      FROM c)
+SELECT item, label, CAST(n_votes AS BIGINT) AS n_votes,
+       votes AS top_votes,
+       round(CAST(votes AS DOUBLE) / CAST(n_votes AS DOUBLE), 6) AS agreement
+FROM r WHERE rk = 1
+"""
+
+
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/labels.py fleiss_kappa, round 8,
+    Fleiss 1971) over the same multi-rater vote table — the corpus-
+    level agreement statistic a dataset card reports. Exact integer
+    pair counts reduced to one row; three IEEE divides, 6 dp."""
+    from duo_spark.operators.labels import fleiss_kappa
+
+    votes = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 200).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return fleiss_kappa(votes, "item", "label")
+
+
+SQL_ANNOTATOR_KAPPA = """
+WITH votes AS (
+  SELECT event_id % 200 AS item, event_type AS label FROM events
+  WHERE event_type IS NOT NULL),
+c AS (SELECT item, label, CAST(count(*) AS BIGINT) AS votes
+      FROM votes GROUP BY 1, 2),
+per_item AS (
+  SELECT item, SUM(votes) AS _n, SUM(votes * (votes - 1)) AS _ap
+  FROM c GROUP BY 1),
+multi AS (SELECT * FROM per_item WHERE _n >= 2),
+po AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(SUM(_n) AS BIGINT) AS n_ratings,
+         AVG(CAST(_ap AS DOUBLE) / CAST(_n * (_n - 1) AS DOUBLE)) AS _po
+  FROM multi),
+shares AS (
+  SELECT c.label, SUM(c.votes) AS _v
+  FROM c JOIN multi USING (item) GROUP BY 1),
+pe AS (
+  SELECT SUM(CAST(_v AS DOUBLE) * CAST(_v AS DOUBLE))
+         / (SUM(CAST(_v AS DOUBLE)) * SUM(CAST(_v AS DOUBLE))) AS _pe
+  FROM shares)
+SELECT n_items, n_ratings, round(_po, 6) AS p_o, round(_pe, 6) AS p_e,
+       round((_po - _pe) / (1.0 - _pe), 6) AS kappa
+FROM po CROSS JOIN pe
+"""
+
+
+def q_moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (operators/sketch.py moments_sketch, round 8,
+    Gan et al. 2018): per-(event_type, day) exact integer power-sum
+    sketches ADD-merged across days (the same incremental-rollup
+    shape as hll_rollup, completing the family's merge algebra: HLL
+    max, CMS sum, moments sum), then mean/stddev/skew and the
+    Cornish-Fisher p95 estimate from the merged sums. The power sums
+    accumulate in DECIMAL(38,0) — exact in Spark and DuckDB, no float
+    order-dependence — so every emitted statistic is one fixed IEEE
+    expression over identical integers."""
+    from duo_spark.operators.sketch import (
+        moments_merge,
+        moments_sketch,
+        moments_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = moments_sketch(ev, ["event_type", "day"], "value", scale=100)
+    merged = moments_merge(daily.drop("day"), group_cols=["event_type"])
+    return moments_stats(merged, ["event_type"], scale=100)
+
+
+SQL_MOMENTS_QUANTILES = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS _v
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         MIN(_v) AS vmin, MAX(_v) AS vmax,
+         SUM(CAST(_v AS HUGEINT)) AS m1,
+         SUM(CAST(_v AS HUGEINT) * _v) AS m2,
+         SUM(CAST(_v AS HUGEINT) * _v * _v) AS m3,
+         SUM(CAST(_v AS HUGEINT) * _v * _v * _v) AS m4
+  FROM v GROUP BY 1),
+d AS (
+  SELECT event_type, n, vmin, vmax,
+         CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1d,
+         CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2d,
+         CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3d
+  FROM s),
+t AS (
+  SELECT event_type, n, vmin, vmax, m1d,
+         sqrt(m2d - m1d * m1d) AS sd,
+         m3d - 3 * m1d * m2d + 2 * m1d * m1d * m1d AS mu3
+  FROM d),
+u AS (
+  SELECT event_type, n, vmin, vmax, m1d, sd,
+         CASE WHEN sd > 0 THEN mu3 / (sd * sd * sd) ELSE 0.0 END AS skew
+  FROM t)
+SELECT event_type, n,
+       round(m1d * (1.0 / 100), 6) AS mean,
+       round(sd * (1.0 / 100), 6) AS stddev,
+       round(skew, 6) AS skewness,
+       round(least(greatest(
+                 m1d + sd * (1.6448536269514722
+                   + (1.6448536269514722 * 1.6448536269514722 - 1) / 6 * skew),
+                 CAST(vmin AS DOUBLE)), CAST(vmax AS DOUBLE))
+             * (1.0 / 100), 6) AS p95_est,
+       round(CAST(vmin AS DOUBLE) * (1.0 / 100), 6) AS vmin,
+       round(CAST(vmax AS DOUBLE) * (1.0 / 100), 6) AS vmax
+FROM u
+"""
+
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/validate.py, round 8):
+    five expectations over the orders table — four row-level
+    predicates riding ONE map-side-combined aggregate (one scan
+    however many rules) plus a uniqueness rule (distinct-key
+    aggregate). Exact integer violation counts, ppm rate."""
+    from duo_spark.operators.validate import validate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return validate(
+        orders,
+        rules={
+            "totalprice_positive": "o_totalprice > 0",
+            "status_in_domain": "o_orderstatus IN ('O', 'F', 'P')",
+            "orderdate_not_null": "o_orderdate IS NOT NULL",
+            "priority_prefixed": "o_orderpriority LIKE '_-%'",
+        },
+        unique=["o_orderkey"],
+    )
+
+
+SQL_VALIDATE_ORDERS = """
+WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+rowrules AS (
+  SELECT * FROM (
+    SELECT 'totalprice_positive' AS rule,
+           CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'priority_prefixed',
+           CAST(SUM(CASE WHEN COALESCE(o_orderpriority LIKE '_-%', FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT) FROM orders)),
+uniq AS (
+  SELECT 'unique(o_orderkey)' AS rule,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_violations
+  FROM (SELECT count(*) AS c FROM orders WHERE o_orderkey IS NOT NULL
+        GROUP BY o_orderkey HAVING count(*) > 1)),
+allrules AS (SELECT * FROM rowrules UNION ALL SELECT * FROM uniq)
+SELECT rule, b.n_rows, a.n_violations,
+       CAST(floor(a.n_violations * 1000000 / b.n_rows) AS BIGINT)
+         AS violation_ppm
+FROM allrules a CROSS JOIN base b
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives,
+    round 8): for three anchor vectors, the 5 nearest corpus vectors
+    with a DIFFERENT label — contrastive-training near-misses. Same
+    broadcast + two-phase top-k shape as topk_batch; the label filter
+    runs map-side before any aggregation."""
+    from duo_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "anchor_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT q.anchor_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+          * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*x)))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.ql AND e.vec_id <> q.anchor_id),
+ranked AS (
+  SELECT anchor_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM sims)
+SELECT anchor_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5193,7 +5434,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # span merges + pipeline default flip, BPE refactor, sketch
     # guards, random_projection guard);
     # 24-44: the 21 stalest entries (newest driver row r5, rule 3);
-    # 45-50: r6 per-family keepers, stalest-first fill.
+    # 45: one r6 keeper; 46-50: the round-8 operator-wave additions
+    # (rule 1 — they displace five r6 keepers, all ≤2 rounds stale).
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
@@ -5239,13 +5481,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
+    "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
+    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
+    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    # --- below the driver window: every entry here has an r6/r7
+    # driver-green row; the full local parity clone covers all ---
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    # --- below the driver window: every entry here has an r6/r7
-    # driver-green row; the full local parity clone covers all ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
