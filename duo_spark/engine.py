@@ -202,6 +202,37 @@ class DuoEngine:
         ).start()
         return self._http.address
 
+    # ---------------------------------------------------- maintenance --
+
+    def compact(self, retain_latest: int = 2) -> None:
+        """Fold small files across both tables' layouts (round 8):
+        the fast span engine's completed delta log compacts via
+        ``merge.compact_completed`` (a 60 s tick writes ~1,440 tiny
+        delta dirs/day; the versioned snapshot fold is crash-safe),
+        and the log table's minute partitions fold to hour files via
+        ``PartitionedStore.compact``. Memory mode has nothing on disk
+        to compact. Safe to run while pipelines are live: both folds
+        only touch versions/partitions no in-flight batch can rewrite."""
+        if self.memory_mode:
+            return
+        def _exists(table: str) -> bool:
+            fs, p = self.store._fs(self.store.table_path(table))
+            return fs.exists(p)
+
+        if self.span_engine == "fast":
+            from duo_spark.streaming.merge import compact_completed
+
+            # no-ops gracefully when nothing has been ingested yet
+            compact_completed(
+                self.spark,
+                self.store.table_path("span"),
+                retain_latest=retain_latest,
+            )
+        elif _exists("span"):
+            self.store.compact("span", to_granularity="hour")
+        if _exists("log"):
+            self.store.compact("log", to_granularity="hour")
+
     # --------------------------------------------------------- stop --
 
     def stop(self) -> None:

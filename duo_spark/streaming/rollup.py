@@ -166,16 +166,16 @@ def _streaming_register_rollup(
     stream: DataFrame,
     partial_fn,
     key_cols: list[str],
-    value_col: str,
-    merge_agg,
+    merge_aggs: dict,
     out_dir: str,
     checkpoint_dir: str,
 ):
     """Shared versioned-merge loop: ``partial_fn(batch)`` -> register
     table keyed by ``key_cols``; versions merge by unioning and
-    re-aggregating ``value_col`` with ``merge_agg`` (max for HLL, sum
-    for CMS) — associative+commutative, so any batch schedule yields
-    the whole-stream sketch."""
+    re-aggregating each ``merge_aggs[col]`` (max for HLL registers,
+    sum for CMS counts, per-column sums/min/max for moments) — all
+    associative+commutative, so any batch schedule yields the
+    whole-stream sketch."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -190,7 +190,12 @@ def _streaming_register_rollup(
             merged = (
                 partial.unionByName(prev)
                 .groupBy(*key_cols)
-                .agg(merge_agg(F.col(value_col)).alias(value_col))
+                .agg(
+                    *[
+                        agg(F.col(c)).alias(c)
+                        for c, agg in merge_aggs.items()
+                    ]
+                )
             )
         merged.write.mode("overwrite").parquet(f"{out_dir}/v={batch_id}")
         keep = (batch_id,) if prev_id is None else (batch_id, prev_id)
@@ -225,8 +230,7 @@ def streaming_hll_rollup(
         stream,
         lambda b: hll_sketch(b, group_cols, value_col, m),
         [*group_cols, "bucket"],
-        "register",
-        F.max,
+        {"register": F.max},
         out_dir,
         checkpoint_dir,
     )
@@ -256,8 +260,41 @@ def streaming_cms_rollup(
             b, value_col, w=w, d=d, weight_col=weight_col, group_cols=g
         ),
         [*g, "row", "bucket"],
-        "count",
-        F.sum,
+        {"count": F.sum},
+        out_dir,
+        checkpoint_dir,
+    )
+
+
+def streaming_moments_rollup(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    scale: int = 100,
+):
+    """Continuously maintained moments sketch (round 8): per-batch
+    DECIMAL power sums merged additively (n/m1..m4 sum, vmin/vmax
+    min/max — operators/sketch.moments_merge's algebra), so
+    mean/stddev/skew/p95 estimates over the WHOLE stream are one
+    `moments_stats` call over a constant-width table at any moment.
+    Returns the started availableNow query."""
+    from duo_spark.operators.sketch import moments_sketch
+
+    return _streaming_register_rollup(
+        stream,
+        lambda b: moments_sketch(b, group_cols, value_col, scale),
+        group_cols,
+        {
+            "n": F.sum,
+            "vmin": F.min,
+            "vmax": F.max,
+            "m1": F.sum,
+            "m2": F.sum,
+            "m3": F.sum,
+            "m4": F.sum,
+        },
         out_dir,
         checkpoint_dir,
     )

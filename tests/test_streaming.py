@@ -1008,3 +1008,66 @@ def test_streaming_cms_rollup_additive_merge_equals_batch(spark, scratch, sf_dir
         for r in cms_sketch(ev, "user_id", w=256, d=4).collect()
     }
     assert got == want and got
+
+
+def test_streaming_moments_rollup_equals_batch_sketch(spark, scratch, sf_dir):
+    """Round 8: the streamed moments merge (sum/min/max per column) is
+    EXACTLY the one-shot sketch — decimal sums are order-free."""
+    from duo_spark.operators.sketch import moments_sketch
+    from duo_spark.streaming.rollup import read_rollup, streaming_moments_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = os.path.join(scratch, "mom_in")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = os.path.join(scratch, "mom_roll")
+    q = streaming_moments_rollup(
+        stream, ["event_type"], "value",
+        out_dir=out, checkpoint_dir=os.path.join(scratch, "mom_ck"),
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n, r.vmin, r.vmax, r.m1, r.m2, r.m3, r.m4)
+        for r in read_rollup(spark, out).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.vmin, r.vmax, r.m1, r.m2, r.m3, r.m4)
+        for r in moments_sketch(ev, ["event_type"], "value").collect()
+    }
+    assert got == want and got
+
+
+def test_engine_compact_folds_fast_span_deltas(spark, scratch):
+    """DuoEngine.compact() (round 8): repeated drains leave multiple
+    completed delta versions; compaction folds the old ones into a
+    snapshot, and spans() reads the identical row set after."""
+    from duo_spark.engine import DuoEngine
+
+    data_dir = os.path.join(scratch, "data")
+    eng = DuoEngine(spark, data_dir, trigger_seconds=1)
+    src = eng.span_source
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        spark.createDataFrame(
+            [_rec(100 + i, start=BASE + i, end=BASE + i + 10)], SPAN_SCHEMA
+        ).write.mode("append").parquet(src)
+        eng.drain()
+    span_root = eng.store.table_path("span")
+    n_before = len([d for d in os.listdir(os.path.join(span_root, "completed"))
+                    if d.startswith("v=")])
+    assert n_before >= 3
+    before = {(r.id, r.end) for r in eng.spans().collect()}
+    eng.compact(retain_latest=1)
+    assert os.path.isdir(os.path.join(span_root, "compacted"))
+    n_after = len([d for d in os.listdir(os.path.join(span_root, "completed"))
+                   if d.startswith("v=")])
+    assert n_after < n_before
+    after = {(r.id, r.end) for r in eng.spans().collect()}
+    assert after == before == {(100 + i, BASE + i + 10) for i in range(4)}
