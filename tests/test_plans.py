@@ -505,3 +505,42 @@ def test_cms_sliding_probe_sized_joins(spark, sf):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_label_resolution_two_hash_aggregates_no_window(spark, sf):
+    """Vote counting + the min_by pick are hash aggregates with
+    map-side partials — never a per-item rank window."""
+    plan = _plan(QUERIES["label_resolution"][0](spark, sf))
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_moments_quantiles_partial_decimal_sums(spark, sf):
+    """Power sums are ONE map-side-combined aggregate over the scan —
+    no join, no window, no Python; decimal sums combine partially."""
+    plan = _plan(QUERIES["moments_quantiles"][0](spark, sf))
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_validate_orders_row_rules_share_one_scan(spark, sf):
+    """The four row-level rules ride one aggregate; with the
+    uniqueness rule that is exactly three scans of orders in the
+    whole plan (rules + total + dup-keys), not one per rule."""
+    plan = _plan(QUERIES["validate_orders"][0](spark, sf))
+    assert "Python" not in plan
+    assert plan.count("FileScan parquet") <= 3
+    assert "partial" in plan.lower()
+
+
+def test_hard_negatives_broadcast_and_filter_before_aggregate(spark, sf):
+    """Anchors broadcast; the label-mismatch filter cuts pairs before
+    the two-phase top-k aggregates."""
+    plan = _plan(QUERIES["hard_negatives"][0](spark, sf))
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
