@@ -60,7 +60,12 @@ def pct_normalize(col: Column) -> Column:
     Pure codegen: split on '%', then each later piece's first two
     chars are the escape hex — transform + conv + char, no UDF. A '%'
     NOT followed by two hex digits is not a valid escape and passes
-    through untouched (lenient, like crawlers must be).
+    through untouched (lenient, like crawlers must be). Components
+    with no '%' at all — the overwhelming majority of a crawl —
+    short-circuit past the split/transform entirely behind one
+    contains() check (the gate's synthetic mix is a quarter escaped,
+    so the gate barely moves; an unescaped corpus skips the whole
+    array pipeline).
     """
     parts = F.split(col, "%", -1)
 
@@ -81,7 +86,9 @@ def pct_normalize(col: Column) -> Column:
         )
         return F.when(i == 0, p).otherwise(fixed)
 
-    return F.array_join(F.transform(parts, fix), "")
+    return F.when(~col.contains("%"), col).otherwise(
+        F.array_join(F.transform(parts, fix), "")
+    )
 
 
 def _idn_fold_udf():
