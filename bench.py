@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "moments_quantiles",
     "validate_orders",
     "hard_negatives",
+    "hard_negatives_lsh",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -1046,3 +1046,84 @@ def hard_negatives(
         )
     )
     return _topk_two_phase(scored, k, id_col, anchor_id_col)
+
+
+def hard_negatives_lsh(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+    anchor_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining at ANCHOR scale (round 8): when every
+    training sample is an anchor, :func:`hard_negatives`'s broadcast
+    cross-score is O(n·|anchors|) — this variant bands BOTH sides
+    with the same hyperplane signatures (the
+    ``embedding_near_dup_pairs`` LSH machinery) and scores only
+    same-bucket, different-label pairs: an equi-join on (band, key),
+    never all pairs. Exact cosine on the candidates keeps precision 1;
+    recall per true near-neighbor is 1-(1-(1-θ/π)^r)^bands — the
+    closer (harder) the negative, the likelier it collides, which is
+    exactly the bias a hard-negative miner wants.
+
+    Parameter regime — DIFFERENT from near-dup LSH: hard negatives
+    live at MODERATE cosine (θ ≈ 50-70°), where an 8-plane signature
+    almost never fully agrees ((1-θ/π)^8 ≈ 2% per band — measured 0/6
+    top-1 recall at 4×8 on the gate embeddings). Few planes + many
+    bands is the working point: the 16×4 default gives per-band
+    collision (1-θ/π)^4 ≈ 0.20 at θ=60° and ≈ 97% top-1 recall over
+    16 bands, while still cutting the candidate set quadratically vs
+    all-pairs on the label-mismatch side.
+
+    Candidates are de-duplicated across bands BEFORE the cosine (one
+    distinct on (anchor, id)), then reduced with the shared two-phase
+    top-k — shuffle is candidates + |anchors|·k·partitions rows.
+    """
+    planes = [
+        make_hyperplanes(dim, planes_per_band, seed + band)
+        for band in range(bands)
+    ]
+
+    def banded(df: DataFrame, idc: str, vecc: str, labc: str, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(f"{prefix}id"),
+            F.col(vecc).alias(f"{prefix}v"),
+            F.col(labc).alias(f"{prefix}l"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            hyperplane_bucket(F.col(vecc), planes[band]).alias(
+                                "key"
+                            ),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{prefix}id", f"{prefix}v", f"{prefix}l", "bk.band", "bk.key")
+
+    c = banded(corpus, id_col, vec_col, label_col, "_c")
+    a = banded(anchors, anchor_id_col, anchor_vec_col, anchor_label_col, "_a")
+    cand = (
+        c.join(a, ["band", "key"])
+        .filter((F.col("_cl") != F.col("_al")) & (F.col("_cid") != F.col("_aid")))
+        .select("_aid", "_cid", "_av", "_cv")
+        .distinct()
+    )
+    scored = cand.select(
+        F.col("_aid").alias(anchor_id_col),
+        F.col("_cid").alias(id_col),
+        cosine(F.col("_cv"), F.col("_av")).alias("cosine"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    return _topk_two_phase(scored, k, id_col, anchor_id_col)

@@ -5417,6 +5417,66 @@ FROM ranked WHERE rank <= 5
 """
 
 
+
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed hard-negative mining (operators/similarity.py
+    hard_negatives_lsh, round 8) — the anchor-scale path: both sides
+    banded with the same hyperplane signatures, candidates are
+    same-bucket different-label pairs (equi-join, never all pairs),
+    exact cosine + two-phase top-3. The oracle REPLAYS the pruning
+    (the ann_lsh pattern): hyperplane constants inlined as VALUES,
+    band keys recomputed per row/anchor in float64, identical
+    admission, exact cosine rank."""
+    from duo_spark.operators.similarity import hard_negatives_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = hard_negatives_lsh(emb, anchors, k=3, bands=16, planes_per_band=4)
+    return out.select(
+        "anchor_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_HARD_NEGATIVES_LSH = f"""
+WITH planes(t, j, p) AS (VALUES {_lsh_planes_values(n_tables=16, n_planes=4)}),
+rows_ AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+rb AS (
+  SELECT vec_id, label, t,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> p[i] * v[i])) >= 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS b
+  FROM planes, rows_ GROUP BY vec_id, label, t),
+anch AS (SELECT vec_id AS anchor_id, label AS al, b AS ab, t
+         FROM rb WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT DISTINCT a.anchor_id, r.vec_id
+  FROM rb r JOIN anch a ON r.t = a.t AND r.b = a.ab
+  WHERE r.label <> a.al AND r.vec_id <> a.anchor_id),
+scored AS (
+  SELECT c.anchor_id, c.vec_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+          * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*x)))) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.anchor_id),
+ranked AS (
+  SELECT anchor_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT anchor_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5434,8 +5494,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # span merges + pipeline default flip, BPE refactor, sketch
     # guards, random_projection guard);
     # 24-44: the 21 stalest entries (newest driver row r5, rule 3);
-    # 45: one r6 keeper; 46-50: the round-8 operator-wave additions
-    # (rule 1 — they displace five r6 keepers, all ≤2 rounds stale).
+    # 45-50: the six round-8 operator-wave additions (rule 1 — they
+    # displace all six r6 keepers, each ≤2 rounds stale).
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
@@ -5480,14 +5540,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
     "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
     "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
     "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
     # --- below the driver window: every entry here has an r6/r7
     # driver-green row; the full local parity clone covers all ---
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),

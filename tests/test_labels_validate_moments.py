@@ -160,3 +160,28 @@ def test_hard_negatives_plan_no_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan
     assert "Window" not in plan  # two-phase aggregate, not a rank window
+
+
+def test_hard_negatives_lsh_candidates_valid_and_recall(spark, sf_dir):
+    """LSH-mined negatives satisfy the same constraints as exact ones,
+    and with 16x4 banding (the moderate-cosine regime — see the
+    operator docstring) the top-1 exact negative is recalled for most
+    anchors."""
+    from duo_spark.operators.similarity import hard_negatives, hard_negatives_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    lsh = hard_negatives_lsh(emb, anchors, k=3, bands=16, planes_per_band=4).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in lsh:
+        assert labels[r.vec_id] != labels[r.anchor_id]
+        assert r.vec_id != r.anchor_id
+    exact = hard_negatives(emb, anchors, k=1).collect()
+    top1 = {r.anchor_id: r.vec_id for r in exact}
+    got = {(r.anchor_id, r.vec_id) for r in lsh}
+    hits = sum(1 for a, v in top1.items() if (a, v) in got)
+    assert hits >= len(top1) // 2, (hits, len(top1))
