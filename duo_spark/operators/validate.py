@@ -26,9 +26,12 @@ def validate(
     df: DataFrame,
     rules: dict[str, str],
     unique: list[str] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
 ) -> DataFrame:
     """Evaluate ``rules`` (name -> SQL boolean predicate that a GOOD
-    row satisfies) and optional ``unique`` column-sets over ``df``.
+    row satisfies), optional ``unique`` column-sets, and optional
+    ``foreign_keys`` (child_col, parent_df, parent_col) referential
+    expectations over ``df``.
 
     Returns one row per rule: ``(rule, n_rows, n_violations,
     violation_ppm)`` — violations are rows where the predicate is
@@ -38,9 +41,12 @@ def validate(
     Row-level rules share ONE aggregate (one scan however many rules);
     each uniqueness rule adds one distinct-key aggregate (shuffle =
     distinct keys; its violation count is rows carrying a duplicated
-    key value, NULLs exempt like SQL UNIQUE).
+    key value, NULLs exempt like SQL UNIQUE). Each foreign-key rule is
+    a LEFT ANTI join against the parent's DISTINCT keys — when the
+    parent key set is small it broadcasts, so the child never
+    shuffles; NULL child keys are exempt like SQL FK semantics.
     """
-    if not rules and not unique:
+    if not rules and not unique and not foreign_keys:
         raise ValueError("validate: no rules given")
     total = F.count(F.lit(1)).alias("n_rows")
     aggs = [total] + [
@@ -85,6 +91,24 @@ def validate(
         parts.append(
             n_all.crossJoin(dup_rows).select(
                 F.lit("unique(" + ", ".join(key) + ")").alias("rule"),
+                F.col("n_rows").cast("long"),
+                F.col("n_violations").cast("long"),
+            )
+        )
+    for child_col, parent, parent_col in foreign_keys or []:
+        orphans = (
+            df.filter(F.col(child_col).isNotNull())
+            .join(
+                parent.select(F.col(parent_col).alias(child_col)).distinct(),
+                child_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        n_all = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        parts.append(
+            n_all.crossJoin(orphans).select(
+                F.lit(f"fk({child_col} -> {parent_col})").alias("rule"),
                 F.col("n_rows").cast("long"),
                 F.col("n_violations").cast("long"),
             )

@@ -5324,13 +5324,15 @@ FROM u
 
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (operators/validate.py, round 8):
-    five expectations over the orders table — four row-level
+    six expectations over the orders table — four row-level
     predicates riding ONE map-side-combined aggregate (one scan
-    however many rules) plus a uniqueness rule (distinct-key
-    aggregate). Exact integer violation counts, ppm rate."""
+    however many rules), a uniqueness rule (distinct-key aggregate),
+    and a referential rule (o_custkey ⊆ customer, broadcast anti
+    join). Exact integer violation counts, ppm rate."""
     from duo_spark.operators.validate import validate
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return validate(
         orders,
         rules={
@@ -5340,6 +5342,7 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_prefixed": "o_orderpriority LIKE '_-%'",
         },
         unique=["o_orderkey"],
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
     )
 
 
@@ -5368,7 +5371,14 @@ uniq AS (
          CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_violations
   FROM (SELECT count(*) AS c FROM orders WHERE o_orderkey IS NOT NULL
         GROUP BY o_orderkey HAVING count(*) > 1)),
-allrules AS (SELECT * FROM rowrules UNION ALL SELECT * FROM uniq)
+fk AS (
+  SELECT 'fk(o_custkey -> c_custkey)' AS rule,
+         CAST(count(*) AS BIGINT) AS n_violations
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+allrules AS (SELECT * FROM rowrules UNION ALL SELECT * FROM uniq
+             UNION ALL SELECT * FROM fk)
 SELECT rule, b.n_rows, a.n_violations,
        CAST(floor(a.n_violations * 1000000 / b.n_rows) AS BIGINT)
          AS violation_ppm

@@ -120,6 +120,22 @@ def test_validate_counts_violations_and_uniqueness(spark):
     assert out["price_positive"].violation_ppm == 400000
 
 
+def test_validate_foreign_key_counts_orphans(spark):
+    from duo_spark.operators.validate import validate
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "k int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    out = {r.rule: r for r in validate(
+        child, rules={"k_positive": "k > 0"},
+        foreign_keys=[("fk", parent, "pk")],
+    ).collect()}
+    # 99 is an orphan; NULL fk is exempt
+    assert out["fk(fk -> pk)"].n_violations == 1
+    assert out["fk(fk -> pk)"].n_rows == 4
+
+
 def test_validate_rejects_empty_ruleset(spark):
     from duo_spark.operators.validate import validate
 

@@ -528,12 +528,17 @@ def test_moments_quantiles_partial_decimal_sums(spark, sf):
 
 
 def test_validate_orders_row_rules_share_one_scan(spark, sf):
-    """The four row-level rules ride one aggregate; with the
-    uniqueness rule that is exactly three scans of orders in the
-    whole plan (rules + total + dup-keys), not one per rule."""
+    """The four row-level rules ride one aggregate — scans of orders
+    stay bounded by RULE CLASS (rules + total + dup-keys + fk child +
+    per-fk totals), never one per rule; the fk parent lookup
+    broadcasts."""
     plan = _plan(QUERIES["validate_orders"][0](spark, sf))
     assert "Python" not in plan
-    assert plan.count("FileScan parquet") <= 3
+    # 4 row rules share one scan: orders appears once per rule CLASS
+    # structure (row-agg, unique total, unique dup-keys, fk total,
+    # fk anti-join child), plus the customer parent scan
+    assert plan.count("FileScan parquet") <= 6
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "partial" in plan.lower()
 
 
