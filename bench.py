@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "validate_orders",
     "hard_negatives",
     "hard_negatives_lsh",
+    "k_anonymity",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

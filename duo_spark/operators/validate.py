@@ -124,3 +124,39 @@ def validate(
             F.col("n_violations") * F.lit(1_000_000) / F.col("n_rows")
         ).cast("long").alias("violation_ppm"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) — the governance check a
+    training-data release runs before shipping anything derived from
+    user activity: every combination of quasi-identifier values must
+    be shared by at least ``k`` rows, or those rows are re-identifiable
+    by joining the quasi-identifiers against an external dataset.
+
+    Returns ONE row: ``(n_rows, n_classes, min_class_size,
+    k_anonymous, n_violating_rows, n_violating_classes)`` where a
+    violating class is an equivalence class (distinct quasi-identifier
+    combination) with fewer than ``k`` members and the dataset is
+    k-anonymous iff there are none.
+
+    Scale shape: one map-side-combined hash aggregate to class counts
+    (shuffle = distinct quasi combinations) + one 1-row reduction of
+    that class table. NULL quasi values form their own class (they
+    group together, like SQL GROUP BY) — a NULL is still a joinable
+    value to an attacker.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return classes.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_c").alias("min_class_size"),
+        (F.min("_c") >= k).alias("k_anonymous"),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0)).alias(
+            "n_violating_rows"
+        ),
+        F.sum(F.when(F.col("_c") < k, 1).otherwise(0)).alias(
+            "n_violating_classes"
+        ),
+    )

@@ -5487,6 +5487,42 @@ FROM ranked WHERE rank <= 3
 """
 
 
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/validate.py k_anonymity, round 8,
+    Sweeney 2002): are users re-identifiable from (event_type, hour,
+    value-band) quasi-identifiers at k=5? One hash aggregate to
+    equivalence classes + a 1-row reduction — the governance gate a
+    user-derived training set runs before release."""
+    from duo_spark.operators.validate import k_anonymity
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") / 100).cast("long").alias("value_band"),
+    )
+    return k_anonymity(ev, ["event_type", "hr", "value_band"], k=5)
+
+
+SQL_K_ANONYMITY = """
+WITH q AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(floor(value / 100) AS BIGINT) AS value_band
+  FROM events),
+c AS (SELECT event_type, hr, value_band, CAST(count(*) AS BIGINT) AS _c
+      FROM q GROUP BY 1, 2, 3)
+SELECT CAST(sum(_c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(_c) AS BIGINT) AS min_class_size,
+       min(_c) >= 5 AS k_anonymous,
+       CAST(sum(CASE WHEN _c < 5 THEN _c ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(sum(CASE WHEN _c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes
+FROM c
+"""
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5556,8 +5592,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
-    # --- below the driver window: every entry here has an r6/r7
-    # driver-green row; the full local parity clone covers all ---
+    # --- below the driver window: k_anonymity is a round-8 addition
+    # that missed the full 50-slot window (first in line for r9,
+    # rotation rule 1; sf0.001+sf0.01 local-parity green this round);
+    # every other entry here has an r6/r7 driver-green row ---
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),

@@ -201,3 +201,17 @@ def test_hard_negatives_lsh_candidates_valid_and_recall(spark, sf_dir):
     got = {(r.anchor_id, r.vec_id) for r in lsh}
     hits = sum(1 for a, v in top1.items() if (a, v) in got)
     assert hits >= len(top1) // 2, (hits, len(top1))
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from duo_spark.operators.validate import k_anonymity
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", None)] * 3
+    df = spark.createDataFrame(rows, "t string, z int")
+    r = k_anonymity(df, ["t", "z"], k=3).collect()[0]
+    assert r.n_rows == 10 and r.n_classes == 3
+    assert r.min_class_size == 2 and not r.k_anonymous
+    assert r.n_violating_rows == 2 and r.n_violating_classes == 1
+    # NULL quasi values form their own (countable) class
+    r3 = k_anonymity(df, ["t", "z"], k=2).collect()[0]
+    assert r3.k_anonymous
