@@ -116,13 +116,14 @@ def validate(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    ppm = F.when(F.col("n_rows") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("n_violations") * F.lit(1_000_000) / F.col("n_rows"))
+    )
     return out.select(
         "rule",
         "n_rows",
         "n_violations",
-        F.floor(
-            F.col("n_violations") * F.lit(1_000_000) / F.col("n_rows")
-        ).cast("long").alias("violation_ppm"),
+        ppm.cast("long").alias("violation_ppm"),
     )
 
 

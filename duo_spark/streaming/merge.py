@@ -178,6 +178,9 @@ def fast_merge_processor(
                 )
         done = completed.withColumn("tags", _resolve_tags_col()).drop("_pairs")
         if partition_completed:
+            # the emptiness probe is a third batch-sized pass (merge
+            # recomputes per action — still cheaper than holding the
+            # batch hostage in a localCheckpoint for a 60 s cadence)
             if done.limit(1).count() > 0:
                 from duo_spark.sources.store import with_partition_cols
 
