@@ -180,6 +180,7 @@ BENCH_EXCLUDED = {
     "streaming_funnel",
     "streaming_rollup",
     "streaming_hll_rollup",
+    "streaming_moments_rollup",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",

@@ -5523,6 +5523,42 @@ FROM c
 """
 
 
+
+def q_streaming_moments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained moments sketch (round 8,
+    streaming/rollup.streaming_moments_rollup): the events stream split
+    across two micro-batches, per-batch DECIMAL power sums add-merged
+    into the previous version, stats from the final registers. The
+    merge is exact (decimal sums are order-free), so the oracle is the
+    same one-shot replay as moments_quantiles."""
+    import uuid as _uuid
+
+    from duo_spark.operators.sketch import moments_stats
+    from duo_spark.streaming.pipeline import _scratch
+    from duo_spark.streaming.rollup import read_rollup, streaming_moments_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    run = _scratch("smom", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_moments_rollup(
+        stream, ["event_type"], "value",
+        out_dir=f"{run}/rollup", checkpoint_dir=f"{run}/ckpt",
+    )
+    q.awaitTermination()
+    return moments_stats(read_rollup(spark, f"{run}/rollup"), ["event_type"])
+
+
+#: add-merge of decimal power sums == the one-shot sketch exactly
+SQL_STREAMING_MOMENTS_ROLLUP = SQL_MOMENTS_QUANTILES
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5592,11 +5628,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
-    # --- below the driver window: k_anonymity is a round-8 addition
-    # that missed the full 50-slot window (first in line for r9,
-    # rotation rule 1; sf0.001+sf0.01 local-parity green this round);
-    # every other entry here has an r6/r7 driver-green row ---
+    # --- below the driver window: k_anonymity and
+    # streaming_moments_rollup are round-8 additions that missed the
+    # full 50-slot window (first in line for r9, rotation rule 1;
+    # both sf0.001+sf0.01 local-parity green this round); every other
+    # entry here has an r6/r7 driver-green row ---
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
