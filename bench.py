@@ -196,6 +196,11 @@ def _force(df) -> None:
 
 
 def main() -> None:
+    # reclaim stale staged-stream scratch from prior runs BEFORE
+    # staging this one (76 GB had accumulated by round 8)
+    from duo_spark.streaming.pipeline import prune_scratch
+
+    prune_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # no stage-progress bars on stdout: the result JSON line must be the

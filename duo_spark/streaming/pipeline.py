@@ -43,6 +43,35 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def prune_scratch(max_age_s: float = 6 * 3600) -> int:
+    """Delete scratch subtrees older than ``max_age_s`` (round 8):
+    every staged-stream gate query and store test leaves its run dir
+    under SCRATCH_ROOT, and across rounds that accumulated 76 GB and
+    filled the disk. Age-gated so concurrent runs are never touched;
+    returns the number of subtrees removed. Called by bench.py and
+    the test session setup — any long-lived entry point."""
+    import shutil
+    import time
+
+    if not os.path.isdir(SCRATCH_ROOT):
+        return 0
+    cutoff = time.time() - max_age_s
+    removed = 0
+    for family in os.listdir(SCRATCH_ROOT):
+        fam_dir = os.path.join(SCRATCH_ROOT, family)
+        if not os.path.isdir(fam_dir):
+            continue
+        for run in os.listdir(fam_dir):
+            run_dir = os.path.join(fam_dir, run)
+            try:
+                if os.path.getmtime(run_dir) < cutoff:
+                    shutil.rmtree(run_dir, ignore_errors=True)
+                    removed += 1
+            except OSError:
+                continue
+    return removed
+
+
 def span_record_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -16,6 +16,12 @@ BASE_US = 1_654_963_200_000_000  # 2022-06-11T16:00:00Z
 
 @pytest.fixture(scope="session")
 def spark():
+    # reclaim stale staged-stream scratch from prior sessions (76 GB
+    # had accumulated and filled the disk by round 8); age-gated, so
+    # a concurrently-running bench/driver is never touched
+    from duo_spark.streaming.pipeline import prune_scratch
+
+    prune_scratch()
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
     s = get_spark("duo_spark_tests", **{"spark.sql.shuffle.partitions": "4"})
     yield s
