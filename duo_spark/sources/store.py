@@ -50,6 +50,26 @@ PARTITION_COLS = ("date", "hour", "minute")
 _GRAN_COLS = {"date": ["date"], "hour": ["date", "hour"], "minute": list(PARTITION_COLS)}
 
 
+#: expected distinct trace_ids PER FILE for bloom sizing. Without
+#: this, parquet-mr pre-allocates its MAX bitmap (1 MB) per file —
+#: measured in round 8: a fast-pipeline delta version holding 7 MB of
+#: span data weighed 5 GB because ~5,000 date-partitioned slivers each
+#: carried the 1 MB floor. 50k NDV @ 1% FPR ≈ 60 KB per file — right
+#: for minute-grained files; bump per-table for 128 MB+ compacted
+#: files if their per-file trace cardinality is higher.
+BLOOM_EXPECTED_NDV = 50_000
+
+
+def bloom_options(writer, column: str = "trace_id"):
+    """Apply the repo-wide bloom-filter write options (enable + size)."""
+    return writer.option(
+        f"parquet.bloom.filter.enabled#{column}", "true"
+    ).option(
+        f"parquet.bloom.filter.expected.ndv#{column}",
+        str(BLOOM_EXPECTED_NDV),
+    )
+
+
 def with_partition_cols(df: DataFrame, time_col: str, granularity: str = "minute") -> DataFrame:
     """Derive date/hour/minute partition columns from a µs-epoch column."""
     ts = timestamp_from_us(time_col)
@@ -103,7 +123,7 @@ class PartitionedStore:
             .partitionBy(*cols)
         )
         if "trace_id" in df.columns:
-            writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
+            writer = bloom_options(writer)
         writer.parquet(self.table_path(table))
 
     def read(self, table: str) -> DataFrame:
@@ -351,7 +371,7 @@ class PartitionedStore:
             rep = rep.sortWithinPartitions(*cols, tcol)
         writer = rep.write.mode("overwrite").partitionBy(*cols)
         if "trace_id" in df.columns:
-            writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
+            writer = bloom_options(writer)
         writer.parquet(scratch)
         self._swap(table, scratch)
         self.granularity = to_granularity
@@ -385,7 +405,7 @@ class PartitionedStore:
         if cols:
             writer = writer.partitionBy(*cols)
         if "trace_id" in out.columns:
-            writer = writer.option("parquet.bloom.filter.enabled#trace_id", "true")
+            writer = bloom_options(writer)
         writer.parquet(scratch)
         self._swap(table, scratch)
 

@@ -182,15 +182,21 @@ def fast_merge_processor(
             # recomputes per action — still cheaper than holding the
             # batch hostage in a localCheckpoint for a 60 s cadence)
             if done.limit(1).count() > 0:
-                from duo_spark.sources.store import with_partition_cols
-
-                (
-                    with_partition_cols(done, "start", "minute")
-                    .write.mode("overwrite")
-                    .option("parquet.bloom.filter.enabled#trace_id", "true")
-                    .partitionBy("date", "hour", "minute")
-                    .parquet(f"{out_dir}/completed/v={batch_id}")
+                from duo_spark.sources.store import (
+                    bloom_options,
+                    with_partition_cols,
                 )
+
+                # repartition on the partition cols: one file per dir
+                # per batch, not one sliver per task per dir (and
+                # bloom_options sizes the per-file bloom — see
+                # BLOOM_EXPECTED_NDV for the 1 MB-floor incident)
+                part = with_partition_cols(done, "start", "minute")
+                bloom_options(
+                    part.repartition("date", "hour", "minute")
+                    .write.mode("overwrite")
+                    .partitionBy("date", "hour", "minute")
+                ).parquet(f"{out_dir}/completed/v={batch_id}")
             else:
                 # replay idempotence: a pre-crash non-empty write for a
                 # batch that deterministically completes nothing cannot

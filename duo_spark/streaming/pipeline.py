@@ -29,7 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from duo_spark.schemas import LOG_CORE_SCHEMA, SPAN_SCHEMA
-from duo_spark.sources.store import with_partition_cols
+from duo_spark.sources.store import BLOOM_EXPECTED_NDV, with_partition_cols
 from duo_spark.streaming.state import DEFAULT_TTL_MS, complete_spans
 
 #: scratch root for checkpoints / replay staging (kept inside the repo
@@ -214,6 +214,10 @@ def start_span_pipeline(
         writer.format("parquet")
         .option("path", out_dir)
         .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .option(
+            "parquet.bloom.filter.expected.ndv#trace_id",
+            str(BLOOM_EXPECTED_NDV),
+        )
         .partitionBy("date", "hour", "minute")
         .start()
     )
@@ -326,6 +330,10 @@ def start_log_pipeline(
         writer.format("parquet")
         .option("path", out_dir)
         .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .option(
+            "parquet.bloom.filter.expected.ndv#trace_id",
+            str(BLOOM_EXPECTED_NDV),
+        )
         .partitionBy("date", "hour", "minute")
         .start()
     )
