@@ -108,15 +108,18 @@ def fast_merge_processor(
     trigger and sink arrangement (VERDICT r7 #4: the 36× path is now
     the pipeline default).
 
-    ``partition_completed=True`` writes each completed delta version
-    in the batch store's K1 layout (date=/hour=/minute= dirs + the
-    trace_id bloom filter) INSIDE ``completed/v=<id>`` — partition
-    pruning and bloom skipping work per version, and
-    :func:`read_completed` still unions versions exactly-once. An
-    empty completed batch SKIPS its version entirely (a partitioned
-    write of zero rows creates no readable files): deterministic
-    replay recomputes the identical emptiness, so a missing version
-    and an empty one are indistinguishable by construction.
+    ``partition_completed=True`` adds the K1 date/hour/minute
+    partition COLUMNS to each completed delta version — as DATA
+    columns, one flat write per batch. Round-8 lesson (probe 19): a
+    per-batch ``partitionBy`` write fans every micro-batch across
+    every calendar directory its spans touch (the probe's date-spread
+    workload hit ~2,500 dirs/batch → 48 s batches, 13× slower than
+    the merge itself); the delta log therefore stays flat and FAST,
+    and :func:`compact_completed` pays the directory fan-out ONCE,
+    folding deltas into a REAL partitioned + bloom-filtered snapshot
+    that pruning-sensitive readers scan. Recent deltas are small by
+    construction (at most a few ticks), so scanning them unpruned
+    costs nothing.
 
     ``on_batch(spark, batch_id)``, if given, runs after each batch's
     state is committed — the memory-mode hook that refreshes the
@@ -178,34 +181,12 @@ def fast_merge_processor(
                 )
         done = completed.withColumn("tags", _resolve_tags_col()).drop("_pairs")
         if partition_completed:
-            # the emptiness probe is a third batch-sized pass (merge
-            # recomputes per action — still cheaper than holding the
-            # batch hostage in a localCheckpoint for a 60 s cadence)
-            if done.limit(1).count() > 0:
-                from duo_spark.sources.store import (
-                    bloom_options,
-                    with_partition_cols,
-                )
+            from duo_spark.sources.store import with_partition_cols
 
-                # repartition on the partition cols: one file per dir
-                # per batch, not one sliver per task per dir (and
-                # bloom_options sizes the per-file bloom — see
-                # BLOOM_EXPECTED_NDV for the 1 MB-floor incident)
-                part = with_partition_cols(done, "start", "minute")
-                bloom_options(
-                    part.repartition("date", "hour", "minute")
-                    .write.mode("overwrite")
-                    .partitionBy("date", "hour", "minute")
-                ).parquet(f"{out_dir}/completed/v={batch_id}")
-            else:
-                # replay idempotence: a pre-crash non-empty write for a
-                # batch that deterministically completes nothing cannot
-                # exist, so there is no stale version to clear
-                pass
-        else:
-            done.write.mode("overwrite").parquet(
-                f"{out_dir}/completed/v={batch_id}"
-            )
+            done = with_partition_cols(done, "start", "minute")
+        done.write.mode("overwrite").parquet(
+            f"{out_dir}/completed/v={batch_id}"
+        )
         still_open.write.mode("overwrite").parquet(f"{out_dir}/open/v={batch_id}")
         if wm is not None:
             _write_wm(spark, out_dir, batch_id, wm)
@@ -379,7 +360,23 @@ def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None
         parts.append((_read_version(spark, f"{out_dir}/completed/v={v}"), v))
     merged = _first_completion_wins(parts)
     tmp = f"{out_dir}/compacted/.tmp-{upto}"
-    merged.write.mode("overwrite").parquet(tmp)
+    if "date" in merged.columns:
+        # deltas from the persistent fast pipeline carry the K1
+        # partition columns as data — the snapshot is where the
+        # directory fan-out is PAID (once, not per micro-batch; round-8
+        # probe 19): a real partitioned + bloom-sized layout that
+        # time-windowed readers prune, repartitioned so each dir gets
+        # one file per compaction
+        from duo_spark.sources.store import bloom_options
+
+        part_cols = [c for c in ("date", "hour", "minute") if c in merged.columns]
+        bloom_options(
+            merged.repartition(*[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        ).parquet(tmp)
+    else:
+        merged.write.mode("overwrite").parquet(tmp)
     fs, tmp_path = _fs(spark, tmp)
     if not fs.rename(tmp_path, _fs(spark, f"{out_dir}/compacted/v={upto}")[1]):
         # Hadoop rename signals failure by RETURNING FALSE (dest

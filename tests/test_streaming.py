@@ -856,12 +856,15 @@ def test_fast_pipeline_memory_table_resolves_with_empty_source(spark, scratch):
     assert spark.table(table).count() == 0
 
 
-def test_fast_pipeline_persistent_layout_partitioned_and_readable(spark, scratch):
-    """Default-engine persistent pipeline: completed deltas live under
-    completed/v=N, each internally in the K1 date=/hour=/minute=
-    layout; read_completed returns them with string-typed partition
-    cols; withheld opens stay out."""
-    from duo_spark.streaming.merge import read_completed
+def test_fast_pipeline_persistent_layout_and_compacted_snapshot(spark, scratch):
+    """Default-engine persistent pipeline (round-8 probe-19 shape):
+    completed deltas are FLAT per-batch writes carrying the K1
+    partition columns as data (a per-batch partitionBy fans every
+    batch across every calendar dir — 13× slower on a date-spread
+    workload); compaction pays the fan-out once, producing a real
+    date=/hour=/minute= snapshot; read_completed is identical before
+    and after; withheld opens stay out."""
+    from duo_spark.streaming.merge import compact_completed, read_completed
 
     src = os.path.join(scratch, "in")
     out = os.path.join(scratch, "span")
@@ -879,19 +882,31 @@ def test_fast_pipeline_persistent_layout_partitioned_and_readable(spark, scratch
     vdirs = [d for d in os.listdir(os.path.join(out, "completed")) if d.startswith("v=")]
     assert vdirs, f"expected versioned deltas in {out}/completed"
     inner = os.listdir(os.path.join(out, "completed", vdirs[0]))
-    assert any(d.startswith("date=") for d in inner), inner
+    # deltas are FLAT: parquet files, no per-batch calendar dirs
+    assert not any(d.startswith("date=") for d in inner), inner
     back = read_completed(spark, out)
     assert {r.id for r in back.collect()} == {21, 22}
-    # partition values come back as the strings they were written as
     minutes = {r.minute for r in back.select("minute").distinct().collect()}
     assert all(isinstance(m, str) for m in minutes) and len(minutes) == 2
+    before = {(r.id, r.end, r.date, r.minute) for r in back.collect()}
+    # compaction produces the REAL partitioned snapshot
+    assert compact_completed(spark, out, retain_latest=0) is not None
+    snap = os.listdir(os.path.join(out, "compacted"))
+    vsnap = [d for d in snap if d.startswith("v=")]
+    assert vsnap and any(
+        d.startswith("date=")
+        for d in os.listdir(os.path.join(out, "compacted", vsnap[0]))
+    )
+    after = {(r.id, r.end, r.date, r.minute)
+             for r in read_completed(spark, out).collect()}
+    assert after == before
 
 
-def test_fast_pipeline_empty_completed_batch_skips_version(spark, scratch):
-    """A persistent-mode batch that completes nothing writes NO
-    completed version (a partitioned zero-row write would be
-    unreadable); the open state still advances, and the late close in
-    the next drain completes the span."""
+def test_fast_pipeline_empty_completed_batch_readable(spark, scratch):
+    """A persistent-mode batch that completes nothing writes an EMPTY
+    (flat, schema-carrying) completed version — readable, zero rows;
+    the open state advances, and the late close in the next drain
+    completes the span."""
     from duo_spark.streaming.merge import read_completed
 
     src = os.path.join(scratch, "in")
@@ -904,9 +919,7 @@ def test_fast_pipeline_empty_completed_batch_skips_version(spark, scratch):
         spark, src, out_dir=out, checkpoint_dir=ckpt, available_now=True
     )
     q.awaitTermination()
-    assert not os.path.isdir(os.path.join(out, "completed")) or not [
-        d for d in os.listdir(os.path.join(out, "completed")) if d.startswith("v=")
-    ]
+    assert read_completed(spark, out).count() == 0
     assert [d for d in os.listdir(os.path.join(out, "open")) if d.startswith("v=")]
     spark.createDataFrame(
         [_rec(31, start=BASE, end=BASE + 99)], SPAN_SCHEMA
