@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "hard_negatives_lsh",
     "k_anonymity",
+    "hll_sliding",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

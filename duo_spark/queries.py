@@ -5559,6 +5559,95 @@ def q_streaming_moments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_MOMENTS_ROLLUP = SQL_MOMENTS_QUANTILES
 
 
+
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT counts from per-hour HLL register
+    tables (round 8 — the max-merge counterpart of cms_sliding's
+    additive windows): distinct users in each trailing 3-hour window,
+    estimated by MAX-merging the window's per-hour registers. HLL
+    cannot subtract (max is not invertible), so sliding windows
+    RE-MERGE the trailing k period sketches — still k×m register rows
+    per window, never the events; the hour-range predicate lives in
+    the join ON like cms_sliding. Bit-exact oracle replay (same
+    Lehmer/rho/fixed-point discipline as hll_distinct)."""
+    from duo_spark.operators.sketch import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        ).alias("hr"),
+    ).filter(F.col("user_id").isNotNull())
+    hourly = hll_sketch(ev, ["hr"], "user_id", m=256)
+    hours = ev.select("hr").distinct()
+    sk = hourly.select(
+        F.col("hr").alias("_sh"), "bucket", "register"
+    )
+    windowed = (
+        hours.join(
+            sk,
+            (sk["_sh"] >= hours["hr"] - 2) & (sk["_sh"] <= hours["hr"]),
+        )
+        .groupBy("hr", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    est = hll_estimate(windowed, ["hr"], m=256)
+    exact = (
+        hours.alias("h")
+        .join(
+            ev.select(F.col("hr").alias("_eh"), "user_id").alias("e"),
+            (F.col("e._eh") >= F.col("h.hr") - 2)
+            & (F.col("e._eh") <= F.col("h.hr")),
+        )
+        .groupBy("hr")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, "hr").select(
+        "hr", "n_exact", "register_sum", "estimate"
+    )
+
+
+SQL_HLL_SLIDING = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr
+  FROM events WHERE user_id IS NOT NULL),
+h1 AS (SELECT hr, (user_id % 2147483647) * 48271 % 2147483647 AS a FROM ev),
+h2 AS (SELECT hr, xor(a, a >> 15) * 69621 % 2147483647 AS c FROM h1),
+v AS (SELECT hr, xor(c, c >> 13) AS h FROM h2),
+b AS (
+  SELECT hr, h % 256 AS bucket,
+         CASE WHEN floor(h / 256) = 0 THEN 24
+              ELSE 24 - length(bin(CAST(floor(h / 256) AS BIGINT))) END AS rho
+  FROM v),
+reg AS (SELECT hr, bucket, max(rho) AS register FROM b GROUP BY 1, 2),
+hours AS (SELECT DISTINCT hr FROM ev),
+win AS (
+  SELECT hours.hr, reg.bucket, max(reg.register) AS register
+  FROM hours JOIN reg ON reg.hr BETWEEN hours.hr - 2 AND hours.hr
+  GROUP BY 1, 2),
+s AS (
+  SELECT hr,
+         sum(CAST(1 AS BIGINT) << CAST(24 - register AS INT)) AS present_sum,
+         count(*) AS n_present
+  FROM win GROUP BY 1),
+est AS (
+  SELECT hr,
+         CAST(present_sum + (256 - n_present) * 16777216 AS BIGINT) AS register_sum
+  FROM s),
+fin AS (
+  SELECT hr, register_sum,
+         CAST(floor(0.7213 / (1.0 + 1.079 / 256) * 65536.0 * 16777216.0
+                    / register_sum) AS BIGINT) AS estimate
+  FROM est),
+ex AS (
+  SELECT hours.hr, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+  FROM hours JOIN ev e ON e.hr BETWEEN hours.hr - 2 AND hours.hr
+  GROUP BY 1)
+SELECT f.hr, ex.n_exact, f.register_sum, f.estimate
+FROM fin f JOIN ex ON f.hr = ex.hr
+"""
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5628,13 +5717,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
-    # --- below the driver window: k_anonymity and
-    # streaming_moments_rollup are round-8 additions that missed the
-    # full 50-slot window (first in line for r9, rotation rule 1;
-    # both sf0.001+sf0.01 local-parity green this round); every other
-    # entry here has an r6/r7 driver-green row ---
+    # --- below the driver window: k_anonymity,
+    # streaming_moments_rollup, and hll_sliding are round-8 additions
+    # that missed the full 50-slot window (first in line for r9,
+    # rotation rule 1; all sf0.001+sf0.01 local-parity green this
+    # round); every other entry here has an r6/r7 driver-green row ---
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
+    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
