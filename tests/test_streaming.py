@@ -1084,3 +1084,28 @@ def test_engine_compact_folds_fast_span_deltas(spark, scratch):
     assert n_after < n_before
     after = {(r.id, r.end) for r in eng.spans().collect()}
     assert after == before == {(100 + i, BASE + i + 10) for i in range(4)}
+
+
+def test_fast_merge_processor_replay_is_idempotent(spark, scratch):
+    """Crash-replay semantics, tested DIRECTLY: re-running a batch id
+    against the same state dirs (what Structured Streaming does after
+    a crash between the sink write and the checkpoint commit) must
+    leave completed/open state identical — versions overwrite, the
+    predecessor open version is still present to merge into."""
+    from duo_spark.streaming.merge import fast_merge_processor, read_completed, read_open
+
+    out = os.path.join(scratch, "state")
+    proc = fast_merge_processor(out, partition_completed=True)
+    b0 = spark.createDataFrame(
+        [_rec(1, start=BASE), _rec(2, start=BASE + 1, end=BASE + 50)], SPAN_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [_rec(1, start=BASE, end=BASE + 99)], SPAN_SCHEMA
+    )
+    proc(b0, 0)
+    proc(b0, 0)  # replay of batch 0 BEFORE batch 1 ran
+    proc(b1, 1)
+    proc(b1, 1)  # replay of batch 1
+    got = {(r.id, r.end) for r in read_completed(spark, out).collect()}
+    assert got == {(2, BASE + 50), (1, BASE + 99)}
+    assert read_open(spark, out).count() == 0
