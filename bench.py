@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "hard_negatives_lsh",
     "k_anonymity",
     "hll_sliding",
+    "contamination_report",
+    "packing_stats",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.

@@ -85,3 +85,52 @@ def contaminated_docs(
         F.max("containment").alias("max_containment"),
         F.count(F.lit(1)).alias("n_probes"),
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    probe_id: str = "probe_id",
+    probe_text: str = "text",
+) -> DataFrame:
+    """Per-probe gram-level contamination (round 8): for each eval
+    probe, the fraction of its distinct word n-grams that appear
+    ANYWHERE in the training corpus — the dataset-card number next to
+    the membership check (:func:`ngram_containment` answers "which
+    documents leak probe X"; this answers "how much of probe X exists
+    in the corpus at all", the quantity eval papers report).
+
+    Output: ``(probe_id, n_grams, n_leaked, leak_ppm)`` — exact
+    integer counts, ppm = floor(leaked·10⁶/grams).
+
+    Scale shape: corpus grams reduce to DISTINCT hashes once (one
+    map-side-combined aggregate — the shuffle carries distinct grams,
+    never the corpus), probes broadcast against them as an equi-join.
+    """
+    pg = _gram_hashes(probes, probe_id, probe_text, n, probe_id)
+    pcount = pg.groupBy(probe_id).agg(F.count(F.lit(1)).alias("n_grams"))
+    corpus_grams = (
+        _gram_hashes(docs, doc_id, doc_text, n, doc_id)
+        .select("_gh")
+        .distinct()
+    )
+    leaked = (
+        corpus_grams.join(F.broadcast(pg), "_gh")
+        .groupBy(probe_id)
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        pcount.join(leaked, probe_id, "left")
+        .select(
+            probe_id,
+            "n_grams",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.floor(
+                F.coalesce("n_leaked", F.lit(0)) * F.lit(1_000_000)
+                / F.col("n_grams")
+            ).cast("long").alias("leak_ppm"),
+        )
+    )

@@ -245,3 +245,41 @@ def ntile_by_key(
         .withColumn(out_col, tile.cast("int"))
         .drop("_rn", "_tot")
     )
+
+
+def packing_stats(
+    packed: DataFrame,
+    capacity: int,
+    shard_col: str = "shard",
+    seq_col: str = "seq",
+    fill_col: str = "seq_fill",
+) -> DataFrame:
+    """Dataset-card efficiency report over a :func:`pack_sequences`
+    result (round 8): how much of the training context window the
+    packing actually fills — the number a data team watches when
+    choosing capacity (padding waste is paid on every training step
+    forever).
+
+    Per shard: ``(shard, n_docs, n_seqs, total_tokens, utilization,
+    p50_fill, min_fill)`` where utilization = total_tokens /
+    (n_seqs · capacity) rounded to 6 dp and fills are each sequence's
+    FINAL running total (max of ``fill_col`` within the sequence).
+    Two map-side-combined hash aggregates — per-(shard, seq) finals,
+    then per-shard stats; shuffle carries one row per sequence.
+    """
+    per_seq = packed.groupBy(shard_col, seq_col).agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.max(fill_col).alias("_fill"),
+    )
+    return per_seq.groupBy(shard_col).agg(
+        F.sum("_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("_fill").alias("total_tokens"),
+        F.round(
+            F.sum("_fill").cast("double")
+            / (F.count(F.lit(1)) * F.lit(int(capacity))).cast("double"),
+            6,
+        ).alias("utilization"),
+        F.expr("percentile(_fill, 0.5)").alias("p50_fill"),
+        F.min("_fill").alias("min_fill"),
+    )

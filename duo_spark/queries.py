@@ -5648,6 +5648,82 @@ FROM fin f JOIN ex ON f.hr = ex.hr
 """
 
 
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level contamination report (operators/decontam.py
+    contamination_report, round 8): for every 97th document as an eval
+    probe, the fraction of its distinct 3-grams present ANYWHERE in
+    the rest of the corpus — the dataset-card number next to
+    decontam's membership check. Corpus grams reduce to DISTINCT once
+    (shuffle = distinct grams, never the corpus), probes broadcast."""
+    from duo_spark.operators.decontam import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, probes, n=3)
+
+
+SQL_CONTAMINATION_REPORT = r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+probes AS (SELECT doc_id AS probe_id, grams FROM g WHERE doc_id % 97 = 0),
+corpus AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+pg AS (SELECT probe_id, unnest(grams) AS gram FROM probes),
+pcount AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_grams FROM pg GROUP BY 1),
+leaked AS (
+  SELECT pg.probe_id, CAST(count(*) AS BIGINT) AS n_leaked
+  FROM pg JOIN corpus USING (gram) GROUP BY 1)
+SELECT p.probe_id, p.n_grams,
+       COALESCE(l.n_leaked, 0) AS n_leaked,
+       CAST(floor(COALESCE(l.n_leaked, 0) * 1000000 / p.n_grams) AS BIGINT)
+         AS leak_ppm
+FROM pcount p LEFT JOIN leaked l USING (probe_id)
+"""
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/sharding.py packing_stats,
+    round 8) over the pack_sequences gate's exact configuration:
+    per-shard sequence counts, token totals, context-window
+    utilization, and fill percentiles — the padding-waste number a
+    data team sizes ``capacity`` by."""
+    from duo_spark.operators.sharding import pack_sequences, packing_stats
+
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", n_ws.cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, capacity=256, num_shards=8)
+    return packing_stats(packed, capacity=256)
+
+
+_PACKING_TAIL = """SELECT doc_id, shard, seq, fill AS seq_fill FROM p"""
+SQL_PACKING_STATS = SQL_PACK_SEQUENCES.replace(
+    _PACKING_TAIL,
+    """, q AS (
+  SELECT CAST(shard AS BIGINT) AS shard, seq,
+         CAST(count(*) AS BIGINT) AS _docs, CAST(max(fill) AS BIGINT) AS _fill
+  FROM p GROUP BY 1, 2
+)
+SELECT shard, CAST(sum(_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(_fill) AS BIGINT) AS total_tokens,
+       round(CAST(sum(_fill) AS DOUBLE) / CAST(count(*) * 256 AS DOUBLE), 6)
+         AS utilization,
+       quantile_cont(_fill, 0.5) AS p50_fill,
+       CAST(min(_fill) AS BIGINT) AS min_fill
+FROM q GROUP BY shard""",
+)
+assert "utilization" in SQL_PACKING_STATS, "packing tail drifted"
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5718,13 +5794,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
     # --- below the driver window: k_anonymity,
-    # streaming_moments_rollup, and hll_sliding are round-8 additions
-    # that missed the full 50-slot window (first in line for r9,
-    # rotation rule 1; all sf0.001+sf0.01 local-parity green this
-    # round); every other entry here has an r6/r7 driver-green row ---
+    # streaming_moments_rollup, hll_sliding, contamination_report, and
+    # packing_stats are round-8 additions that missed the full 50-slot
+    # window (first in line for r9, rotation rule 1; all
+    # sf0.001+sf0.01 local-parity green this round); every other
+    # entry here has an r6/r7 driver-green row ---
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
     "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),

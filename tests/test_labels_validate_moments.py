@@ -215,3 +215,44 @@ def test_k_anonymity_flags_small_classes(spark):
     # NULL quasi values form their own (countable) class
     r3 = k_anonymity(df, ["t", "z"], k=2).collect()[0]
     assert r3.k_anonymous
+
+
+def test_contamination_report_exact_fixture(spark):
+    """Hand-computed leak rates: probe grams vs a 2-doc corpus."""
+    from duo_spark.operators.decontam import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame(
+        # grams: {a b c, b c d} both leak; {q q q} leaks nothing;
+        # {x y z, y z w} both leak
+        [(10, "a b c d"), (11, "q q q"), (12, "x y z w")],
+        "probe_id long, text string",
+    )
+    got = {r.probe_id: (r.n_grams, r.n_leaked, r.leak_ppm)
+           for r in contamination_report(train, probes, n=3).collect()}
+    assert got[10] == (2, 2, 1_000_000)
+    assert got[11] == (1, 0, 0)
+    assert got[12] == (2, 2, 1_000_000)
+
+
+def test_packing_stats_invariants(spark, sf_dir):
+    """Utilization ∈ (0, 1]; fills never exceed capacity; totals
+    reconcile with the packed frame."""
+    from pyspark.sql import functions as F
+
+    from duo_spark.operators.sharding import pack_sequences, packing_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, capacity=256, num_shards=8)
+    stats = packing_stats(packed, capacity=256).collect()
+    assert len(stats) == 8
+    for r in stats:
+        assert 0 < r.utilization <= 1.0
+        assert r.min_fill <= r.p50_fill <= 256
+        assert r.total_tokens <= r.n_seqs * 256
+    assert sum(r.n_docs for r in stats) == docs.count()
