@@ -1087,30 +1087,22 @@ def hard_negatives_lsh(
     distinct on (anchor, id)), then reduced with the shared two-phase
     top-k — shuffle is candidates + |anchors|·k·partitions rows.
     """
-    planes = [
-        make_hyperplanes(dim, planes_per_band, seed + band)
-        for band in range(bands)
-    ]
-
     def banded(df: DataFrame, idc: str, vecc: str, labc: str, prefix: str) -> DataFrame:
+        # ONE Arrow-batched matmul per side computes every band's sign
+        # bucket (bit-identical to hyperplane_bucket's fold — the
+        # lsh_table_buckets contract); the Column-fold alternative is
+        # bands × planes aggregate folds PER ROW, measured 8.4 s vs
+        # ~1 s on the gate (the same trap lsh_table_buckets documents)
+        b = lsh_table_buckets(
+            dim, n_planes=planes_per_band, n_tables=bands, seed=seed,
+            vec_col=vecc,
+        )
         return df.select(
             F.col(idc).alias(f"{prefix}id"),
             F.col(vecc).alias(f"{prefix}v"),
             F.col(labc).alias(f"{prefix}l"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            hyperplane_bucket(F.col(vecc), planes[band]).alias(
-                                "key"
-                            ),
-                        )
-                        for band in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(f"{prefix}id", f"{prefix}v", f"{prefix}l", "bk.band", "bk.key")
+            F.posexplode(b).alias("band", "key"),
+        )
 
     c = banded(corpus, id_col, vec_col, label_col, "_c")
     a = banded(anchors, anchor_id_col, anchor_vec_col, anchor_label_col, "_a")
