@@ -184,6 +184,7 @@ BENCH_EXCLUDED = {
     "streaming_rollup",
     "streaming_hll_rollup",
     "streaming_moments_rollup",
+    "streaming_anomaly",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",

@@ -59,6 +59,20 @@ def rolling_zscore(
         .groupBy(*group_cols, "day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return zscore_over_daily(daily, group_cols, window_days, min_history)
+
+
+def zscore_over_daily(
+    daily: DataFrame,
+    group_cols: list[str],
+    window_days: int = 7,
+    min_history: int = 5,
+) -> DataFrame:
+    """The window half of :func:`rolling_zscore`, split out (round 8)
+    so a CONTINUOUSLY MAINTAINED daily table (streaming/rollup.py) can
+    be scored directly — the monitoring composition: the rollup absorbs
+    the stream incrementally, this scores the tiny (groups × days)
+    frame on demand. ``daily`` must carry ``day`` (integer) and ``n``."""
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("day")

@@ -5724,6 +5724,57 @@ FROM q GROUP BY shard""",
 assert "utilization" in SQL_PACKING_STATS, "packing tail drifted"
 
 
+
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring composition end-to-end (round 8): events stream
+    into a continuously-maintained per-(event_type, day) count rollup
+    (streaming/rollup.py, two micro-batches), and the rolling z-score
+    (operators/anomaly.zscore_over_daily) scores the MAINTAINED table —
+    no re-read of historical events, which is the entire point of the
+    incremental rollup. Rollup == one-shot GROUP BY exactly, so the
+    oracle replays the whole-table daily aggregate + the same integer
+    window sums; top-20 by |z| like anomaly_zscore."""
+    import uuid as _uuid
+
+    from duo_spark.operators.anomaly import zscore_over_daily
+    from duo_spark.streaming.pipeline import _scratch
+    from duo_spark.streaming.rollup import read_rollup, streaming_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(_ts_us() / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    run = _scratch("sanom", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, day long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_rollup(
+        stream,
+        ["event_type", "day"],
+        {"n": ("count", "event_id")},
+        out_dir=f"{run}/rollup",
+        checkpoint_dir=f"{run}/ckpt",
+    )
+    q.awaitTermination()
+    daily = read_rollup(spark, f"{run}/rollup")
+    scored = zscore_over_daily(daily, ["event_type"], window_days=7, min_history=5)
+    return (
+        scored.filter(F.col("z").isNotNull())
+        .orderBy(F.abs("z").desc(), "event_type", "day")
+        .limit(20)
+        .select("event_type", "day", "n", "hist_days", "hist_mean", "z")
+    )
+
+
+SQL_STREAMING_ANOMALY = SQL_ANOMALY_ZSCORE
+
+
 # top_revenue_orders, events_daily, text_stats, token_count) are the
 # simplest pure-filter/join/Column queries, r4 driver-green, operator code
 # untouched since, and sf0.01 local-parity-green this round — they lead
@@ -5794,9 +5845,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
     # --- below the driver window: k_anonymity,
-    # streaming_moments_rollup, hll_sliding, contamination_report, and
-    # packing_stats are round-8 additions that missed the full 50-slot
-    # window (first in line for r9, rotation rule 1; all
+    # streaming_moments_rollup, hll_sliding, contamination_report,
+    # packing_stats, and streaming_anomaly are round-8 additions that
+    # missed the full 50-slot
+    # driver window (first in line for r9, rotation rule 1; all
     # sf0.001+sf0.01 local-parity green this round); every other
     # entry here has an r6/r7 driver-green row ---
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
@@ -5804,6 +5856,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
+    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
