@@ -5168,14 +5168,17 @@ FROM exact JOIN est ON est.hr = exact.hr AND est.user_id = exact.user_id
 # registry
 # ---------------------------------------------------------------------
 
-# Ordering note (round 7): the external correctness driver replays exactly the
-# FIRST 50 entries of this dict against their DuckDB oracles.  The round-7
-# window executes the churn-aware rotation policy (OPERATORS.md): slots 1-29
-# are the stale backlog (newest driver row r4 or older); slots 30-50 are the
-# TWENTY-ONE queries whose operators were added or changed THIS round
-# (rotation rule 1 — round-N churn outranks everything).  Twenty-one new
-# queries left room for only 29 of the 36 stale entries: the seven displaced
-# just below the cutoff (in_list, point_lookup, customers_no_orders,
+# Ordering note (round 8): the external correctness driver replays exactly
+# the FIRST 50 entries of this dict against their DuckDB oracles.  The
+# round-8 window executes the churn-aware rotation policy (OPERATORS.md):
+# slots 1-10 the ten debt queries DEVIATIONS #12 promised, slot 11 the new
+# streaming_hll_rollup, slots 12-23 the operators changed this round,
+# slots 24-44 the 21 stalest (r5) entries, slots 45-50 the round-8
+# operator wave.  The late round-8 additions that missed the full window
+# (k_anonymity, streaming_moments_rollup, hll_sliding,
+# contamination_report, packing_stats, streaming_anomaly) sit first below
+# the cutoff and lead round 9 — the same discipline as round 7's
+# displacement, all sf0.001+sf0.01 local-parity green this round.
 
 # round-8 operator wave: labels / moments / validation / hard negatives
 # ----------------------------------------------------------------------
@@ -5775,12 +5778,6 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_ANOMALY = SQL_ANOMALY_ZSCORE
 
 
-# top_revenue_orders, events_daily, text_stats, token_count) are the
-# simplest pure-filter/join/Column queries, r4 driver-green, operator code
-# untouched since, and sf0.01 local-parity-green this round — they lead
-# round 8's window.  Everything below the cutoff (incl. the r6-green keepers
-# like hotcold_search) is locked green by CORRECTNESS_r05/r06 plus the local
-# oracle-parity clone (tests/test_oracle_parity.py replays ALL entries).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
     # --- ROUND-8 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
