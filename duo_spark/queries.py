@@ -5782,15 +5782,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 
     # --- ROUND-8 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
     # 1-10: the ten debt queries (3 never driver-checked + 7 displaced
-    # at r4) exactly as DEVIATIONS #12 / VERDICT r7 #2 promised;
-    # 11: streaming_hll_rollup, added this round (rule 1);
-    # 12-23: queries whose operators changed this round (rule 2 —
-    # skew two-level rank, URL pct/IDN, variant tag folds in the
-    # span merges + pipeline default flip, BPE refactor, sketch
-    # guards, random_projection guard);
-    # 24-44: the 21 stalest entries (newest driver row r5, rule 3);
-    # 45-50: the six round-8 operator-wave additions (rule 1 — they
-    # displace all six r6 keepers, each ≤2 rounds stale).
+    # at r4), exactly as DEVIATIONS #12 / VERDICT r7 #2 promised;
+    # 11-23: ALL thirteen round-8 additions (rule 1; ADVICE r7 — never
+    # leave brand-new operators outside the window);
+    # 12-35 cont.: the twelve queries whose operators changed this
+    # round (rule 2 — skew two-level rank, URL pct/IDN, variant tag
+    # folds + the fast-pipeline default flip, BPE localCheckpoint
+    # rotation + batched trainer, sketch/projection guards);
+    # 36-50: the r5-stale backlog (rule 3) minus the six simplest
+    # displaced entries listed just below the cutoff (DEVIATIONS #15).
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
@@ -5802,6 +5802,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
+    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
+    "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
+    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
+    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
+    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
+    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
@@ -5816,15 +5828,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -5833,27 +5841,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    # --- below the driver window. FIRST: the six r5-green entries
+    # displaced by the round-8 additions (pure-Column/simple operators,
+    # code untouched since r5, sf0.01 local-parity green this round;
+    # they LEAD round 9 — the #12/#15 discipline). Everything after
+    # has an r6/r7 driver-green row; the full local parity clone
+    # (tests/test_oracle_parity.py) covers the entire registry. ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
-    "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
-    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
-    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
-    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
-    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
-    # --- below the driver window: k_anonymity,
-    # streaming_moments_rollup, hll_sliding, contamination_report,
-    # packing_stats, and streaming_anomaly are round-8 additions that
-    # missed the full 50-slot
-    # driver window (first in line for r9, rotation rule 1; all
-    # sf0.001+sf0.01 local-parity green this round); every other
-    # entry here has an r6/r7 driver-green row ---
-    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
-    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
-    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
-    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
