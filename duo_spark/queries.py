@@ -5780,17 +5780,74 @@ SQL_STREAMING_ANOMALY = SQL_ANOMALY_ZSCORE
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
-    # --- ROUND-8 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # 1-10: the ten debt queries (3 never driver-checked + 7 displaced
-    # at r4), exactly as DEVIATIONS #12 / VERDICT r7 #2 promised;
-    # 11-23: ALL thirteen round-8 additions (rule 1; ADVICE r7 — never
-    # leave brand-new operators outside the window);
-    # 12-35 cont.: the twelve queries whose operators changed this
-    # round (rule 2 — skew two-level rank, URL pct/IDN, variant tag
-    # folds + the fast-pipeline default flip, BPE localCheckpoint
-    # rotation + batched trainer, sketch/projection guards);
-    # 36-50: the r5-stale backlog (rule 3) minus the six simplest
-    # displaced entries listed just below the cutoff (DEVIATIONS #15).
+    # --- ROUND-9 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
+    # 1-6: the six r5-green entries displaced by round 8's additions
+    # (DEVIATIONS #15 — their driver row lands at 4 rounds, the bounded
+    # trade promised there);
+    # next: round-9 additions (rule 1 — new operators never ship
+    # outside the window);
+    # rest: the r6-stale backlog (rule 3), complex-operator entries
+    # first; the ten simplest frozen-since-r3 OLAP keepers sit first
+    # below the cutoff and lead round 10 (DEVIATIONS #16).
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    # --- round-9 additions land here (rule 1) ---
+    # --- r6-stale backlog, rule 3 (complex operators first) ---
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "bm25": (q_bm25, SQL_BM25),
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
+    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
+    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
+    # --- below the driver window. FIRST: the ten r6-green displacement
+    # candidates (simple pure-SQL OLAP keepers, operator code frozen
+    # since r3; they lead round 10 — DEVIATIONS #16). Everything after
+    # has an r7/r8 driver row; the full local parity clone
+    # (tests/test_oracle_parity.py) covers the entire registry. ---
+    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
+    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
+    # --- r8-window entries (freshest driver rows) ---
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
@@ -5841,24 +5898,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- below the driver window. FIRST: the six r5-green entries
-    # displaced by the round-8 additions (pure-Column/simple operators,
-    # code untouched since r5, sf0.01 local-parity green this round;
-    # they LEAD round 9 — the #12/#15 discipline). Everything after
-    # has an r6/r7 driver-green row; the full local parity clone
-    # (tests/test_oracle_parity.py) covers the entire registry. ---
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "bm25": (q_bm25, SQL_BM25),
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # --- r7-green entries ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -5899,43 +5939,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
-    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
-    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
-    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
-    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
-    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
-    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
-    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
-    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
-    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
-    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
-    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
-    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
-    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
 }
