@@ -431,3 +431,66 @@ def triangle_count(
     )
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): the
+    maximal subgraph in which every node has degree >= k. The graph
+    QA primitive for near-dup pair graphs and interaction graphs —
+    the k-core is what remains after pruning the low-degree fringe
+    that chains everything to everything (hub false positives live in
+    high cores; noise lives outside them).
+
+    ``edges`` is an undirected edge list (one row per edge, either
+    orientation; self-loops and duplicate orientations are removed
+    here). Returns ``(node, degree)`` — the surviving nodes with
+    their degree INSIDE the core.
+
+    Peeling is a monotone fixpoint: each round drops nodes whose
+    current degree < k, which can cascade, so rounds repeat until no
+    node drops (bounded by ``max_rounds``; raises if not converged —
+    an unconverged core is not a core). Synchronous rounds make the
+    result schedule-independent and oracle-replayable as chained SQL
+    rounds: extra rounds past convergence are no-ops, so an oracle
+    may unroll any count >= the rounds actually needed.
+
+    Scale shape: per round, one semi-join of the canonical edge list
+    against surviving nodes (per endpoint) and one map-combined
+    degree aggregate; the edge list shrinks monotonically and is
+    re-checkpointed each round so the lineage stays flat. No global
+    sort, no driver-side graph state — the only driver scalar is the
+    per-round survivor count.
+    """
+    spark = edges.sparkSession
+    und = _symmetric(_canonical_edges(edges, src, dst))
+    cur, cur_ids = tracked_local_checkpoint(und)
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = cur.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        n_nodes = keep.count()
+        if n_nodes == prev_nodes:
+            # materialize the (small) core before releasing the edge
+            # checkpoint the lazy plan would otherwise still reference
+            out, _ = tracked_local_checkpoint(deg.filter(F.col("degree") >= k))
+            release_rdd_ids(spark, cur_ids)
+            return out
+        prev_nodes = n_nodes
+        nxt, nxt_ids = tracked_local_checkpoint(
+            cur.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+        )
+        release_rdd_ids(spark, cur_ids)
+        cur, cur_ids = nxt, nxt_ids
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds"
+    )

@@ -480,3 +480,63 @@ def moments_stats(
         F.round(F.col("vmin").cast("double") * inv, 6).alias("vmin"),
         F.round(F.col("vmax").cast("double") * inv, 6).alias("vmax"),
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    m: int = 256,
+) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches — the query a
+    100 TB engine cannot answer exactly without co-shuffling both
+    full value sets: how many distinct values do groups A and B
+    share? HLLs support union natively (register max), and
+    intersection follows by inclusion-exclusion:
+    ``|A ∩ B| = |A| + |B| - |A ∪ B|`` (Flajolet et al. 2007 §5).
+
+    Returns ONE row: ``(est_a, est_b, est_union, est_intersection,
+    jaccard_est)`` — intersection clamped at 0 (inclusion-exclusion
+    on estimates can go negative for near-disjoint sets), Jaccard
+    rounded to 6 dp. Every number is derived from the same
+    bit-deterministic register tables as hll_sketch/hll_estimate, so
+    an SQL oracle replays all five to the bit.
+
+    Scale shape: one pass builds both register tables (the group
+    filter rides the scan); union is a register-table merge (max over
+    at most 2m rows); three 1-row estimates crossJoin into the
+    report. Nothing shuffles more than groups x m register rows.
+    """
+    both = df.filter(F.col(group_col).isin([group_a, group_b]))
+    sk = hll_sketch(both, [group_col], value_col, m)
+    est = hll_estimate(sk, [group_col], m)
+    a = est.filter(F.col(group_col) == group_a).select(
+        F.col("estimate").alias("est_a")
+    )
+    b = est.filter(F.col(group_col) == group_b).select(
+        F.col("estimate").alias("est_b")
+    )
+    union_sk = sk.select("bucket", "register")
+    u = hll_estimate(
+        union_sk.groupBy("bucket").agg(F.max("register").alias("register")),
+        [],
+        m,
+    ).select(F.col("estimate").alias("est_union"))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersection"),
+            F.round(
+                inter.cast("double") / F.col("est_union"), 6
+            ).alias("jaccard_est"),
+        )
+    )

@@ -597,3 +597,178 @@ def collocation_lift(
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap compressibility filter of corpus curation: binary
+    junk and base64 blobs score near log2(charset), stuck-key
+    repetition ("aaaa…") scores near 0, natural language sits in a
+    narrow band in between. Computed from exact integer character
+    counts as ``log2(n) - sum(c*log2(c))/n`` so an SQL oracle replays
+    the same formula on the same integers.
+
+    Returns ``(id_col, n_chars_counted, n_distinct_chars, entropy)``
+    with entropy rounded to 6 dp.
+
+    Scale shape: one explode to characters, then two map-side-combined
+    hash aggregates — (doc, char) counts (the combiner collapses each
+    partition's chars before the shuffle, so the exchange carries at
+    most docs x charset rows) and the per-doc entropy fold. Stays in
+    whole-stage codegen; no UDFs.
+    """
+    chars = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    counts = chars.groupBy("_id", "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    return counts.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_c").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(
+            F.log2(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log2(F.col("_c"))) / F.sum("_c"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model perplexity score with add-alpha
+    smoothing — the KenLM-shaped upgrade of
+    :func:`unigram_lm_score`: a document's tokens can all be common
+    while their ORDER is garbage (shuffled text, keyword stuffing);
+    conditioning each token on its predecessor catches that. Score =
+    mean over bigram positions of ``-ln((C(w1,w2) + alpha) /
+    (C(w1) + alpha*V))`` where counts are corpus-trained and V is the
+    unigram vocabulary size (Chen & Goodman 1996's additive-smoothing
+    baseline).
+
+    Returns ``(id_col, n_bigrams, bigram_lm)`` (score rounded 6 dp);
+    documents with fewer than 2 tokens are absent (no bigram to
+    score, matching an SQL oracle's inner join semantics).
+
+    Scale shape: bigram pairs are built IN the row as zipped array
+    slices (codegen, no positional self-join), exploded once; model
+    training is two map-combined hash aggregates (bigram counts,
+    unigram counts); scoring re-joins the exploded pairs to both
+    count tables on their natural keys — big-big hash joins, neither
+    side assumed broadcastable at corpus scale. Driver scalars: V
+    only.
+    """
+    from duo_spark.operators.search import search_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), search_tokens(text_col).alias("_ts")
+    ).filter(F.size("_ts") >= 2)
+    pairs = toks.select(
+        "_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ts"), 1, F.size("_ts") - 1).alias("w1"),
+                F.slice(F.col("_ts"), 2, F.size("_ts") - 1).alias("w2"),
+            )
+        ).alias("_p")
+    ).select("_id", F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+    # the unigram table counts every token (including each doc's last,
+    # which never heads a bigram) — the standard LM convention where
+    # C(w1) is w1's corpus frequency, and what the oracle replays
+    uni = (
+        df.select(F.explode(search_tokens(text_col)).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+        .localCheckpoint(eager=True)
+    )
+    v = uni.count()
+    bi = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    scored = (
+        pairs.join(bi, ["_w1", "_w2"]).join(uni, "_w1")
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("_c1") + F.lit(alpha) * F.lit(float(v)))
+                    / (F.col("_c2") + F.lit(alpha))
+                )
+            ),
+            6,
+        ).alias("bigram_lm"),
+    )
+
+
+def segment_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """CCNet-style boilerplate detection at segment granularity: chop
+    each document into consecutive ``seg_tokens``-token segments, call
+    a segment boilerplate when it occurs in at least ``min_docs``
+    DISTINCT documents (navigation chrome, license headers, cookie
+    banners — text whose frequency across documents is the tell), and
+    report per document how much of it is boilerplate.
+
+    Returns ``(id_col, n_segments, n_boilerplate, boilerplate_ratio,
+    kept_tokens)`` where kept_tokens counts tokens in the non-
+    boilerplate segments (the length of the document after the
+    standard removal step).
+
+    Scale shape: segments are materialized IN the row (sequence +
+    array_join over slices — codegen), exploded once; corpus segment
+    document-frequency is two map-combined hash aggregates (distinct
+    (segment, doc), then segment df); the per-doc report re-joins the
+    exploded segments to the frequency table on the segment key. The
+    frequent-segment table is value-skewed by construction — the join
+    key is the full segment text, and AQE's skew-join split handles
+    the hot segments.
+    """
+    from duo_spark.operators.search import search_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), search_tokens(text_col).alias("_ts")
+    ).filter(F.size("_ts") >= 1)
+    nseg = F.ceil(F.size("_ts") / F.lit(seg_tokens)).cast("int")
+    segs = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(F.col("_ts"), i * seg_tokens + 1, seg_tokens), " "
+                    ).alias("seg"),
+                    F.least(
+                        F.lit(seg_tokens), F.size("_ts") - i * seg_tokens
+                    ).alias("toks"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_id", F.col("_s.seg").alias("_seg"), F.col("_s.toks").alias("_tk"))
+    seg_df = (
+        segs.select("_seg", "_id").distinct()
+        .groupBy("_seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    joined = segs.join(seg_df, "_seg")
+    boiler = F.col("_df") >= min_docs
+    return joined.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(boiler, 1).otherwise(0)).alias("n_boilerplate"),
+        F.round(
+            F.sum(F.when(boiler, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("boilerplate_ratio"),
+        F.sum(F.when(boiler, 0).otherwise(F.col("_tk"))).alias("kept_tokens"),
+    )

@@ -161,3 +161,49 @@ def k_anonymity(
             "n_violating_classes"
         ),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    companion governance gate to :func:`k_anonymity`: a class of rows
+    sharing quasi-identifier values can be k-anonymous yet still leak
+    the sensitive attribute if (almost) every row in the class shares
+    ONE sensitive value. Distinct l-diversity requires every
+    equivalence class to contain at least ``l`` distinct sensitive
+    values.
+
+    Returns ONE row: ``(n_rows, n_classes, min_distinct_sensitive,
+    l_diverse, n_violating_classes, n_violating_rows)``.
+
+    Scale shape: two map-side-combined hash aggregates — per
+    (class, sensitive value) counts (shuffle = distinct combinations,
+    never rows), then per-class distinct totals — and a 1-row
+    reduction. NULL sensitive values count as one distinct value
+    (an attacker learns "the value is missing", which is itself a
+    disclosure), implemented by grouping on the sensitive column like
+    any other value.
+    """
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    classes = per_value.groupBy(*quasi_cols).agg(
+        F.sum("_c").alias("_rows"),
+        F.count(F.lit(1)).alias("_nsv"),
+    )
+    return classes.agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_nsv").alias("min_distinct_sensitive"),
+        (F.min("_nsv") >= l).alias("l_diverse"),
+        F.sum(F.when(F.col("_nsv") < l, 1).otherwise(0)).alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("_nsv") < l, F.col("_rows")).otherwise(0)).alias(
+            "n_violating_rows"
+        ),
+    )
