@@ -167,6 +167,15 @@ BENCH_QUERIES = [
     "hll_sliding",
     "contamination_report",
     "packing_stats",
+    # round-9 additions
+    "l_diversity",
+    "char_entropy",
+    "bigram_lm",
+    "boilerplate_segments",
+    "equidepth_hist",
+    "hll_audience_overlap",
+    "k_core_parts",
+    "events_cube",
 ]
 
 #: registry entries intentionally NOT benched — each reason above.
@@ -185,6 +194,7 @@ BENCH_EXCLUDED = {
     "streaming_hll_rollup",
     "streaming_moments_rollup",
     "streaming_anomaly",
+    "streaming_sessionize",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",

@@ -5778,6 +5778,394 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_ANOMALY = SQL_ANOMALY_ZSCORE
 
 
+# --------------------------------------------------------------------------
+# round 9: governance audits, corpus-quality filters, OLAP cube,
+# equi-depth stats, sketch set algebra, k-core, streaming sessions
+# --------------------------------------------------------------------------
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/validate.py l_diversity,
+    Machanavajjhala 2007): can an attacker who pins down a customer's
+    (status, priority, order-year) equivalence class learn WHICH
+    customer placed the order? Two map-side hash aggregates + a 1-row
+    reduction — the k-anonymity report's sensitive-attribute
+    companion."""
+    from duo_spark.operators.validate import l_diversity
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+        "o_custkey",
+    )
+    return l_diversity(
+        o, ["o_orderstatus", "o_orderpriority", "o_year"], "o_custkey", l=3
+    )
+
+
+SQL_L_DIVERSITY = """
+WITH pv AS (
+  SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
+         o_custkey, count(*) AS c
+  FROM orders GROUP BY 1, 2, 3, 4),
+cl AS (
+  SELECT o_orderstatus, o_orderpriority, o_year,
+         CAST(sum(c) AS BIGINT) AS rows_, CAST(count(*) AS BIGINT) AS nsv
+  FROM pv GROUP BY 1, 2, 3)
+SELECT CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       min(nsv) AS min_distinct_sensitive,
+       min(nsv) >= 3 AS l_diverse,
+       CAST(sum(CASE WHEN nsv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN nsv < 3 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS n_violating_rows
+FROM cl
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter (operators/text.py
+    char_entropy): bits/char from exact integer character counts —
+    the compressibility screen that separates natural text from
+    base64 blobs and stuck-key repetition. One explode + two
+    map-combined hash aggregates, all codegen."""
+    docs = _docs(spark, sf_dir)
+    return text.char_entropy(docs, "doc_id", "text")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+  FROM ch WHERE c <> '' GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity score (operators/text.py bigram_lm_score,
+    add-0.5 smoothing): corpus-trained conditional token
+    probabilities — catches shuffled/stuffed text whose unigram
+    profile is clean. Codegen zipped-slice bigrams, two count
+    aggregates, two big-big hash joins."""
+    docs = _docs(spark, sf_dir)
+    return text.bigram_lm_score(docs, "doc_id", "text", alpha=0.5)
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+uni AS (
+  SELECT t AS w1, CAST(count(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) u(i)
+  WHERE len(ts) >= 2),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM pairs GROUP BY 1, 2)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((u.c1 + 0.5 * v.v) / (b.c2 + 0.5))), 6) AS bigram_lm
+FROM pairs p
+JOIN bi b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v
+GROUP BY p.doc_id
+"""
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate report (operators/text.py
+    segment_boilerplate, CCNet-style): 3-token segments occurring in
+    >= 5 distinct documents are chrome/boilerplate; per doc, how much
+    survives removal. Segments built as zipped array slices in the
+    row, one explode, two hash aggregates, one re-join."""
+    docs = _docs(spark, sf_dir)
+    return text.segment_boilerplate(
+        docs, "doc_id", "text", seg_tokens=3, min_docs=5
+    )
+
+
+SQL_BOILERPLATE_SEGMENTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+segs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ts, i * 3 + 1, i * 3 + 3), ' ') AS seg,
+         least(3, len(ts) - i * 3) AS tk
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(ts) / 3.0) AS BIGINT) - 1)) u(i)
+  WHERE len(ts) >= 1),
+sdf AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT seg, doc_id FROM segs) GROUP BY 1)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       round(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS boilerplate_ratio,
+       CAST(sum(CASE WHEN f.df >= 5 THEN 0 ELSE s.tk END) AS BIGINT)
+         AS kept_tokens
+FROM segs s JOIN sdf f USING (seg)
+GROUP BY s.doc_id
+"""
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order totals (operators/profile.py
+    equidepth_histogram): 16 equal-count buckets with exact NTILE
+    semantics, built WITHOUT a global sort via the two-level
+    range-partition rank (sharding.ntile_by_key under a constant
+    key) — the ANALYZE statistic at 100 TB scale."""
+    from duo_spark.operators.profile import equidepth_histogram
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    out = equidepth_histogram(o, "o_totalprice", "o_orderkey", buckets=16)
+    return out.select(
+        "bucket",
+        "n",
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+    )
+
+
+SQL_EQUIDEPTH_HIST = """
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM t GROUP BY bucket
+"""
+
+
+def q_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from HLL sketches (operators/sketch.py
+    hll_overlap): how many distinct users both viewed AND purchased,
+    WITHOUT co-shuffling the two user sets — register-table union +
+    inclusion-exclusion, every number bit-deterministic and replayed
+    by the oracle from the same Lehmer hash."""
+    from duo_spark.operators.sketch import hll_overlap
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_overlap(ev, "event_type", "user_id", "view", "purchase")
+
+
+SQL_HLL_AUDIENCE_OVERLAP = """
+WITH src AS (
+  SELECT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+h1 AS (SELECT event_type, (user_id % 2147483647) * 48271 % 2147483647 AS a FROM src),
+h2 AS (SELECT event_type, xor(a, a >> 15) * 69621 % 2147483647 AS c FROM h1),
+v AS (SELECT event_type, xor(c, c >> 13) AS h FROM h2),
+b AS (
+  SELECT event_type, h % 256 AS bucket,
+         CASE WHEN floor(h / 256) = 0 THEN 24
+              ELSE 24 - length(bin(CAST(floor(h / 256) AS BIGINT))) END AS rho
+  FROM v),
+reg AS (SELECT event_type, bucket, max(rho) AS register FROM b GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+         CAST(floor(0.7213 / (1.0 + 1.079 / 256) * 65536.0 * 16777216.0 /
+              (sum(CAST(1 AS BIGINT) << CAST(24 - register AS INT))
+               + (256 - count(*)) * 16777216)) AS BIGINT) AS estimate
+  FROM reg GROUP BY 1),
+ureg AS (SELECT bucket, max(register) AS register FROM reg GROUP BY 1),
+uest AS (
+  SELECT CAST(floor(0.7213 / (1.0 + 1.079 / 256) * 65536.0 * 16777216.0 /
+              (sum(CAST(1 AS BIGINT) << CAST(24 - register AS INT))
+               + (256 - count(*)) * 16777216)) AS BIGINT) AS est_union
+  FROM ureg),
+ab AS (
+  SELECT max(CASE WHEN event_type = 'view' THEN estimate END) AS est_a,
+         max(CASE WHEN event_type = 'purchase' THEN estimate END) AS est_b
+  FROM est)
+SELECT ab.est_a, ab.est_b, u.est_union,
+       greatest(ab.est_a + ab.est_b - u.est_union, 0) AS est_intersection,
+       round(greatest(ab.est_a + ab.est_b - u.est_union, 0) * 1.0
+             / u.est_union, 6) AS jaccard_est
+FROM ab CROSS JOIN uest u
+"""
+
+
+#: k for the co-ordered-parts core; below the graph's degeneracy cliff
+#: at sf0.01 (non-trivial 4-round peel) and fully peeling at sf0.001.
+K_CORE_K = 75
+#: peel rounds the oracle unrolls; measured convergence is <= 4 at
+#: both gate scales, and rounds past the fixpoint are no-ops.
+_K_CORE_ROUNDS = 12
+
+
+def _k_core_sql() -> str:
+    """Chained-CTE replay of the synchronous peel: round i keeps the
+    nodes whose degree in round i-1's surviving edge set is >= k.
+    Extra rounds past convergence are identity — the unroll count
+    only needs to be >= the rounds the data actually needs."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS s,
+         greatest(l1.l_partkey, l2.l_partkey) AS d
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey),
+u0 AS MATERIALIZED (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0)"""
+    ]
+    for i in range(1, _K_CORE_ROUNDS + 1):
+        parts.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT s AS node FROM u{i - 1} GROUP BY s HAVING count(*) >= {K_CORE_K}),
+u{i} AS MATERIALIZED (
+  SELECT u.s, u.d FROM u{i - 1} u
+  JOIN n{i} a ON u.s = a.node JOIN n{i} b ON u.d = b.node)"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM u{_K_CORE_ROUNDS} GROUP BY s)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, degree FROM fin WHERE degree >= {K_CORE_K}"
+    )
+
+
+SQL_K_CORE_PARTS = _k_core_sql()
+
+
+def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-ordered-parts graph (operators/graph.py
+    k_core, Seidman 1983): parts that appear together in an order are
+    edges; the 75-core is the densely co-purchased kernel after the
+    low-degree fringe peels away (4 cascading rounds at sf0.01).
+    Per-round: two semi-joins + one degree aggregate, edge set
+    monotonically shrinking, checkpointed flat."""
+    from duo_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return k_core(edges, K_CORE_K)
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over the event stream: (event_type x weekday) counts
+    and value sums with ALL subtotal planes in one pass — Spark's
+    native .cube lowers to a single Expand + hash aggregate (one
+    scan, map-side partials), the grouping-sets shape every BI layer
+    compiles to."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.timestamp_micros(_ts_us()), "E").alias("dow"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit("ALL")).alias("dow"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(ts, '%a'), 'ALL') AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%a'))
+"""
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization on the REAL Structured Streaming path
+    (streaming/sessions.py streaming_session_stats): events staged as
+    two file-drops, per-user session_window state in the state store,
+    sessions emitted append-mode as the watermark closes them. A
+    per-user sentinel event far past the data pushes the final
+    watermark so every real session flushes; sentinel sessions are
+    filtered out. Oracle = the batch gap-session definition — the
+    session_window END is last-event + gap, normalized back to max
+    event time so both paths agree row-for-row."""
+    import uuid as _uuid
+
+    from duo_spark.streaming.pipeline import _scratch
+    from duo_spark.streaming.sessions import streaming_session_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.timestamp_micros(_ts_us()).alias("t")
+    )
+    hi = ev.agg(F.max("t").alias("m")).first()["m"]
+    sentinel = ev.select("user_id").distinct().select(
+        F.lit(-1).alias("event_id"),
+        "user_id",
+        (F.lit(hi) + F.expr("INTERVAL 30 DAYS")).alias("t"),
+    )
+    run = _scratch("ssess", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.coalesce(1).write.parquet(src)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, t timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sess = streaming_session_stats(stream, "user_id", "t", gap_seconds=3600)
+    name = f"ssess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(f"SELECT * FROM {name}")
+    cutoff = F.lit(hi) + F.expr("INTERVAL 1 DAY")
+    return out.filter(F.col("start") < cutoff).select(
+        "user_id",
+        (F.unix_timestamp("start") * 1_000_000
+         + F.date_format("start", "SSSSSS").cast("long") % 1_000_000).alias("start_us"),
+        (F.unix_timestamp("end") * 1_000_000
+         + F.date_format("end", "SSSSSS").cast("long") % 1_000_000).alias("end_us"),
+        "n_events",
+    )
+
+
+SQL_STREAMING_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS b
+      FROM e),
+s AS (SELECT user_id, t,
+             CAST(sum(b) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM m)
+SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
     # --- ROUND-9 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
@@ -5795,7 +6183,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
-    # --- round-9 additions land here (rule 1) ---
+    # --- round-9 additions (rule 1) ---
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
+    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
+    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
     # --- r6-stale backlog, rule 3 (complex operators first) ---
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
