@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "packing_stats",
     # round-9 additions
     "l_diversity",
+    "t_closeness",
     "char_entropy",
     "bigram_lm",
     "boilerplate_segments",

@@ -460,36 +460,40 @@ def k_core(
     rounds: extra rounds past convergence are no-ops, so an oracle
     may unroll any count >= the rounds actually needed.
 
-    Scale shape: per round, one semi-join of the canonical edge list
-    against surviving nodes (per endpoint) and one map-combined
-    degree aggregate; the edge list shrinks monotonically and is
-    re-checkpointed each round so the lineage stays flat. No global
-    sort, no driver-side graph state — the only driver scalar is the
-    per-round survivor count.
+    Scale shape: per round, ONE map-combined degree aggregate whose
+    1-row reduction doubles as the fixpoint test (dropped-this-round
+    == 0 — no separate survivor-count job), then two semi-joins
+    rebuild the shrunken edge list, re-checkpointed so the lineage
+    stays flat. No global sort, no driver-side graph state — the only
+    driver scalars are the two per-round counts.
     """
     spark = edges.sparkSession
     und = _symmetric(_canonical_edges(edges, src, dst))
     cur, cur_ids = tracked_local_checkpoint(und)
-    prev_nodes = -1
     for _ in range(max_rounds):
-        deg = cur.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("degree")
+        deg, deg_ids = tracked_local_checkpoint(
+            cur.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
         )
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        n_nodes = keep.count()
-        if n_nodes == prev_nodes:
-            # materialize the (small) core before releasing the edge
-            # checkpoint the lazy plan would otherwise still reference
-            out, _ = tracked_local_checkpoint(deg.filter(F.col("degree") >= k))
+        row = deg.agg(
+            F.count(F.lit(1)).alias("t"),
+            F.coalesce(
+                F.sum((F.col("degree") >= k).cast("int")), F.lit(0)
+            ).alias("s"),
+        ).first()
+        if row["s"] == row["t"]:
+            # fixpoint: every surviving node already has degree >= k.
+            # deg is checkpointed, so the edge blocks can be released.
             release_rdd_ids(spark, cur_ids)
-            return out
-        prev_nodes = n_nodes
+            return deg
+        keep = deg.filter(F.col("degree") >= k).select("node")
         nxt, nxt_ids = tracked_local_checkpoint(
             cur.join(keep.withColumnRenamed("node", "src"), "src")
             .join(keep.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
         )
-        release_rdd_ids(spark, cur_ids)
+        release_rdd_ids(spark, cur_ids | deg_ids)
         cur, cur_ids = nxt, nxt_ids
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds"

@@ -207,3 +207,56 @@ def l_diversity(
             "n_violating_rows"
         ),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-governance ladder after
+    :func:`k_anonymity` and :func:`l_diversity`: a class can hold l
+    distinct sensitive values and still leak if its DISTRIBUTION over
+    them diverges from the table's (e.g. 98% of one value where the
+    global split is even). For a categorical sensitive attribute the
+    paper's ground distance degenerates to total variation distance:
+    ``TVD(class) = 0.5 * sum_v |p_class(v) - p_global(v)|``.
+
+    Returns ONE row: ``(n_classes, max_tvd, t_close,
+    n_violating_classes)`` with TVD rounded to 6 dp.
+
+    Scale shape: values a class does NOT contain contribute
+    ``p_global(v)`` to its TVD, so the naive classes x values
+    cross-join is avoided algebraically: for values present in the
+    class the term is ``|p_c - p_g|``, and the absent mass folds to
+    ``1 - sum(present p_g)`` — everything reduces to the per-(class,
+    value) count table joined once against the global value table
+    (both map-side-combined hash aggregates; the global table is
+    |sensitive domain| rows and broadcasts).
+    """
+    cv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = cv.groupBy(*quasi_cols).agg(F.sum("_c").alias("_ct"))
+    gv = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_g"))
+    gtot = gv.agg(F.sum("_g").alias("_tot"))
+    j = (
+        cv.join(totals, quasi_cols)
+        .join(F.broadcast(gv), sensitive_col)
+        .crossJoin(F.broadcast(gtot))
+    )
+    pc = F.col("_c").cast("double") / F.col("_ct")
+    pg = F.col("_g").cast("double") / F.col("_tot")
+    per_class = j.groupBy(*quasi_cols).agg(
+        (0.5 * (F.sum(F.abs(pc - pg)) + (1 - F.sum(pg)))).alias("_tvd")
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.max("_tvd"), 6).alias("max_tvd"),
+        (F.max("_tvd") <= t).alias("t_close"),
+        F.sum(F.when(F.col("_tvd") > t, 1).otherwise(0)).alias(
+            "n_violating_classes"
+        ),
+    )

@@ -5825,6 +5825,53 @@ FROM cl
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/validate.py t_closeness, Li 2007):
+    does any (priority, order-year) class's ORDER-STATUS distribution
+    diverge from the table's by more than total-variation 0.3? The
+    distribution-level rung above k-anonymity/l-diversity; absent
+    values folded algebraically, no classes x values cross-join."""
+    from duo_spark.operators.validate import t_closeness
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderstatus",
+    )
+    return t_closeness(
+        o, ["o_orderpriority", "o_year"], "o_orderstatus", t=0.3
+    )
+
+
+SQL_T_CLOSENESS = """
+WITH cv AS (
+  SELECT o_orderpriority, year(o_orderdate) AS o_year, o_orderstatus,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM orders GROUP BY 1, 2, 3),
+tt AS (
+  SELECT o_orderpriority, o_year, sum(c) AS ct FROM cv GROUP BY 1, 2),
+gv AS (
+  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS g
+  FROM orders GROUP BY 1),
+gt AS (SELECT sum(g) AS tot FROM gv),
+pc AS (
+  SELECT cv.o_orderpriority, cv.o_year,
+         0.5 * (sum(abs(cv.c / tt.ct - gv.g / gt.tot))
+                + (1 - sum(gv.g / gt.tot))) AS tvd
+  FROM cv
+  JOIN tt USING (o_orderpriority, o_year)
+  JOIN gv USING (o_orderstatus)
+  CROSS JOIN gt
+  GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       round(max(tvd), 6) AS max_tvd,
+       max(tvd) <= 0.3 AS t_close,
+       CAST(sum(CASE WHEN tvd > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes
+FROM pc
+"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality filter (operators/text.py
     char_entropy): bits/char from exact integer character counts —
@@ -6185,6 +6232,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     # --- round-9 additions (rule 1) ---
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),

@@ -263,3 +263,41 @@ def test_k_core_whole_graph_is_core(spark):
     )
     got = {r.node: r.degree for r in k_core(edges, 1).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------- t-closeness
+
+def test_t_closeness_hand_computed(spark):
+    from duo_spark.operators.validate import t_closeness
+
+    # global: x=4/8, y=4/8. class a: x=3/4,y=1/4 -> TVD=0.25
+    # class b: x=1/4,y=3/4 -> TVD=0.25
+    rows = [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] + [("b", "y")] * 3
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness(df, ["q"], "s", t=0.3).collect()[0]
+    assert r.n_classes == 2 and r.max_tvd == 0.25
+    assert r.t_close and r.n_violating_classes == 0
+    r2 = t_closeness(df, ["q"], "s", t=0.2).collect()[0]
+    assert not r2.t_close and r2.n_violating_classes == 2
+
+
+def test_t_closeness_absent_value_mass(spark):
+    from duo_spark.operators.validate import t_closeness
+
+    # class a never contains z: the absent mass p_g(z)=0.25 must count.
+    # global: x=2/4, y=1/4, z=1/4.
+    # class a = {x,x}: TVD = 0.5*(|1-0.5| + 0.25 + 0.25) = 0.5
+    # class b = {y,z}: TVD = 0.5*(0.5 + |0.5-0.25| + |0.5-0.25|) = 0.5
+    rows = [("a", "x"), ("a", "x"), ("b", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness(df, ["q"], "s", t=0.6).collect()[0]
+    assert r.max_tvd == 0.5 and r.t_close
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    from duo_spark.operators.validate import t_closeness
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness(df, ["q"], "s", t=0.01).collect()[0]
+    assert r.max_tvd == 0.0 and r.t_close
