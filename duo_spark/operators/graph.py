@@ -460,19 +460,36 @@ def k_core(
     rounds: extra rounds past convergence are no-ops, so an oracle
     may unroll any count >= the rounds actually needed.
 
-    Scale shape: per round, ONE map-combined degree aggregate whose
-    1-row reduction doubles as the fixpoint test (dropped-this-round
-    == 0 — no separate survivor-count job), then two semi-joins
-    rebuild the shrunken edge list, re-checkpointed so the lineage
-    stays flat. No global sort, no driver-side graph state — the only
-    driver scalars are the two per-round counts.
+    Scale shape — DELTA peeling: the checkpointed edge list stays
+    fixed while the cumulative REMOVED-node set (tiny after the first
+    cascade: peel drops shrink geometrically) rides each round as a
+    broadcast anti-join, so a round costs one map-side pass over the
+    edges plus one map-combined degree aggregate whose 1-row
+    reduction doubles as the fixpoint test. Only when the removed set
+    outgrows the broadcast budget (>= ``fold_fraction`` of the
+    initial nodes) is it folded into a rebuilt, re-checkpointed edge
+    list — the rewrite is amortized over many rounds instead of paid
+    on every 1-node tail drop. No global sort, no driver-side graph
+    state; driver scalars are the two per-round counts.
     """
     spark = edges.sparkSession
+    fold_fraction = 0.2
     und = _symmetric(_canonical_edges(edges, src, dst))
     cur, cur_ids = tracked_local_checkpoint(und)
+    n0 = None
+    removed, removed_ids = None, set()
     for _ in range(max_rounds):
+        alive = cur
+        if removed is not None:
+            alive = cur.join(
+                F.broadcast(removed.withColumnRenamed("node", "src")),
+                "src", "left_anti",
+            ).join(
+                F.broadcast(removed.withColumnRenamed("node", "dst")),
+                "dst", "left_anti",
+            )
         deg, deg_ids = tracked_local_checkpoint(
-            cur.groupBy(F.col("src").alias("node")).agg(
+            alive.groupBy(F.col("src").alias("node")).agg(
                 F.count(F.lit(1)).alias("degree")
             )
         )
@@ -482,19 +499,35 @@ def k_core(
                 F.sum((F.col("degree") >= k).cast("int")), F.lit(0)
             ).alias("s"),
         ).first()
+        if n0 is None:
+            n0 = row["t"]
         if row["s"] == row["t"]:
             # fixpoint: every surviving node already has degree >= k.
             # deg is checkpointed, so the edge blocks can be released.
-            release_rdd_ids(spark, cur_ids)
+            release_rdd_ids(spark, cur_ids | removed_ids)
             return deg
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        nxt, nxt_ids = tracked_local_checkpoint(
-            cur.join(keep.withColumnRenamed("node", "src"), "src")
-            .join(keep.withColumnRenamed("node", "dst"), "dst")
-            .select("src", "dst")
+        drops = deg.filter(F.col("degree") < k).select("node")
+        nxt_removed, nxt_removed_ids = tracked_local_checkpoint(
+            drops if removed is None else removed.unionByName(drops)
         )
-        release_rdd_ids(spark, cur_ids | deg_ids)
-        cur, cur_ids = nxt, nxt_ids
+        release_rdd_ids(spark, removed_ids | deg_ids)
+        removed, removed_ids = nxt_removed, nxt_removed_ids
+        if n0 and (n0 - row["s"]) >= fold_fraction * n0:
+            # removed set too big to keep broadcasting: fold it into
+            # the edge list once and reset the delta
+            folded, folded_ids = tracked_local_checkpoint(
+                cur.join(
+                    removed.withColumnRenamed("node", "src"),
+                    "src", "left_anti",
+                ).join(
+                    removed.withColumnRenamed("node", "dst"),
+                    "dst", "left_anti",
+                )
+            )
+            release_rdd_ids(spark, cur_ids | removed_ids)
+            cur, cur_ids = folded, folded_ids
+            removed, removed_ids = None, set()
+            n0 = row["s"]
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds"
     )
