@@ -196,6 +196,7 @@ BENCH_EXCLUDED = {
     "streaming_moments_rollup",
     "streaming_anomaly",
     "streaming_sessionize",
+    "streaming_cms_topk",
     "compaction_roundtrip",
     "store_retention",
     "store_pruned_scan",

@@ -6141,6 +6141,55 @@ GROUP BY CUBE (event_type, strftime(ts, '%a'))
 """
 
 
+def q_streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained count-min heavy-hitter estimates
+    (streaming/rollup.streaming_cms_rollup): the events stream split
+    across two micro-batches, each batch's d×w register table
+    ADD-merged into the previous version (CMS's sum-merge — the
+    algebra HLL's max lacks), then the exact top-20 users are looked
+    up against the MAINTAINED registers. Additive merge is exact, so
+    the streamed sketch equals the one-shot batch sketch register for
+    register and the oracle is cms_topk's unchanged DuckDB replay.
+    Completes the streaming sketch trio (HLL r8, moments r8, CMS)."""
+    import uuid as _uuid
+
+    from duo_spark.operators.sketch import cms_lookup
+    from duo_spark.streaming.pipeline import _scratch
+    from duo_spark.streaming.rollup import read_rollup, streaming_cms_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    run = _scratch("scms", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_cms_rollup(
+        stream, "user_id",
+        out_dir=f"{run}/rollup", checkpoint_dir=f"{run}/ckpt",
+        w=256, d=4,
+    )
+    q.awaitTermination()
+    sk = read_rollup(spark, f"{run}/rollup")
+    exact = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    top = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(20)
+    est = cms_lookup(sk, top.select("user_id"), "user_id", w=256, d=4)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "estimate",
+        (F.col("estimate") - F.col("n_exact")).alias("overcount"),
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization on the REAL Structured Streaming path
     (streaming/sessions.py streaming_session_stats): events staged as
@@ -6241,6 +6290,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
     # --- r6-stale backlog, rule 3 (complex operators first) ---
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "bm25": (q_bm25, SQL_BM25),
