@@ -6264,95 +6264,25 @@ FROM s GROUP BY user_id, session_idx
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
-    # --- ROUND-9 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # 1-6: the six r5-green entries displaced by round 8's additions
-    # (DEVIATIONS #15 — their driver row lands at 4 rounds, the bounded
-    # trade promised there);
-    # next: round-9 additions (rule 1 — new operators never ship
-    # outside the window);
-    # rest: the r6-stale backlog (rule 3), complex-operator entries
-    # first; the ten simplest frozen-since-r3 OLAP keepers sit first
-    # below the cutoff and lead round 10 (DEVIATIONS #16).
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    # --- round-9 additions (rule 1) ---
-    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
-    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
-    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
-    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
-    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
-    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
-    "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
-    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
-    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
-    # --- r6-stale backlog, rule 3 (complex operators first) ---
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "bm25": (q_bm25, SQL_BM25),
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
-    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
-    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
-    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
-    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
-    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
-    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
-    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
-    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
-    # --- below the driver window. FIRST: the ten r6-green displacement
-    # candidates (simple pure-SQL OLAP keepers, operator code frozen
-    # since r3; they lead round 10 — DEVIATIONS #16). Everything after
-    # has an r7/r8 driver row; the full local parity clone
-    # (tests/test_oracle_parity.py) covers the entire registry. ---
-    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
-    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
-    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
-    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
-    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
-    # --- r8-window entries (freshest driver rows) ---
+    # --- ROUND-10 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
+    # The driver SKIPPED round 8 (no CORRECTNESS_r08.json exists), so
+    # round 10 leads with round 8's lost verification debt (rotation
+    # rule 4, added this round; VERDICT r9 "next round" item 1):
+    # 1-16: the sixteen r7/r8 additions that have NEVER had a driver
+    # oracle row;
+    # 17-28: the twelve queries whose operators were REWRITTEN in
+    # round 8 after their last (r7, pre-change) driver row;
+    # 29-40: the twelve displaced r6 keepers DEVIATIONS #16 promised
+    # would lead round 10;
+    # 41-44: round-10 operator changes (rule 2 — t_closeness null-safe
+    # sensitive join, hll_overlap empty-group row, concurrent_peak
+    # offsets guard, trace_waterfall count() removal);
+    # 45-46+: round-10 additions (rule 1);
+    # rest: the stalest remaining rows — the r4-green #12 displacement
+    # set whose round-8 re-check the driver skip also swallowed.
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
-    "in_list": (q_in_list, SQL_IN_LIST),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
     "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
     "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
@@ -6366,6 +6296,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
     "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
+    # --- 17-28: operators rewritten in round 8, driver row pre-change ---
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
@@ -6378,6 +6309,37 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    # --- 29-40: the displaced r6 keepers (DEVIATIONS #16 promise) ---
+    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
+    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
+    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
+    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
+    # --- 41-44: round-10 operator changes (rule 2) ---
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
+    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
+    # --- 45-50: round-10 additions (rule 1), then the stalest rows
+    # (r4-green #12 displacement set; events_daily/text_stats/
+    # token_count sit first below the cutoff and lead round 11) ---
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    # --- below the driver window (everything here has an r4-r9 driver
+    # row; the full local parity clone covers the whole registry) ---
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    # r5-green rows (stale after the r4 set clears):
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
@@ -6385,7 +6347,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
@@ -6434,4 +6395,52 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    # --- r9-green entries (freshest driver rows; refresh last) ---
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
+    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "bm25": (q_bm25, SQL_BM25),
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
+    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
