@@ -179,6 +179,12 @@ BENCH_QUERIES = [
     "events_cube",
 ]
 
+#: the scale factor the committed BENCH.json headline is pinned to
+#: (the driver's per-round setting); runs at any other sf persist to
+#: .tmp/BENCH_local.json so they can never replace the baseline
+#: artifact (ADVICE r9).
+BASELINE_SF = 0.1
+
 #: registry entries intentionally NOT benched — each reason above.
 BENCH_EXCLUDED = {
     "ngram_jaccard",
@@ -299,7 +305,23 @@ def main() -> None:
     #    margin, print it instead (spec asks for the queries map when
     #    possible).
     spark.stop()
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+    # ADVICE r9 guard: the committed BENCH.json is the cross-round
+    # sf0.1 headline — a local iteration run at another sf must never
+    # overwrite it (round 9 briefly committed an sf0.001 artifact,
+    # masking scale regressions). Off-baseline runs persist to
+    # .tmp/BENCH_local.json (gitignored) instead.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if sf == BASELINE_SF:
+        art = os.path.join(here, "BENCH.json")
+    else:
+        os.makedirs(os.path.join(here, ".tmp"), exist_ok=True)
+        art = os.path.join(here, ".tmp", "BENCH_local.json")
+        print(
+            f"sf={sf} != baseline sf={BASELINE_SF}: writing {art}, "
+            "leaving BENCH.json untouched",
+            file=sys.stderr,
+        )
+    with open(art, "w") as f:
         json.dump(out, f, separators=(",", ":"))
         f.write("\n")
     full_line = json.dumps(out, separators=(",", ":"))

@@ -497,46 +497,59 @@ def hll_overlap(
     intersection follows by inclusion-exclusion:
     ``|A ∩ B| = |A| + |B| - |A ∪ B|`` (Flajolet et al. 2007 §5).
 
-    Returns ONE row: ``(est_a, est_b, est_union, est_intersection,
-    jaccard_est)`` — intersection clamped at 0 (inclusion-exclusion
-    on estimates can go negative for near-disjoint sets), Jaccard
-    rounded to 6 dp. Every number is derived from the same
-    bit-deterministic register tables as hll_sketch/hll_estimate, so
-    an SQL oracle replays all five to the bit.
+    Returns ONE row — ALWAYS one row, even when one or both groups
+    have no rows at all (ADVICE r9: an empty side reports estimate 0,
+    not a vanished report): ``(est_a, est_b, est_union,
+    est_intersection, jaccard_est)`` — intersection clamped at 0
+    (inclusion-exclusion on estimates can go negative for
+    near-disjoint sets), Jaccard rounded to 6 dp and defined as 0
+    when the union estimate is 0 (both sides empty). Every number is
+    derived from the same bit-deterministic register tables as
+    hll_sketch/hll_estimate, so an SQL oracle replays all five to
+    the bit.
 
     Scale shape: one pass builds both register tables (the group
     filter rides the scan); union is a register-table merge (max over
-    at most 2m rows); three 1-row estimates crossJoin into the
+    at most 2m rows); two 1-row aggregates crossJoin into the
     report. Nothing shuffles more than groups x m register rows.
     """
     both = df.filter(F.col(group_col).isin([group_a, group_b]))
     sk = hll_sketch(both, [group_col], value_col, m)
     est = hll_estimate(sk, [group_col], m)
-    a = est.filter(F.col(group_col) == group_a).select(
-        F.col("estimate").alias("est_a")
-    )
-    b = est.filter(F.col(group_col) == group_b).select(
-        F.col("estimate").alias("est_b")
+    # one global aggregate -> exactly one row whatever est contains
+    # (0, 1, or 2 group rows); an absent group coalesces to 0
+    ab = est.agg(
+        F.coalesce(
+            F.max(F.when(F.col(group_col) == group_a, F.col("estimate"))),
+            F.lit(0).cast("long"),
+        ).alias("est_a"),
+        F.coalesce(
+            F.max(F.when(F.col(group_col) == group_b, F.col("estimate"))),
+            F.lit(0).cast("long"),
+        ).alias("est_b"),
     )
     union_sk = sk.select("bucket", "register")
+    # global agg over an empty register table still yields one row
+    # (NULL estimate) -> coalesce to 0
     u = hll_estimate(
         union_sk.groupBy("bucket").agg(F.max("register").alias("register")),
         [],
         m,
-    ).select(F.col("estimate").alias("est_union"))
+    ).select(
+        F.coalesce(F.col("estimate"), F.lit(0).cast("long")).alias("est_union")
+    )
     inter = F.greatest(
         F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
     )
-    return (
-        a.crossJoin(b)
-        .crossJoin(u)
-        .select(
-            "est_a",
-            "est_b",
-            "est_union",
-            inter.alias("est_intersection"),
-            F.round(
-                inter.cast("double") / F.col("est_union"), 6
-            ).alias("jaccard_est"),
+    return ab.crossJoin(u).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(
+            F.col("est_union") > 0,
+            F.round(inter.cast("double") / F.col("est_union"), 6),
         )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
     )

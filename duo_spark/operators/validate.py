@@ -235,16 +235,30 @@ def t_closeness(
     value) count table joined once against the global value table
     (both map-side-combined hash aggregates; the global table is
     |sensitive domain| rows and broadcasts).
+
+    NULL sensitive values count as one domain value, exactly like
+    :func:`l_diversity` (an attacker learns "the value is missing"):
+    the class↔global join is null-safe (``<=>`` is still a hash-join
+    key for Spark), so NULL-holding classes keep their full TVD mass
+    and all-NULL classes stay in ``n_classes`` (ADVICE r9).
     """
     cv = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).alias("_c")
     )
     totals = cv.groupBy(*quasi_cols).agg(F.sum("_c").alias("_ct"))
-    gv = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_g"))
+    gv = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .withColumnRenamed(sensitive_col, "_sv")
+    )
     gtot = gv.agg(F.sum("_g").alias("_tot"))
     j = (
         cv.join(totals, quasi_cols)
-        .join(F.broadcast(gv), sensitive_col)
+        .join(
+            F.broadcast(gv),
+            F.col(sensitive_col).eqNullSafe(F.col("_sv")),
+        )
+        .drop("_sv")
         .crossJoin(F.broadcast(gtot))
     )
     pc = F.col("_c").cast("double") / F.col("_ct")

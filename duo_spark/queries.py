@@ -5830,7 +5830,10 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     does any (priority, order-year) class's ORDER-STATUS distribution
     diverge from the table's by more than total-variation 0.3? The
     distribution-level rung above k-anonymity/l-diversity; absent
-    values folded algebraically, no classes x values cross-join."""
+    values folded algebraically, no classes x values cross-join.
+    NULL sensitive values count as a domain value (null-safe class↔
+    global join, ADVICE r9) — mirrored with IS NOT DISTINCT FROM in
+    the oracle."""
     from duo_spark.operators.validate import t_closeness
 
     o = _t(spark, sf_dir, "orders").select(
@@ -5860,7 +5863,7 @@ pc AS (
                 + (1 - sum(gv.g / gt.tot))) AS tvd
   FROM cv
   JOIN tt USING (o_orderpriority, o_year)
-  JOIN gv USING (o_orderstatus)
+  JOIN gv ON cv.o_orderstatus IS NOT DISTINCT FROM gv.o_orderstatus
   CROSS JOIN gt
   GROUP BY 1, 2)
 SELECT CAST(count(*) AS BIGINT) AS n_classes,
@@ -6031,13 +6034,18 @@ uest AS (
                + (256 - count(*)) * 16777216)) AS BIGINT) AS est_union
   FROM ureg),
 ab AS (
-  SELECT max(CASE WHEN event_type = 'view' THEN estimate END) AS est_a,
-         max(CASE WHEN event_type = 'purchase' THEN estimate END) AS est_b
+  SELECT COALESCE(max(CASE WHEN event_type = 'view' THEN estimate END),
+                  0) AS est_a,
+         COALESCE(max(CASE WHEN event_type = 'purchase' THEN estimate END),
+                  0) AS est_b
   FROM est)
-SELECT ab.est_a, ab.est_b, u.est_union,
-       greatest(ab.est_a + ab.est_b - u.est_union, 0) AS est_intersection,
-       round(greatest(ab.est_a + ab.est_b - u.est_union, 0) * 1.0
-             / u.est_union, 6) AS jaccard_est
+SELECT ab.est_a, ab.est_b, COALESCE(u.est_union, 0) AS est_union,
+       greatest(ab.est_a + ab.est_b - COALESCE(u.est_union, 0), 0)
+         AS est_intersection,
+       CASE WHEN COALESCE(u.est_union, 0) > 0
+            THEN round(greatest(ab.est_a + ab.est_b - u.est_union, 0) * 1.0
+                       / u.est_union, 6)
+            ELSE 0.0 END AS jaccard_est
 FROM ab CROSS JOIN uest u
 """
 
@@ -6046,7 +6054,10 @@ FROM ab CROSS JOIN uest u
 #: at sf0.01 (non-trivial 4-round peel) and fully peeling at sf0.001.
 K_CORE_K = 75
 #: peel rounds the oracle unrolls; measured convergence is <= 4 at
-#: both gate scales, and rounds past the fixpoint are no-ops.
+#: both gate scales, and rounds past the fixpoint are no-ops. The
+#: oracle ASSERTS convergence (last two node sets equal) and errors
+#: out otherwise — data needing more rounds fails loudly instead of
+#: hash-mismatching with a silently non-converged core (ADVICE r9).
 _K_CORE_ROUNDS = 12
 
 
@@ -6054,7 +6065,9 @@ def _k_core_sql() -> str:
     """Chained-CTE replay of the synchronous peel: round i keeps the
     nodes whose degree in round i-1's surviving edge set is >= k.
     Extra rounds past convergence are identity — the unroll count
-    only needs to be >= the rounds the data actually needs."""
+    only needs to be >= the rounds the data actually needs, and the
+    final convergence check turns "needs more" into an explicit
+    oracle error rather than a wrong answer."""
     parts = [
         """WITH e0 AS MATERIALIZED (
   SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS s,
@@ -6074,11 +6087,18 @@ u{i} AS MATERIALIZED (
     parts.append(
         f"""fin AS (
   SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
-  FROM u{_K_CORE_ROUNDS} GROUP BY s)"""
+  FROM u{_K_CORE_ROUNDS} GROUP BY s),
+chk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM n{_K_CORE_ROUNDS})
+                 = (SELECT count(*) FROM n{_K_CORE_ROUNDS - 1})
+         THEN 1
+         ELSE error('k-core oracle: peel not converged after {_K_CORE_ROUNDS} rounds — raise _K_CORE_ROUNDS')
+         END AS converged)"""
     )
     return (
         ",\n".join(parts)
-        + f"\nSELECT node, degree FROM fin WHERE degree >= {K_CORE_K}"
+        + f"\nSELECT node, degree FROM fin CROSS JOIN chk"
+        + f"\nWHERE degree >= {K_CORE_K} AND chk.converged = 1"
     )
 
 

@@ -209,6 +209,30 @@ def test_hll_overlap_identical_and_disjoint(spark):
     assert r2.est_union > max(r2.est_a, r2.est_b) * 1.5
 
 
+def test_hll_overlap_empty_sides_one_row(spark):
+    """ADVICE r9: an empty group must coalesce to estimate 0 and the
+    report must still be exactly ONE row; jaccard guards the 0/0."""
+    from duo_spark.operators.sketch import hll_overlap
+
+    # group b entirely absent
+    rows = [("a", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = hll_overlap(df, "g", "v", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.est_b == 0 and r.est_a > 0
+    assert r.est_union == r.est_a  # union of A with empty = A
+    assert r.est_intersection == 0 and r.jaccard_est == 0.0
+
+    # both groups absent: one all-zero row, jaccard 0 (no divide error)
+    df2 = spark.createDataFrame([("c", 1)], "g string, v long")
+    out2 = hll_overlap(df2, "g", "v", "a", "b").collect()
+    assert len(out2) == 1
+    r2 = out2[0]
+    assert (r2.est_a, r2.est_b, r2.est_union, r2.est_intersection) == (0, 0, 0, 0)
+    assert r2.jaccard_est == 0.0
+
+
 def test_hll_overlap_union_is_register_merge(spark):
     """est_union must equal the estimate of the merged register table
     (the mergeability contract), not an estimate of re-scanned data."""
@@ -301,3 +325,29 @@ def test_t_closeness_uniform_class_is_zero(spark):
     df = spark.createDataFrame(rows, "q string, s string")
     r = t_closeness(df, ["q"], "s", t=0.01).collect()[0]
     assert r.max_tvd == 0.0 and r.t_close
+
+
+def test_t_closeness_null_sensitive_is_a_value(spark):
+    """ADVICE r9: NULL sensitive values must count as one domain
+    value (l_diversity's documented semantics), not silently vanish
+    from the class↔global join."""
+    from duo_spark.operators.validate import t_closeness
+
+    # global: x=2/4, NULL=2/4. class a = {x, NULL} matches the global
+    # split exactly -> TVD 0; class b = {x, NULL} ditto.
+    rows = [("a", "x"), ("a", None), ("b", "x"), ("b", None)]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness(df, ["q"], "s", t=0.01).collect()[0]
+    assert r.n_classes == 2
+    assert r.max_tvd == 0.0 and r.t_close
+
+    # an ALL-NULL class must stay in n_classes and carry real TVD:
+    # global: x=1/4, NULL=3/4; class c = {NULL, NULL}:
+    # TVD = 0.5*(|1-0.75| + 0.25 absent-x mass) = 0.25
+    # class a = {x, NULL}: 0.5*(|0.5-0.25| + |0.5-0.75|) = 0.25
+    rows2 = [("a", "x"), ("a", None), ("c", None), ("c", None)]
+    df2 = spark.createDataFrame(rows2, "q string, s string")
+    r2 = t_closeness(df2, ["q"], "s", t=0.2).collect()[0]
+    assert r2.n_classes == 2
+    assert r2.max_tvd == 0.25
+    assert not r2.t_close and r2.n_violating_classes == 2
