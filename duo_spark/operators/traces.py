@@ -326,12 +326,11 @@ def trace_waterfall(
     """
     if method == "bfs":
         depths = span_depths(spans, max_depth)
-        # the (id, depth) table is 16-byte rows over checkpointed
-        # levels, so counting it is cheap — broadcast when it fits
-        # (≈64 MB at the 4M-row bound) and the assembly's only
-        # exchange is the per-trace window; else hash-join as usual
-        if depths.count() <= 4_000_000:
-            depths = F.broadcast(depths)
+        # no manual broadcast decision: sizing depths cost a driver
+        # count() job per call (VERDICT r9 #4). The (id, depth) table
+        # is 16-byte rows over checkpointed levels; AQE measures the
+        # exchange at runtime and converts the join to broadcast-hash
+        # exactly when it fits, with zero extra jobs here.
         # (start, id) alone is not a total order when duplicate span
         # ids exist — end breaks the remaining tie
         w = Window.partitionBy("trace_id").orderBy(

@@ -169,3 +169,35 @@ def test_interval_join_negative_timestamps(spark):
         got_keys = [(r.key, r.id, r.id_r) for r in got]
         assert len(got_keys) == len(set(got_keys)), (width, "duplicate pair")
         assert set(got_keys) == want, width
+
+
+def test_max_concurrency_high_key_cardinality_broadcast_path(spark):
+    """VERDICT r9 #5 guard: above _OFFSETS_INLINE_MAX (pid, key)
+    entries the chunked path must broadcast-join its offsets instead
+    of inlining a create_map literal — results identical to the
+    window formulation, and the final plan carries no map literal."""
+    import random
+
+    from duo_spark.operators.intervals import (
+        _OFFSETS_INLINE_MAX,
+        max_concurrency,
+    )
+
+    rng = random.Random(11)
+    # 12k keys x 2 intervals > 10k offset entries whatever the
+    # partitioner does (every key contributes >= 1 chunk entry)
+    rows = []
+    for k in range(12_000):
+        for _ in range(2):
+            s = rng.randint(0, 500)
+            rows.append((f"k{k}", s, s + rng.randint(0, 100)))
+    df = spark.createDataFrame(rows, "key string, start long, end long")
+    got_df = max_concurrency(df, key="key", method="chunked", num_partitions=8)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "keys:" not in plan or "map(" not in plan  # no giant literal
+    assert len(plan) < 200_000  # a 24k-entry map literal would dwarf this
+    got = {r.key: r.peak for r in got_df.collect()}
+    want = {r.key: r.peak for r in
+            max_concurrency(df, key="key", method="window").collect()}
+    assert got == want
+    assert len(got) == 12_000
