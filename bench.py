@@ -34,10 +34,12 @@ from duo_spark.session import get_spark  # noqa: E402
 #:   store-write setup (each builds its store or checkpoint inside the
 #:   query call), not query execution, and are gated for correctness
 #:   instead.
-#: - multimodal_stats/features/frames: the decode step is a stub in
-#:   this container, so their runtime is not meaningful.
-#:   multimodal_frame_dedup IS included — its frame hashing and dedup
-#:   aggregates are real byte-level work.
+#: - multimodal_stats/features/frames: their decode step is the
+#:   deterministic fake, so their runtime is not meaningful.
+#:   multimodal_frame_dedup IS included (frame hashing and dedup
+#:   aggregates are real byte-level work), as are the round-10
+#:   multimodal_decode_audio/image gates (REAL stdlib WAV/BMP
+#:   parsing in the hot loop).
 #: Every other registry query is benched (test_registry-adjacent check
 #: below: BENCH_QUERIES + EXCLUDED == registry).
 BENCH_QUERIES = [
@@ -177,6 +179,9 @@ BENCH_QUERIES = [
     "hll_audience_overlap",
     "k_core_parts",
     "events_cube",
+    # round-10 additions
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

@@ -2,11 +2,16 @@
 
 Image/audio/video ride as opaque ``binary`` columns + typed metadata
 structs. The Spark-side plumbing (schema, partition sizing, Arrow batch
-shape, UDF signatures) is real and tested; the codec step itself is
-STUBBED — the decode libraries (PIL/librosa/ffmpeg) are not in this
-container, so ``decode_fn=None`` uses a deterministic fake that derives
-"features" from the bytes, and passing a real decoder later changes no
-plumbing.
+shape, UDF signatures) is real and tested. Codecs (round 10): WAV
+(PCM16, stdlib ``wave``) and BMP/PPM (stdlib ``struct``) decode is
+REAL — :func:`decode_wav` / :func:`decode_bmp` and the
+:func:`audio_stats` / :func:`image_stats` operators; only the VIDEO
+codec remains stubbed (ffmpeg is not in this container), with
+:func:`sample_frames` as the byte-window stand-in of the same
+pipeline shape. ``extract_features``'s ``decode_fn=None`` keeps the
+deterministic byte-hash fake as the default so fixture pipelines stay
+reproducible; pass ``decode_audio``/``decode_image`` for the real
+paths.
 
 Design for 100 TB: media bytes are large, so
 - never groupBy/shuffle rows carrying the binary column; extract
@@ -96,18 +101,136 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def decode_image(content: bytes | None) -> list[float]:
-    """Real image decode (PIL) — unavailable in this container."""
-    raise NotImplementedError("image codec libs not available in this environment")
+def decode_wav(content: bytes) -> tuple[int, int, int, int, int]:
+    """REAL audio decode, pure stdlib (round 10 — VERDICT r9 #3): parse
+    a RIFF/WAV container with the stdlib ``wave`` reader and unpack the
+    PCM16 sample stream. Returns exact integers
+    ``(n_channels, sample_rate, n_samples, sum_abs, peak)`` where
+    ``n_samples`` counts frames x channels, ``sum_abs`` is the exact
+    integer sum of |sample| and ``peak`` = max |sample| — the basis
+    every derived float stat (mean/RMS) computes from, so an SQL
+    oracle can replay them bit-exactly.
+    """
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch = w.getnchannels()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only PCM16 wav supported, got sampwidth={w.getsampwidth()}"
+            )
+        raw = w.readframes(nframes)
+    n = len(raw) // 2
+    samples = struct.unpack(f"<{n}h", raw[: 2 * n])
+    sum_abs = 0
+    peak = 0
+    for s in samples:
+        a = -s if s < 0 else s
+        sum_abs += a
+        if a > peak:
+            peak = a
+    return nch, rate, n, sum_abs, peak
 
 
-def decode_audio(content: bytes | None) -> list[float]:
-    """Real audio decode (librosa/soundfile) — unavailable here."""
-    raise NotImplementedError("audio codec libs not available in this environment")
+def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
+    """REAL image decode, pure stdlib (round 10): parse an uncompressed
+    24-bit BMP (BITMAPINFOHEADER, BI_RGB) or a binary PPM (P6) and
+    return exact integers ``(width, height, sum_r, sum_g, sum_b)``.
+    Handles BMP's 4-byte row padding and bottom-up row order (row
+    order cannot change the sums, but the stride walk must be right
+    or channels smear across columns).
+    """
+    import struct
+
+    if content[:2] == b"BM":
+        off, = struct.unpack_from("<I", content, 10)
+        hdr_size, = struct.unpack_from("<I", content, 14)
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        width, height = struct.unpack_from("<ii", content, 18)
+        bpp, = struct.unpack_from("<H", content, 28)
+        comp, = struct.unpack_from("<I", content, 30)
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+        height = abs(height)  # negative = top-down; sums don't care
+        stride = (3 * width + 3) & ~3
+        sum_r = sum_g = sum_b = 0
+        for y in range(height):
+            row = content[off + y * stride : off + y * stride + 3 * width]
+            # BMP stores BGR
+            sum_b += sum(row[0::3])
+            sum_g += sum(row[1::3])
+            sum_r += sum(row[2::3])
+        return width, height, sum_r, sum_g, sum_b
+    if content[:2] == b"P6":
+        # P6\n<w> <h>\n<maxval>\n<raw RGB>; '#' comments allowed
+        pos = 2
+        fields: list[int] = []
+        while len(fields) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+        px = content[pos : pos + 3 * width * height]
+        return width, height, sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
+    raise ValueError("unsupported image container (need BMP or P6 PPM)")
+
+
+def decode_image(content: bytes | None, dim: int = 8) -> list[float]:
+    """Image codec hook for :func:`extract_features`, now REAL for
+    BMP/PPM: ``[width, height, mean_r, mean_g, mean_b]`` padded to
+    ``dim`` (means are exact-integer-sum / pixel-count divisions).
+    Other containers (PNG/JPEG) need external libs and still raise."""
+    if content is None:
+        return [0.0] * dim
+    width, height, sum_r, sum_g, sum_b = decode_bmp(content)
+    n = width * height
+    out = [
+        float(width),
+        float(height),
+        sum_r / n,
+        sum_g / n,
+        sum_b / n,
+    ]
+    return out + [0.0] * (dim - len(out))
+
+
+def decode_audio(content: bytes | None, dim: int = 8) -> list[float]:
+    """Audio codec hook for :func:`extract_features`, now REAL for
+    PCM16 WAV: ``[n_channels, sample_rate, n_samples, mean_abs,
+    peak]`` padded to ``dim``. Compressed codecs (mp3/ogg) need
+    external libs and still raise."""
+    if content is None:
+        return [0.0] * dim
+    nch, rate, n, sum_abs, peak = decode_wav(content)
+    out = [
+        float(nch),
+        float(rate),
+        float(n),
+        (sum_abs / n) if n else 0.0,
+        float(peak),
+    ]
+    return out + [0.0] * (dim - len(out))
 
 
 def sample_video_frames(content: bytes | None, every_ms: int = 1000) -> list[float]:
-    """Real video frame sampling (ffmpeg) — unavailable here."""
+    """Real video frame sampling (ffmpeg) — unavailable in this
+    container (the one remaining stubbed codec; :func:`sample_frames`
+    is the byte-window stand-in with the same pipeline shape)."""
     raise NotImplementedError("video codec libs not available in this environment")
 
 
@@ -247,3 +370,123 @@ def duplicate_frames(
             ).alias("dup_ratio"),
         )
     )
+
+
+# -- real-codec DataFrame operators (round 10) ---------------------------
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def _stats_map(decode, fields):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (mid, *decode(content))
+                for mid, content in zip(pdf["media_id"], pdf["content"])
+                if content is not None
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", *fields])
+
+    return run
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-asset exact audio stats from REAL WAV decoding
+    (:func:`decode_wav`) — one mapInPandas pass, payload dropped at
+    the task boundary (rows with NULL content are skipped). All
+    columns are exact integers, so derived float stats (mean |s|,
+    RMS) are computed downstream where an SQL oracle can replay the
+    same division."""
+    return media.select("media_id", "content").mapInPandas(
+        _stats_map(
+            decode_wav,
+            ["n_channels", "sample_rate", "n_samples", "sum_abs", "peak"],
+        ),
+        AUDIO_STATS_SCHEMA,
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-asset exact image stats from REAL BMP/PPM decoding
+    (:func:`decode_bmp`): dimensions + exact per-channel integer
+    sums. Same pipeline shape as :func:`audio_stats`."""
+    return media.select("media_id", "content").mapInPandas(
+        _stats_map(decode_bmp, ["width", "height", "sum_r", "sum_g", "sum_b"]),
+        IMAGE_STATS_SCHEMA,
+    )
+
+
+# -- deterministic fixture encoders (tests + oracle-replayable gates) ----
+
+def synth_wav(media_id: int) -> bytes:
+    """Deterministic PCM16 mono WAV for asset ``media_id``: 8 kHz,
+    ``64 + media_id % 64`` samples, sample i =
+    ``(media_id*7919 + i*104729) % 65536 - 32768``. A REAL RIFF
+    container (written by the stdlib ``wave`` writer) whose decoded
+    stats an SQL oracle can recompute from the closed form."""
+    import io
+    import struct
+    import wave
+
+    n = 64 + media_id % 64
+    samples = [
+        (media_id * 7919 + i * 104729) % 65536 - 32768 for i in range(n)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def synth_bmp(media_id: int) -> bytes:
+    """Deterministic 24-bit BI_RGB BMP for asset ``media_id``:
+    ``(8 + media_id % 8) x (8 + media_id % 5)`` px, pixel (x, y) =
+    (r, g, b) = ``((media_id*3 + x*7 + y*13) % 256, (x*31 + y) % 256,
+    (media_id + x + y*17) % 256)``. Real header, real 4-byte row
+    padding, bottom-up row order."""
+    import struct
+
+    width = 8 + media_id % 8
+    height = 8 + media_id % 5
+    stride = (3 * width + 3) & ~3
+    img_size = stride * height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,          # file header
+        40, width, height, 1, 24, 0, img_size,    # BITMAPINFOHEADER
+        2835, 2835, 0, 0,
+    )
+    rows = []
+    pad = b"\x00" * (stride - 3 * width)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r = (media_id * 3 + x * 7 + y * 13) % 256
+            g = (x * 31 + y) % 256
+            b = (media_id + x + y * 17) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    return header + b"".join(rows)

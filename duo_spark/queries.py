@@ -1207,6 +1207,97 @@ FROM documents GROUP BY 1
 """
 
 
+def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode e2e (operators/multimodal.py decode_wav /
+    audio_stats, round 10): per doc_id a genuine RIFF/PCM16 WAV is
+    synthesized from a closed-form sample sequence (synth_wav), parsed
+    back by the stdlib wave reader inside one mapInPandas pass, and
+    reduced to exact integer stats. The oracle never sees the bytes —
+    it replays the closed form over generate_series, so any container
+    /stride/sign bug in the decoder hash-mismatches."""
+    from duo_spark.operators.multimodal import audio_stats, synth_wav
+
+    def _wav(doc_id):
+        return doc_id.map(lambda d: synth_wav(int(d)))
+
+    wav_udf = F.pandas_udf(_wav, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", wav_udf("media_id").alias("content"))
+    st = audio_stats(media)
+    return st.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("sum_abs") / F.col("n_samples"), 6).alias("mean_abs"),
+        "peak",
+    )
+
+
+SQL_MULTIMODAL_DECODE_AUDIO = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 64 + doc_id % 64)) AS i FROM documents),
+v AS (
+  SELECT doc_id, (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v FROM s)
+SELECT doc_id AS media_id,
+       CAST(1 AS INT) AS n_channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sum(abs(v)) * 1.0 / count(*), 6) AS mean_abs,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM v GROUP BY doc_id
+"""
+
+
+def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode e2e (operators/multimodal.py decode_bmp /
+    image_stats, round 10): per doc_id a genuine 24-bit BI_RGB BMP —
+    real header, 4-byte row padding, bottom-up rows, BGR byte order —
+    is synthesized from closed-form pixels (synth_bmp), parsed back
+    byte-by-byte in one mapInPandas pass, and reduced to exact
+    per-channel sums. Oracle replays the pixel formula over the
+    (x, y) grid; a stride or channel-order bug smears the sums."""
+    from duo_spark.operators.multimodal import image_stats, synth_bmp
+
+    def _bmp(doc_id):
+        return doc_id.map(lambda d: synth_bmp(int(d)))
+
+    bmp_udf = F.pandas_udf(_bmp, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", bmp_udf("media_id").alias("content"))
+    st = image_stats(media)
+    n = F.col("width") * F.col("height")
+    return st.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / n, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / n, 6).alias("mean_b"),
+    )
+
+
+SQL_MULTIMODAL_DECODE_IMAGE = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 3 + x * 7 + y * 13) % 256 AS r,
+         (x * 31 + y) % 256 AS g,
+         (doc_id + x + y * 17) % 256 AS b
+  FROM xy)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       round(sum(r) * 1.0 / (max(w) * max(h)), 6) AS mean_r,
+       round(sum(g) * 1.0 / (max(w) * max(h)), 6) AS mean_g,
+       round(sum(b) * 1.0 / (max(w) * max(h)), 6) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
 # -- no-oracle (approximate / non-SQL-expressible) ----------------------
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6347,9 +6438,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    # --- 45-50: round-10 additions (rule 1), then the stalest rows
-    # (r4-green #12 displacement set; events_daily/text_stats/
-    # token_count sit first below the cutoff and lead round 11) ---
+    # --- 45+: round-10 additions (rule 1), then the stalest rows
+    # (r4-green #12 displacement set; the ones past slot 50 sit first
+    # below the cutoff and lead round 11) ---
+    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
+    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
