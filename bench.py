@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     # round-10 additions
     "multimodal_decode_audio",
     "multimodal_decode_image",
+    "salted_join_skew",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

@@ -4860,6 +4860,46 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
 """
 
 
+def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join under a pathological 90%-hot key
+    (operators/skew.py salted_join, round 10 — VERDICT r9 #8): events
+    keys collapse so ~90% of rows share k=0, the classic regime where
+    one reducer becomes the shuffle straggler. salted_join fans the
+    hot key across 16 sub-keys (big side salts, small side replicates
+    16x) and must stay ROW-IDENTICAL to the plain join — the oracle
+    is the unsalted SQL join. SCALING.md probe 23 measures the
+    straggler elimination at scale; this gate pins correctness."""
+    from duo_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    big = ev.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("event_id") % 997)
+        .alias("k"),
+        "event_id",
+    )
+    small = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    j = salted_join(big, small, "k", salt=16)
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_eid"),
+    )
+
+
+SQL_SALTED_JOIN_SKEW = """
+WITH big AS (
+  SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 997 END AS k,
+         event_id
+  FROM events),
+small AS (SELECT range AS k, range % 7 AS grp FROM range(0, 997))
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid
+FROM big JOIN small USING (k) GROUP BY grp
+"""
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics (operators/skew.py key_skew_profile)
     for three hot keys — the report that decides plain shuffle vs AQE
@@ -6443,6 +6483,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # below the cutoff and lead round 11) ---
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
+    "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
