@@ -6484,14 +6484,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
     "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
+    # --- 48-50: the stalest rows with driver history (r4) ---
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    # --- below the driver window (everything here has an r4-r9 driver
+    # row; the full local parity clone covers the whole registry).
+    # The four remaining r4-green entries sit first and lead round 11.
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    # --- below the driver window (everything here has an r4-r9 driver
-    # row; the full local parity clone covers the whole registry) ---
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     # r5-green rows (stale after the r4 set clears):
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
