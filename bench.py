@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "multimodal_decode_audio",
     "multimodal_decode_image",
     "salted_join_skew",
+    "readability",
+    "zipf_slope",
+    "column_mi",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

@@ -187,3 +187,76 @@ def equidepth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def column_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    dependence audit of pipeline QA: does a label leak a protected
+    attribute, does a feature duplicate another, is a stratification
+    key actually independent of the split? ``MI = Σ p(a,b) ·
+    ln(p(a,b) / (p(a)·p(b)))`` plus the normalized variant
+    ``NMI = MI / sqrt(H(a)·H(b))`` (0 = independent, 1 = bijective).
+
+    Returns ONE row ``(n_rows, n_a, n_b, mi, nmi)`` (nats, 6 dp;
+    ``nmi`` is 0 when either marginal entropy is 0 — a constant
+    column carries no information to normalize by). NULL categories
+    count as values (null-safe joins, same contract as k_anonymity /
+    the round-10 t_closeness fix). All probabilities derive from
+    exact integer counts and the log of a product is folded to a sum
+    of logs (``ln c + ln n - ln c_a - ln c_b``), so nothing can
+    overflow and an SQL oracle replays every term bit-for-bit.
+
+    Scale: ONE shuffle builds the (a, b) joint count table; both
+    marginals re-aggregate it (joint cardinality, not row count) and
+    broadcast back. The exchange carries |A x B| rows, never data
+    rows.
+    """
+    j = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    ma = j.groupBy(F.col("_a").alias("_am")).agg(F.sum("_c").alias("_ca"))
+    mb = j.groupBy(F.col("_b").alias("_bm")).agg(F.sum("_c").alias("_cb"))
+    tot = j.agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_cells")
+    )
+    joined = (
+        j.join(F.broadcast(ma), F.col("_a").eqNullSafe(F.col("_am")))
+        .join(F.broadcast(mb), F.col("_b").eqNullSafe(F.col("_bm")))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("_c").cast("double") / F.col("_n")) * (
+        F.log(F.col("_c").cast("double"))
+        + F.log(F.col("_n").cast("double"))
+        - F.log(F.col("_ca").cast("double"))
+        - F.log(F.col("_cb").cast("double"))
+    )
+    mi_row = joined.agg(F.sum(term).alias("_mi"))
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("_ca").cast("double") / F.col("_n"))
+            * (F.log(F.col("_ca").cast("double")) - F.log(F.col("_n").cast("double")))
+        )).alias("_ha"),
+        F.count(F.lit(1)).alias("n_a"),
+    )
+    hb = mb.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("_cb").cast("double") / F.col("_n"))
+            * (F.log(F.col("_cb").cast("double")) - F.log(F.col("_n").cast("double")))
+        )).alias("_hb"),
+        F.count(F.lit(1)).alias("n_b"),
+    )
+    denom = F.sqrt(F.col("_ha") * F.col("_hb"))
+    return (
+        tot.crossJoin(mi_row)
+        .crossJoin(ha)
+        .crossJoin(hb)
+        .select(
+            F.col("_n").alias("n_rows"),
+            "n_a",
+            "n_b",
+            F.round("_mi", 6).alias("mi"),
+            F.round(
+                F.when(denom > 0, F.col("_mi") / denom).otherwise(0.0), 6
+            ).alias("nmi"),
+        )
+    )

@@ -10,6 +10,7 @@ in an SQL oracle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker sets for the n-gram heuristic
@@ -771,4 +772,100 @@ def segment_boilerplate(
             6,
         ).alias("boilerplate_ratio"),
         F.sum(F.when(boiler, 0).otherwise(F.col("_tk"))).alias("kept_tokens"),
+    )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Flesch-style readability score — the curation
+    screen that separates prose from tables/code/keyword-stuffing by
+    sentence and word shape rather than vocabulary. All three inputs
+    are deterministic integer counts (whole-stage codegen, no UDF),
+    so an SQL oracle replays the formula exactly:
+
+    - words: whitespace tokens (:func:`tokens`);
+    - sentences: maximal ``[.!?]+`` runs, floored at 1;
+    - syllables: maximal vowel-group runs ``[aeiouy]+`` of the
+      lowercased text — the standard lib-free syllable proxy.
+
+    ``flesch = 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words)`` (Flesch 1948), NULL-safe: empty docs get
+    0.0. Returns ``(id_col, n_words, n_sentences, n_syllables,
+    flesch)`` with the score rounded to 6 dp.
+
+    Scale: one projection, no shuffle at all — the score rides the
+    scan like gopher_rules.
+    """
+    c = F.col(text_col)
+    n_words = F.size(F.filter(tokens(c), lambda t: t != ""))
+    n_sent = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.regexp_count(F.lower(c), F.lit("[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words.cast("double") / n_sent.cast("double")
+        - F.lit(84.6) * n_syl.cast("double") / n_words.cast("double")
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(F.when(n_words > 0, flesch).otherwise(0.0), 6).alias(
+            "flesch"
+        ),
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_k: int = 1000
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency head: OLS slope
+    of ``ln(freq)`` against ``ln(rank)`` for the ``top_k`` most
+    frequent tokens — natural corpora sit near -1; scraped boilerplate
+    and generator loops bend the head flat (slope → 0), OCR noise
+    steepens it. A one-number corpus-health check (Zipf 1949;
+    Piantadosi 2014 for the diagnostics reading).
+
+    Returns ONE row ``(n_tokens, n_types, n_ranked, zipf_slope,
+    zipf_intercept)`` (6 dp). Rank ties break on the token string, so
+    the rank assignment — and therefore the fit — is a deterministic
+    total order an SQL oracle replays exactly.
+
+    Scale: token counts are one map-side-combined hash aggregate;
+    only the ``top_k`` head (bounded, default 1000 rows) passes
+    through the single-partition rank window — a TakeOrdered of the
+    count table, not a global sort of it. The OLS reduces to five
+    scalar sums.
+    """
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("_w")
+    ).filter(F.col("_w") != "")
+    tf = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
+    totals = tf.agg(
+        F.sum("_f").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    top = tf.orderBy(F.col("_f").desc(), F.col("_w")).limit(top_k)
+    w = Window.orderBy(F.col("_f").desc(), F.col("_w"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("_f").cast("double")).alias("_y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return s.crossJoin(F.broadcast(totals)).select(
+        "n_tokens",
+        "n_types",
+        F.col("_n").alias("n_ranked"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
     )

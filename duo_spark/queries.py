@@ -4900,6 +4900,111 @@ FROM big JOIN small USING (k) GROUP BY grp
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability screen (operators/text.py readability,
+    round 10): words/sentences/vowel-group syllables as exact integer
+    counts, score = 206.835 - 1.015*(w/s) - 84.6*(syl/w). Pure
+    projection — rides the scan, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    return text.readability(docs, "doc_id", "text")
+
+
+SQL_READABILITY = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS INT) AS n_words,
+       CAST(s AS INT) AS n_sentences,
+       CAST(syl AS INT) AS n_syllables,
+       CASE WHEN w > 0
+            THEN round(206.835 - 1.015 * w / s - 84.6 * syl / w, 6)
+            ELSE 0.0 END AS flesch
+FROM t
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit (operators/text.py zipf_slope, round 10): OLS
+    of ln(freq) on ln(rank) over the top-1000 token head, rank ties
+    broken on the token so the fit is a deterministic total order.
+    One hash aggregate + a bounded top-k; five scalar sums."""
+    docs = _docs(spark, sf_dir)
+    return text.zipf_slope(docs, "text", top_k=1000)
+
+
+SQL_ZIPF_SLOPE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents),
+tf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+  WHERE w <> '' GROUP BY w),
+tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types FROM tf),
+top AS (SELECT w, f FROM tf ORDER BY f DESC, w LIMIT 1000),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(f AS DOUBLE)) AS y
+  FROM top),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy)
+SELECT tot.n_tokens, tot.n_types, s.n AS n_ranked,
+       round((s.n * s.sxy - s.sx * s.sy)
+             / (s.n * s.sxx - s.sx * s.sx), 6) AS zipf_slope,
+       round((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                     / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n, 6)
+         AS zipf_intercept
+FROM s CROSS JOIN tot
+"""
+
+
+def q_column_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column dependence audit (operators/profile.py column_mi, round
+    10): mutual information + NMI between order status and priority —
+    the leakage/redundancy check of pipeline QA. One |A x B|-row
+    shuffle, exact integer counts, log-sum folding (no products that
+    can overflow)."""
+    from duo_spark.operators.profile import column_mi
+
+    o = _t(spark, sf_dir, "orders")
+    return column_mi(o, "o_orderstatus", "o_orderpriority")
+
+
+SQL_COLUMN_MI = """
+WITH j AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY a),
+mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY b),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+mi AS (
+  SELECT sum(c * 1.0 / n.n * (ln(c) + ln(n.n) - ln(ca) - ln(cb))) AS mi
+  FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n),
+ha AS (
+  SELECT -sum(ca * 1.0 / n.n * (ln(ca) - ln(n.n))) AS ha,
+         CAST(count(*) AS BIGINT) AS n_a
+  FROM ma CROSS JOIN n),
+hb AS (
+  SELECT -sum(cb * 1.0 / n.n * (ln(cb) - ln(n.n))) AS hb,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM mb CROSS JOIN n)
+SELECT n.n AS n_rows, ha.n_a, hb.n_b, round(mi.mi, 6) AS mi,
+       CASE WHEN ha.ha * hb.hb > 0
+            THEN round(mi.mi / sqrt(ha.ha * hb.hb), 6)
+            ELSE 0.0 END AS nmi
+FROM n CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics (operators/skew.py key_skew_profile)
     for three hot keys — the report that decides plain shuffle vs AQE
@@ -6484,13 +6589,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
     "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
-    # --- 48-50: the stalest rows with driver history (r4) ---
+    "readability": (q_readability, SQL_READABILITY),
+    "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
+    "column_mi": (q_column_mi, SQL_COLUMN_MI),
+    # --- below the driver window (everything here has an r4-r9 driver
+    # row; the full local parity clone covers the whole registry).
+    # The seven r4-green #12 entries sit first and lead round 11 —
+    # ADVICE r7's standing preference: displace old keepers, never
+    # brand-new operators (DEVIATIONS #17).
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    # --- below the driver window (everything here has an r4-r9 driver
-    # row; the full local parity clone covers the whole registry).
-    # The four remaining r4-green entries sit first and lead round 11.
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
