@@ -206,14 +206,18 @@ def column_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     of logs (``ln c + ln n - ln c_a - ln c_b``), so nothing can
     overflow and an SQL oracle replays every term bit-for-bit.
 
-    Scale: ONE shuffle builds the (a, b) joint count table; both
-    marginals re-aggregate it (joint cardinality, not row count) and
-    broadcast back. The exchange carries |A x B| rows, never data
-    rows.
+    Scale: ONE shuffle builds the (a, b) joint count table, which is
+    localCheckpointed — the marginals, totals, entropies, and the MI
+    join all derive from that |A x B|-row table without re-running
+    the data-table aggregate per branch (unchecked, Spark recomputes
+    the corpus groupBy six times). Nothing after the first shuffle
+    exceeds |A x B| rows.
     """
-    j = df.groupBy(
-        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    j = (
+        df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     ma = j.groupBy(F.col("_a").alias("_am")).agg(F.sum("_c").alias("_ca"))
     mb = j.groupBy(F.col("_b").alias("_bm")).agg(F.sum("_c").alias("_cb"))
     tot = j.agg(

@@ -833,15 +833,21 @@ def zipf_slope(
     total order an SQL oracle replays exactly.
 
     Scale: token counts are one map-side-combined hash aggregate;
-    only the ``top_k`` head (bounded, default 1000 rows) passes
-    through the single-partition rank window — a TakeOrdered of the
-    count table, not a global sort of it. The OLS reduces to five
-    scalar sums.
+    the count table is localCheckpointed so the totals branch and the
+    top-k branch share ONE corpus scan + shuffle (without it Spark
+    recomputes the explode+count per branch). Only the ``top_k`` head
+    (bounded, default 1000 rows) passes through the single-partition
+    rank window — a TakeOrdered of the count table, not a global sort
+    of it. The OLS reduces to five scalar sums.
     """
     toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
-    tf = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
+    tf = (
+        toks.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .localCheckpoint(eager=True)
+    )
     totals = tf.agg(
         F.sum("_f").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
     )

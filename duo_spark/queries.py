@@ -4878,9 +4878,12 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
         "event_id",
     )
+    # shuffle_hash hint: without it the 997-row dim broadcasts and the
+    # salted SHUFFLE path (what this gate exists to pin) never runs —
+    # mirrors the probe's non-broadcastable-dim regime
     small = spark.range(997).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
-    )
+    ).hint("shuffle_hash")
     j = salted_join(big, small, "k", salt=16)
     return j.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
