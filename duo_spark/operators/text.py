@@ -10,7 +10,6 @@ in an SQL oracle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker sets for the n-gram heuristic
@@ -852,9 +851,20 @@ def zipf_slope(
         F.sum("_f").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
     )
     top = tf.orderBy(F.col("_f").desc(), F.col("_w")).limit(top_k)
-    w = Window.orderBy(F.col("_f").desc(), F.col("_w"))
-    xy = top.select(
-        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+    # rank only the bounded top-k head, through the two-level keyed
+    # rank (constant key) rather than a bare Window.orderBy — keeps
+    # the repo's zero-`WindowExec: No Partition Defined` invariant
+    # (round 8) and stays parallel even if top_k is raised.
+    from duo_spark.operators.sharding import keyed_row_number
+
+    ranked = keyed_row_number(
+        top.withColumn("_one", F.lit(0)),
+        "_one",
+        [F.col("_f").desc(), F.col("_w")],
+        out_col="_r",
+    )
+    xy = ranked.select(
+        F.log(F.col("_r").cast("double")).alias("_x"),
         F.log(F.col("_f").cast("double")).alias("_y"),
     )
     s = xy.agg(
