@@ -226,6 +226,17 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def artifact_path(here: str, sf: float) -> str:
+    """Where this run's full result JSON lands (ADVICE r9 guard): the
+    committed BENCH.json ONLY for baseline-sf runs; any other scale
+    factor goes to gitignored .tmp/BENCH_local.json so a local
+    iteration run can never replace the cross-round headline."""
+    if sf == BASELINE_SF:
+        return os.path.join(here, "BENCH.json")
+    os.makedirs(os.path.join(here, ".tmp"), exist_ok=True)
+    return os.path.join(here, ".tmp", "BENCH_local.json")
+
+
 def main() -> None:
     # reclaim stale staged-stream scratch from prior runs BEFORE
     # staging this one (76 GB had accumulated by round 8)
@@ -320,11 +331,8 @@ def main() -> None:
     # masking scale regressions). Off-baseline runs persist to
     # .tmp/BENCH_local.json (gitignored) instead.
     here = os.path.dirname(os.path.abspath(__file__))
-    if sf == BASELINE_SF:
-        art = os.path.join(here, "BENCH.json")
-    else:
-        os.makedirs(os.path.join(here, ".tmp"), exist_ok=True)
-        art = os.path.join(here, ".tmp", "BENCH_local.json")
+    art = artifact_path(here, sf)
+    if not art.endswith(os.path.join("", "BENCH.json")):
         print(
             f"sf={sf} != baseline sf={BASELINE_SF}: writing {art}, "
             "leaving BENCH.json untouched",

@@ -206,3 +206,64 @@ def test_extract_features_real_codecs(spark):
         feat = out[i].feature
         assert feat[2] == float(n)
         assert abs(feat[3] - sum_abs / n) < 1e-2  # float32 array rounding
+
+
+# ----------------------------------------------- property tests (hypothesis)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=400,
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        channels=st.integers(min_value=1, max_value=2),
+    )
+    def test_wav_roundtrip_property(samples, rate, channels):
+        """Any PCM16 stream survives encode→decode with exact stats."""
+        if channels == 2 and len(samples) % 2:
+            samples = samples + [0]
+        nch, r, n, sum_abs, peak = decode_wav(
+            _wav_bytes(samples, rate=rate, channels=channels)
+        )
+        assert (nch, r, n) == (channels, rate, len(samples))
+        assert sum_abs == sum(abs(s) for s in samples)
+        assert peak == max(abs(s) for s in samples)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        width=st.integers(min_value=1, max_value=17),
+        height=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31),
+        top_down=st.booleans(),
+    )
+    def test_bmp_roundtrip_property(width, height, seed, top_down):
+        """Any 24-bit pixel grid survives encode→decode with exact
+        channel sums at every padding remainder and row order."""
+        import random
+
+        rng = random.Random(seed)
+        px = {
+            (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for x in range(width)
+            for y in range(height)
+        }
+        w, h, sr, sg, sb = decode_bmp(
+            _bmp_bytes(width, height, px, top_down=top_down)
+        )
+        assert (w, h) == (width, height)
+        assert sr == sum(p[0] for p in px.values())
+        assert sg == sum(p[1] for p in px.values())
+        assert sb == sum(p[2] for p in px.values())

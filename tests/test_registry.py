@@ -65,3 +65,15 @@ def test_bench_covers_registry():
     assert not (benched & bench.BENCH_EXCLUDED)
     uncovered = reg - benched - bench.BENCH_EXCLUDED
     assert not uncovered, f"registry queries neither benched nor excluded: {uncovered}"
+
+
+def test_bench_artifact_sf_guard(tmp_path):
+    """ADVICE r9: only baseline-sf runs may write the committed
+    BENCH.json; any other sf routes to .tmp/BENCH_local.json."""
+    import bench
+
+    here = str(tmp_path)
+    assert bench.artifact_path(here, bench.BASELINE_SF).endswith("BENCH.json")
+    off = bench.artifact_path(here, 0.001)
+    assert off.endswith("BENCH_local.json") and "/.tmp/" in off.replace("\\", "/")
+    assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
