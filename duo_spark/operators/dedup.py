@@ -1150,3 +1150,52 @@ def containment_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def tune_lsh_bands(
+    threshold: float,
+    num_hashes: int,
+    false_negative_weight: float = 10.0,
+) -> tuple[int, int]:
+    """Choose the (bands, rows-per-band) split of a MinHash signature
+    for a target Jaccard ``threshold`` — the S-curve design step of
+    Leskovec/Rajaraman/Ullman (MMDS §3.4): a pair with Jaccard s
+    collides with probability ``1 - (1 - s^r)^b``, and (b, r) slides
+    that curve's midpoint ``(1/b)^(1/r)`` toward or away from the
+    threshold.
+
+    Pure driver-side math (no Spark): evaluates every divisor split
+    b·r = num_hashes and returns the one minimizing weighted
+    integrated error — the area of the curve BELOW threshold (false
+    positives funneled to the verify stage) plus
+    ``false_negative_weight`` × the area of (1 - curve) ABOVE it
+    (true pairs lost forever — weighted heavier because no later
+    stage can recover them, matching the repo-wide "candidates are
+    cheap, misses are fatal" posture of minhash_near_duplicates).
+
+    Deterministic; ties prefer more bands (recall). Returns
+    ``(bands, rows_per_band)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    splits = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    grid = 200
+
+    def err(b: int, r: int) -> float:
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        return (fp + false_negative_weight * fn) / grid
+
+    return min(splits, key=lambda br: (err(*br), -br[0]))

@@ -123,3 +123,83 @@ def test_column_mi_null_is_a_category(spark):
     )
     r = column_mi(df, "a", "b").collect()[0]
     assert r.n_a == 2 and r.nmi == 1.0
+
+
+# ----------------------------------------------- round-11 prep (library)
+
+def test_luhn_valid_known_vectors(spark):
+    from duo_spark.operators.text import luhn_valid
+
+    rows = [
+        (1, "4539 1488 0343 6467", True),   # classic valid test PAN
+        (2, "4539148803436468", False),     # last digit off by one
+        (3, "79927398713", False),          # valid Luhn but 11 < 12 digits
+        (4, "371449635398431", True),       # 15-digit Amex test number
+        (5, "1234", False),
+        (6, "", False),
+        (7, "4111-1111-1111-1111", True),   # separators stripped
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows], "id long, s string")
+    got = {r.id: r.ok for r in df.select("id", luhn_valid("s").alias("ok")).collect()}
+    for i, _, want in rows:
+        assert got[i] is want, i
+
+
+def test_luhn_brute_force_agrees(spark):
+    """Exhaustive check against a reference Python Luhn on 200
+    pseudo-random 16-digit strings."""
+    import random
+
+    from duo_spark.operators.text import luhn_valid
+
+    def ref(s):
+        ds = [int(c) for c in s][::-1]
+        tot = sum(d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+                  for i, d in enumerate(ds))
+        return tot % 10 == 0
+
+    rng = random.Random(3)
+    rows = [(i, "".join(rng.choice("0123456789") for _ in range(16)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.ok for r in df.select("id", luhn_valid("s").alias("ok")).collect()}
+    for i, s in rows:
+        assert got[i] is ref(s), s
+
+
+def test_blocklist_match_whole_tokens_only(spark):
+    from duo_spark.operators.text import blocklist_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "play CASINO now xxx casino"),  # 2 distinct, 3 hits
+            (2, "casinos are not casino-adjacent tokens"),  # substrings don't hit
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in blocklist_match(docs).collect()}
+    assert (got[1].n_blocked_terms, got[1].n_blocked_hits, got[1].blocked) == (2, 3, True)
+    assert (got[2].n_blocked_terms, got[2].blocked) == (0, False)
+    assert got[3].blocked is False
+
+
+def test_tune_lsh_bands_properties():
+    from duo_spark.operators.dedup import tune_lsh_bands
+
+    # the repo's own minhash defaults should be near what the tuner
+    # picks for their threshold regime
+    b, r = tune_lsh_bands(0.7, 64)
+    assert b * r == 64 and 1 <= b <= 64
+    # higher threshold -> fewer bands / more rows (curve shifts right)
+    b_lo, _ = tune_lsh_bands(0.3, 64)
+    b_hi, _ = tune_lsh_bands(0.9, 64)
+    assert b_lo >= b >= b_hi
+    # midpoint of the chosen curve brackets the threshold loosely
+    mid = (1.0 / b) ** (1.0 / r)
+    assert mid < 0.7  # recall-weighted: midpoint sits below threshold
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tune_lsh_bands(1.5, 64)
+    with _pytest.raises(ValueError):
+        tune_lsh_bands(0.5, 1)
