@@ -964,3 +964,33 @@ def blocklist_match(
         F.size(hits).alias("n_blocked_hits"),
         (F.size(hits) > 0).alias("blocked"),
     )
+
+
+def split_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation to rows — the unit-of-work explode under
+    per-sentence dedup, quality scoring, and citation alignment.
+    A sentence is a maximal span ending at a ``[.!?]+`` run (terminal
+    punctuation kept with its sentence); a trailing span without one
+    is still emitted. Whitespace-only fragments are dropped, interior
+    whitespace preserved verbatim, boundary whitespace trimmed.
+
+    Returns ``(id_col, sentence_idx, sentence)`` with ``sentence_idx``
+    0-based over the SURVIVING sentences in document order.
+
+    Scale shape: one regexp pass appends a sentinel after each
+    terminator run (same \u0001 trick as bpe_ish_tokens), one split
+    + filter + posexplode — scan-side fan-out, no shuffle, no UDF;
+    deterministic and SQL-replayable.
+    """
+    c = F.col(text_col)
+    marked = F.regexp_replace(c, r"([.!?]+)", "$1\u0001")
+    parts = F.filter(
+        F.transform(F.split(marked, "\u0001"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("sentence_idx", "sentence"),
+    )

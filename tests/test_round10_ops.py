@@ -203,3 +203,28 @@ def test_tune_lsh_bands_properties():
         tune_lsh_bands(1.5, 64)
     with _pytest.raises(ValueError):
         tune_lsh_bands(0.5, 1)
+
+
+def test_split_sentences_basic(spark):
+    from duo_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First one. Second?! And a trailing fragment"),
+            (2, "One only."),
+            (3, ""),
+            (4, "...!"),  # terminators only -> one sentence of punct
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.sentence_idx, r.sentence)
+        for r in split_sentences(docs).collect()
+    )
+    assert got == [
+        (1, 0, "First one."),
+        (1, 1, "Second?!"),
+        (1, 2, "And a trailing fragment"),
+        (2, 0, "One only."),
+        (4, 0, "...!"),
+    ]
