@@ -952,18 +952,28 @@ def blocklist_match(
     a 10^5-term list should switch to a broadcast-join against an
     exploded token table, same results, one shuffle).
     """
-    toks = F.transform(
-        F.filter(tokens(F.col(text_col)), lambda t: t != ""),
-        lambda t: F.lower(t),
-    )
-    lst = F.array(*[F.lit(t) for t in terms])
-    hits = F.filter(toks, lambda t: F.array_contains(lst, t))
+    hits = blocklist_hits(F.col(text_col), terms)
     return df.select(
         F.col(id_col),
         F.size(F.array_distinct(hits)).alias("n_blocked_terms"),
         F.size(hits).alias("n_blocked_hits"),
         (F.size(hits) > 0).alias("blocked"),
     )
+
+
+def blocklist_hits(
+    col: Column | str, terms: tuple[str, ...] = DEFAULT_BLOCKLIST
+) -> Column:
+    """Column form of :func:`blocklist_match`: the array of lowercase
+    whole-token blocklist hits in the text — composable into wider
+    projections (pipelines.curate_documents flags every predicate
+    stage in one pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.transform(
+        F.filter(tokens(c), lambda t: t != ""), lambda t: F.lower(t)
+    )
+    lst = F.array(*[F.lit(t) for t in terms])
+    return F.filter(toks, lambda t: F.array_contains(lst, t))
 
 
 def split_sentences(

@@ -60,37 +60,49 @@ def curate_documents(
 
     Returns ``{"kept": survivors, "funnel": (stage, rows_in,
     rows_out, removed)}``. ``kept`` is lazy; ``funnel`` is computed
-    EAGERLY (one counting job per stage boundary, each a map-side
-    count over a column-pruned sub-plan) because attrition numbers
-    are the point of asking for it.
+    EAGERLY, but cheaply: the three per-document predicate stages
+    are flag columns counted in ONE pass (a naive per-stage count
+    would re-execute the growing filter chain O(stages²) times), and
+    the two dedup stages — whose result depends on the surviving SET,
+    not the row alone — add one counting job each over a
+    localCheckpointed survivor table (so the near-dup stage never
+    recomputes the predicate chain either).
     """
-    stages: list[tuple[str, DataFrame]] = [("input", docs)]
-
+    # --- per-document predicate stages: one annotated projection,
+    # every flag a pure Column (no joins, rides the scan) ---
     q = _text.quality_score(docs, text_col)
-    s1 = q.filter(F.col("quality_score") >= min_quality).select(docs.columns)
-    stages.append(("quality", s1))
+    lang = _text.add_lang_id(q, text_col)
+    flags = lang.select(
+        *docs.columns,
+        (F.col("quality_score") >= min_quality).alias("_q_ok"),
+        F.col("lang_guess").isin(list(langs)).alias("_l_ok"),
+        (F.size(_text.blocklist_hits(F.col(text_col), blocklist)) == 0).alias(
+            "_b_ok"
+        ),
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("_q_ok").cast("long")).alias("n1"),
+        F.sum((F.col("_q_ok") & F.col("_l_ok")).cast("long")).alias("n2"),
+        F.sum(
+            (F.col("_q_ok") & F.col("_l_ok") & F.col("_b_ok")).cast("long")
+        ).alias("n3"),
+    ).collect()[0]
 
-    s2 = (
-        _text.add_lang_id(s1, text_col)
-        .filter(F.col("lang_guess").isin(list(langs)))
+    s3 = (
+        flags.filter(F.col("_q_ok") & F.col("_l_ok") & F.col("_b_ok"))
         .select(docs.columns)
     )
-    stages.append(("language", s2))
 
-    hits = _text.blocklist_match(s2, id_col, text_col, blocklist)
-    s3 = s2.join(
-        hits.filter(~F.col("blocked")).select(id_col), id_col, "left_semi"
-    )
-    stages.append(("blocklist", s3))
-
+    # --- set-dependent dedup stages over the checkpointed survivors ---
     norm = _dedup.normalize_text(F.col(text_col))
     winners = (
         s3.groupBy(norm.alias("_norm"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    s4 = s3.join(winners, id_col, "left_semi")
-    stages.append(("exact_dedup", s4))
+    s4 = s3.join(winners, id_col, "left_semi").localCheckpoint(eager=True)
+    n4 = s4.count()
 
     pairs = _dedup.minhash_near_duplicates(
         s4, id_col, text_col, threshold=near_dup_threshold
@@ -99,15 +111,17 @@ def curate_documents(
         F.greatest(F.col("id_a"), F.col("id_b")).alias(id_col)
     ).distinct()
     s5 = s4.join(losers, id_col, "left_anti")
-    stages.append(("near_dedup", s5))
+    n5 = s5.count()
 
-    sess = docs.sparkSession
-    counts = [(name, df.count()) for name, df in stages]  # one job each
+    n0, n1, n2, n3 = counts["n0"], counts["n1"], counts["n2"], counts["n3"]
     funnel_rows = [
-        (name, n_in, n_out, n_in - n_out)
-        for (_, n_in), (name, n_out) in zip(counts, counts[1:])
+        ("quality", n0, n1, n0 - n1),
+        ("language", n1, n2, n1 - n2),
+        ("blocklist", n2, n3, n2 - n3),
+        ("exact_dedup", n3, n4, n3 - n4),
+        ("near_dedup", n4, n5, n4 - n5),
     ]
-    funnel = sess.createDataFrame(
+    funnel = docs.sparkSession.createDataFrame(
         funnel_rows, "stage string, rows_in long, rows_out long, removed long"
     )
-    return {"kept": stages[-1][1], "funnel": funnel}
+    return {"kept": s5, "funnel": funnel}
