@@ -274,3 +274,67 @@ def t_closeness(
             "n_violating_classes"
         ),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+    clamp_nonneg: bool = True,
+) -> DataFrame:
+    """Geometric-mechanism noisy count release (Ghosh, Roughgarden &
+    Sundararajan 2009) — the fourth rung of the release-governance
+    ladder after k-anonymity / l-diversity / t-closeness: publish
+    per-group counts with two-sided-geometric noise calibrated to
+    ``epsilon`` (sensitivity 1 for disjoint-group counting).
+
+    Noise: ``X = G1 - G2`` with ``Gi = floor(ln(ui) / ln(alpha))``,
+    ``alpha = exp(-epsilon)`` — the difference of two iid geometrics
+    IS the two-sided geometric distribution the mechanism requires.
+    The uniforms are md5-derived from (group key, seed, salt): 52
+    hash bits → ``u = (bits + 0.5) / 2^52`` ∈ (0, 1), replayable
+    bit-exactly by an SQL oracle (md5 + base-16 conv exist in both
+    engines, unlike xxhash64).
+
+    SEEDED NOISE IS REPLAY/TEST MODE, NOT A PRIVACY GUARANTEE: with a
+    public seed an adversary can subtract the noise. A production
+    release must treat ``seed`` as a secret drawn fresh per release —
+    then the mechanism is epsilon-DP per the paper; the engine-side
+    plumbing (grouping, calibration, clamping) is identical.
+
+    Returns ``(*group_cols, n_true, noise, n_noisy)`` (``n_true`` is
+    for auditing pipelines; drop it before an actual release).
+    ``clamp_nonneg`` floors the published count at 0.
+
+    Scale: one map-side-combined count aggregate; the noise is a pure
+    Column over the group-key row — nothing shuffles but the counts.
+    """
+    import math
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_true"))
+    ln_alpha = -float(epsilon)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+
+    def _uniform(salt: str) -> F.Column:
+        bits = F.conv(
+            F.substring(F.md5(F.concat_ws("|", key, F.lit(str(seed)), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        return (bits + F.lit(0.5)) / F.lit(float(1 << 52))
+
+    g1 = F.floor(F.log(_uniform("g1")) / F.lit(ln_alpha))
+    g2 = F.floor(F.log(_uniform("g2")) / F.lit(ln_alpha))
+    noise = (g1 - g2).cast("long")
+    noisy = F.col("n_true") + noise
+    if clamp_nonneg:
+        noisy = F.greatest(noisy, F.lit(0).cast("long"))
+    return counts.select(
+        *group_cols,
+        "n_true",
+        noise.alias("noise"),
+        noisy.alias("n_noisy"),
+    )

@@ -228,3 +228,47 @@ def test_split_sentences_basic(spark):
         (2, 0, "One only."),
         (4, 0, "...!"),
     ]
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Geometric-mechanism release: deterministic under a seed,
+    noise replayable from the md5 closed form, clamped at zero,
+    distribution roughly centered."""
+    import hashlib
+    import math
+
+    from duo_spark.operators.validate import dp_noisy_counts
+
+    df = spark.range(20_000).select((F.col("id") % 200).alias("g"))
+    out = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()}
+    assert len(out) == 200
+    assert all(r.n_true == 100 for r in out.values())
+    assert all(r.n_noisy == max(0, r.n_true + r.noise) for r in out.values())
+
+    def uni(key, seed, salt):
+        h = hashlib.md5(f"{key}|{seed}|{salt}".encode()).hexdigest()[:13]
+        return (int(h, 16) + 0.5) / (1 << 52)
+
+    def ref_noise(key, seed, eps):
+        return math.floor(math.log(uni(key, seed, "g1")) / (-eps)) - math.floor(
+            math.log(uni(key, seed, "g2")) / (-eps)
+        )
+
+    assert all(out[g].noise == ref_noise(str(g), 7, 1.0) for g in range(200))
+    # determinism under the seed; different seed -> different noise
+    again = {r.g: r.noise for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()}
+    other = {r.g: r.noise for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=8).collect()}
+    assert again == {g: r.noise for g, r in out.items()}
+    assert other != again
+    # rough centering: |mean| well under one count
+    noises = [r.noise for r in out.values()]
+    assert abs(sum(noises) / len(noises)) < 0.5
+
+    # clamp: tiny groups with large negative noise floor at 0
+    tiny = spark.range(40).select((F.col("id") % 40).alias("g"))
+    t = dp_noisy_counts(tiny, ["g"], epsilon=0.1, seed=3).collect()
+    assert min(r.n_noisy for r in t) >= 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
