@@ -1004,3 +1004,67 @@ def split_sentences(
         F.col(id_col),
         F.posexplode(parts).alias("sentence_idx", "sentence"),
     )
+
+
+def token_js_divergence(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's token
+    distributions (Lin 1991) — the drift audit for TEXT the way
+    drift_psi is for numerics: did this month's crawl shift
+    vocabulary against last month's, does a filtered corpus still
+    look like its source? JS is symmetric and bounded (0 ≤ JS ≤ ln 2),
+    and unlike KL it is finite when a token appears on one side only
+    (the mass folds against the mixture M = (P+Q)/2).
+
+    Returns ONE row ``(n_tokens_left, n_types_left, n_tokens_right,
+    n_types_right, n_types_union, js_divergence, js_distance)``
+    (nats, 6 dp; ``js_distance = sqrt(JS)`` is the metric form).
+
+    Scale shape: one map-side-combined token count per side, one
+    full-outer equi-join on the token (shuffle = vocabulary size,
+    never corpus rows), one scalar sum. Exact integer counts + ln —
+    SQL-replayable term by term.
+    """
+    def _tf(df: DataFrame, side: str) -> DataFrame:
+        toks = df.select(
+            F.explode(tokens(F.col(text_col))).alias("_w")
+        ).filter(F.col("_w") != "")
+        return toks.groupBy("_w").agg(F.count(F.lit(1)).alias(f"_f{side}"))
+
+    lf = _tf(left, "l")
+    rf = _tf(right, "r")
+    j = lf.join(rf, "_w", "full_outer").select(
+        F.coalesce("_fl", F.lit(0)).alias("_fl"),
+        F.coalesce("_fr", F.lit(0)).alias("_fr"),
+    )
+    tot = j.agg(
+        F.sum("_fl").alias("nl"),
+        F.sum(F.when(F.col("_fl") > 0, 1).otherwise(0)).alias("tl"),
+        F.sum("_fr").alias("nr"),
+        F.sum(F.when(F.col("_fr") > 0, 1).otherwise(0)).alias("tr"),
+        F.count(F.lit(1)).alias("tu"),
+    )
+    p = F.col("_fl").cast("double") / F.col("nl")
+    q = F.col("_fr").cast("double") / F.col("nr")
+    m = (p + q) / 2
+    term = F.when(F.col("_fl") > 0, 0.5 * p * (F.log(p) - F.log(m))).otherwise(
+        0.0
+    ) + F.when(F.col("_fr") > 0, 0.5 * q * (F.log(q) - F.log(m))).otherwise(0.0)
+    js = (
+        j.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).alias("_js"))
+    )
+    return js.crossJoin(F.broadcast(tot)).select(
+        F.col("nl").alias("n_tokens_left"),
+        F.col("tl").alias("n_types_left"),
+        F.col("nr").alias("n_tokens_right"),
+        F.col("tr").alias("n_types_right"),
+        F.col("tu").alias("n_types_union"),
+        F.round(F.col("_js"), 6).alias("js_divergence"),
+        F.round(F.sqrt(F.greatest(F.col("_js"), F.lit(0.0))), 6).alias(
+            "js_distance"
+        ),
+    )

@@ -272,3 +272,40 @@ def test_dp_noisy_counts_mechanism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_token_js_divergence_bounds(spark):
+    import math
+
+    from duo_spark.operators.text import token_js_divergence
+
+    a = spark.createDataFrame([(1, "x y x y x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    r = token_js_divergence(a, b).collect()[0]
+    # identical distributions -> 0
+    assert r.js_divergence == 0.0 and r.js_distance == 0.0
+    assert (r.n_tokens_left, r.n_tokens_right) == (6, 4)
+
+    # disjoint vocabularies -> ln 2 exactly
+    c = spark.createDataFrame([(1, "p q r")], "doc_id long, text string")
+    r2 = token_js_divergence(a, c).collect()[0]
+    assert r2.js_divergence == round(math.log(2), 6)
+    assert r2.n_types_union == 5
+
+    # hand-computed asymmetric case: P = {x:1}, Q = {x:.5, y:.5}
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    e = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    p, q = {"x": 1.0}, {"x": 0.5, "y": 0.5}
+    want = 0.0
+    for t in ("x", "y"):
+        pp, qq = p.get(t, 0.0), q.get(t, 0.0)
+        m = (pp + qq) / 2
+        if pp:
+            want += 0.5 * pp * math.log(pp / m)
+        if qq:
+            want += 0.5 * qq * math.log(qq / m)
+    r3 = token_js_divergence(d, e).collect()[0]
+    assert r3.js_divergence == round(want, 6)
+    # symmetry
+    r4 = token_js_divergence(e, d).collect()[0]
+    assert r4.js_divergence == r3.js_divergence
