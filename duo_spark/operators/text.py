@@ -1068,3 +1068,47 @@ def token_js_divergence(
             "js_distance"
         ),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity report (Li et al. 2016's distinct-1/-2,
+    the standard generation-diversity audit): per n, the corpus's
+    total word n-gram occurrences, the distinct n-gram count, and
+    their ratio — collapsed, templated, or looped text drives the
+    ratio toward 0 while diverse text keeps it near 1 for large n.
+
+    Returns one row per n: ``(n, total_ngrams, distinct_ngrams,
+    distinct_ratio)`` (6 dp).
+
+    Scale shape: per n, one explode + one map-side-combined distinct
+    aggregate (shuffle = distinct grams, the same exchange class as
+    top_ngrams); the per-n results union into one tiny report. Counts
+    are exact integers — SQL-replayable.
+    """
+    parts = []
+    for n in ns:
+        grams = df.select(
+            F.explode(all_ngrams(F.col(text_col), n)).alias("_g")
+        ).filter(F.col("_g") != "")
+        agg = grams.agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct(F.col("_g")).alias("distinct_ngrams"),
+        ).select(
+            F.lit(n).alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams").cast("double")
+                / F.greatest(F.col("total_ngrams"), F.lit(1)),
+                6,
+            ).alias("distinct_ratio"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -309,3 +309,26 @@ def test_token_js_divergence_bounds(spark):
     # symmetry
     r4 = token_js_divergence(e, d).collect()[0]
     assert r4.js_divergence == r3.js_divergence
+
+
+def test_ngram_diversity_report(spark):
+    from duo_spark.operators.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d e")], "doc_id long, text string"
+    )
+    got = {r.n: r for r in ngram_diversity(docs).collect()}
+    # unigrams: 9 tokens, 5 distinct
+    assert (got[1].total_ngrams, got[1].distinct_ngrams) == (9, 5)
+    assert got[1].distinct_ratio == round(5 / 9, 6)
+    # bigrams: doc1 has 5 ("a b","b a"x2...), doc2 has 2; distinct:
+    # "a b","b a","c d","d e" = 4; total = 5 + 2 = 7
+    assert (got[2].total_ngrams, got[2].distinct_ngrams) == (7, 4)
+    # looped text scores lower than diverse text at the same n
+    loop = spark.createDataFrame([(1, "x y " * 50)], "doc_id long, text string")
+    div = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    r_loop = {r.n: r for r in ngram_diversity(loop).collect()}[2]
+    r_div = {r.n: r for r in ngram_diversity(div).collect()}[2]
+    assert r_loop.distinct_ratio < 0.05 < 0.9 < r_div.distinct_ratio
