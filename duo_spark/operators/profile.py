@@ -264,3 +264,33 @@ def column_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Schema drift report between two table versions — the
+    metadata-level companion to the hot∪cold union's drift tolerance
+    (sources/store.py unionByName allowMissingColumns): which columns
+    were added, removed, or changed type between yesterday's snapshot
+    and today's? Pure driver-side metadata — ZERO jobs, no data read.
+
+    Returns one row per differing column:
+    ``(column, change, left_type, right_type)`` with ``change`` in
+    ``added`` (right only), ``removed`` (left only), ``type_changed``.
+    An empty result means the schemas agree (column order is NOT a
+    difference — readers bind by name).
+    """
+    lt = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rt = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    rows = []
+    for name in sorted(lt.keys() | rt.keys()):
+        in_l, in_r = name in lt, name in rt
+        if in_l and not in_r:
+            rows.append((name, "removed", lt[name], None))
+        elif in_r and not in_l:
+            rows.append((name, "added", None, rt[name]))
+        elif lt[name] != rt[name]:
+            rows.append((name, "type_changed", lt[name], rt[name]))
+    return left.sparkSession.createDataFrame(
+        rows,
+        "column string, change string, left_type string, right_type string",
+    )

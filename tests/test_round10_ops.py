@@ -332,3 +332,18 @@ def test_ngram_diversity_report(spark):
     r_loop = {r.n: r for r in ngram_diversity(loop).collect()}[2]
     r_div = {r.n: r for r in ngram_diversity(div).collect()}[2]
     assert r_loop.distinct_ratio < 0.05 < 0.9 < r_div.distinct_ratio
+
+
+def test_schema_diff_report(spark):
+    from duo_spark.operators.profile import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id long, s string, v double")
+    b = spark.createDataFrame([(1, 2, True)], "id long, s int, flag boolean")
+    got = {r.column: (r.change, r.left_type, r.right_type)
+           for r in schema_diff(a, b).collect()}
+    assert got == {
+        "v": ("removed", "double", None),
+        "flag": ("added", None, "boolean"),
+        "s": ("type_changed", "string", "int"),
+    }
+    assert schema_diff(a, a).count() == 0
