@@ -77,3 +77,33 @@ def test_bench_artifact_sf_guard(tmp_path):
     off = bench.artifact_path(here, 0.001)
     assert off.endswith("BENCH_local.json") and "/.tmp/" in off.replace("\\", "/")
     assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
+
+
+def test_round10_window_holds_the_skipped_round8_debt():
+    """VERDICT r9 #1: the 16 never-driver-checked r7/r8 additions and
+    the 12 operators rewritten in round 8 must sit inside the first-50
+    driver window (plus this round's own additions/changes — rule 1/2).
+    Locks the ordering against accidental refactors."""
+    window = _registry()[:50]
+    never_checked = {
+        "scd2_history", "hll_rollup", "cms_sliding", "streaming_hll_rollup",
+        "label_resolution", "annotator_kappa", "moments_quantiles",
+        "validate_orders", "hard_negatives", "hard_negatives_lsh",
+        "k_anonymity", "streaming_moments_rollup", "hll_sliding",
+        "contamination_report", "packing_stats", "streaming_anomaly",
+    }
+    r8_changed = {
+        "key_skew_profile", "url_dedup", "span_merge",
+        "streaming_span_merge", "streaming_span_merge_fast",
+        "streaming_parquet_sink", "bpe_merges", "bpe_vocab",
+        "random_projection", "cms_topk", "bloom_semijoin", "hll_distinct",
+    }
+    r10_added_or_changed = {
+        "t_closeness", "hll_audience_overlap", "service_concurrency",
+        "trace_waterfall", "multimodal_decode_audio",
+        "multimodal_decode_image", "salted_join_skew", "readability",
+        "zipf_slope", "column_mi",
+    }
+    for group in (never_checked, r8_changed, r10_added_or_changed):
+        missing = group - set(window)
+        assert not missing, f"fell out of the driver window: {sorted(missing)}"
