@@ -84,7 +84,7 @@ def test_round10_window_holds_the_skipped_round8_debt():
     the 12 operators rewritten in round 8 must sit inside the first-50
     driver window (plus this round's own additions/changes — rule 1/2).
     Locks the ordering against accidental refactors."""
-    window = _registry()[:50]
+    window = list(_registry())[:50]
     never_checked = {
         "scd2_history", "hll_rollup", "cms_sliding", "streaming_hll_rollup",
         "label_resolution", "annotator_kappa", "moments_quantiles",
