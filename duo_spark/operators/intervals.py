@@ -184,20 +184,33 @@ def max_concurrency(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # ties across a chunk boundary must split consistently with the
     # sweep order, so d desc participates in the range partitioning
+    # canonical key string is computed by SPARK's own cast (ADVICE
+    # r10 #1): Python str(k) diverges from CAST(key AS STRING) for
+    # boolean/float/decimal/timestamp keys (True vs true, 1e+20 vs
+    # 1.0E20), and NULL keys would never probe back (concat_ws drops
+    # NULL) — so the lookup key is collected FROM the chunk-totals
+    # rows, already cast Spark-side, and NULL folds to a \x00
+    # sentinel on both sides. Spark's atomic-type casts to string are
+    # round-trip injective, so grouping by the string never merges
+    # two distinct keys.
+    _NULL_KEY = "\x00null"
     d = (
         ev.repartitionByRange(n, F.col(key), F.col("_t"), F.col("_d").desc())
         .sortWithinPartitions(F.col(key), F.col("_t"), F.col("_d").desc())
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_kstr", F.coalesce(F.col(key).cast("string"), F.lit(_NULL_KEY))
+        )
         .localCheckpoint(eager=True)
     )
     chunk_totals = (
-        d.groupBy("_pid", key).agg(F.sum("_d").alias("_tot")).collect()
+        d.groupBy("_pid", "_kstr").agg(F.sum("_d").alias("_tot")).collect()
     )
     # exclusive per-key prefix over partition-ordered chunks
     by_key: dict = {}
     offsets: dict[tuple[int, str], int] = {}
-    for r in sorted(chunk_totals, key=lambda r: (str(r[key]), r["_pid"])):
-        k = r[key]
+    for r in sorted(chunk_totals, key=lambda r: (r["_kstr"], r["_pid"])):
+        k = r["_kstr"]
         offsets[(r["_pid"], k)] = by_key.get(k, 0)
         by_key[k] = by_key.get(k, 0) + int(r["_tot"])
     lw = (
@@ -212,7 +225,7 @@ def max_concurrency(
         # broadcast table and join on (_pid, key) instead; same 0
         # fallback for chunks with no entry.
         off_df = df.sparkSession.createDataFrame(
-            [(pid, str(k), int(v)) for (pid, k), v in offsets.items()],
+            [(pid, k, int(v)) for (pid, k), v in offsets.items()],
             "_opid int, _okey string, _off long",
         )
         run = F.sum("_d").over(lw) + F.coalesce(F.col("_off"), F.lit(0)).cast(
@@ -222,7 +235,7 @@ def max_concurrency(
             d.join(
                 F.broadcast(off_df),
                 (F.col("_pid") == F.col("_opid"))
-                & (F.col(key).cast("string") == F.col("_okey")),
+                & (F.col("_kstr") == F.col("_okey")),
                 "left",
             )
             .withColumn("_run", run)
@@ -241,8 +254,9 @@ def max_concurrency(
             for x in (F.lit(f"{pid}|{k}"), F.lit(v))
         ]
     )
+    # _kstr is non-null by construction, so concat_ws can't drop it
     run = F.sum("_d").over(lw) + F.coalesce(
-        off[F.concat_ws("|", F.col("_pid").cast("string"), F.col(key).cast("string"))],
+        off[F.concat_ws("|", F.col("_pid").cast("string"), F.col("_kstr"))],
         F.lit(0),
     ).cast("long")
     return (

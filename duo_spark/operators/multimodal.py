@@ -81,9 +81,12 @@ def extract_features(
     """Decode/feature-extract media rows via mapInPandas (Arrow batches).
 
     ``decode_fn`` is the pluggable codec (image decode + resize, audio
-    resample, video frame-sample all share this signature). Real codecs
-    raise NotImplementedError in this container; the default fake keeps
-    the pipeline testable end to end.
+    resample, video frame-sample all share this signature). The real
+    hooks :func:`decode_audio` (PCM16 WAV) and :func:`decode_image`
+    (24-bit BMP / P6 PPM / 8-bit RGB PNG) are pure-stdlib and work in
+    this container; only the video codec (:func:`sample_video_frames`)
+    still raises NotImplementedError. The default fake keeps the
+    pipeline testable end to end without committing to a container.
     """
     fn = decode_fn or _fake_decode
 

@@ -220,9 +220,7 @@ def column_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     ma = j.groupBy(F.col("_a").alias("_am")).agg(F.sum("_c").alias("_ca"))
     mb = j.groupBy(F.col("_b").alias("_bm")).agg(F.sum("_c").alias("_cb"))
-    tot = j.agg(
-        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_cells")
-    )
+    tot = j.agg(F.sum("_c").alias("_n"))
     joined = (
         j.join(F.broadcast(ma), F.col("_a").eqNullSafe(F.col("_am")))
         .join(F.broadcast(mb), F.col("_b").eqNullSafe(F.col("_bm")))

@@ -194,10 +194,62 @@ def test_max_concurrency_high_key_cardinality_broadcast_path(spark):
     df = spark.createDataFrame(rows, "key string, start long, end long")
     got_df = max_concurrency(df, key="key", method="chunked", num_partitions=8)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
-    assert "keys:" not in plan or "map(" not in plan  # no giant literal
+    # no create_map literal of offsets in the plan (the inline path
+    # embeds "<pid>|k0", "<pid>|k1", ... entries); the disjunction
+    # form used before round 11 was vacuously true when "keys:" was
+    # absent, guarding nothing
+    assert "|k0" not in plan and "|k1" not in plan
     assert len(plan) < 200_000  # a 24k-entry map literal would dwarf this
     got = {r.key: r.peak for r in got_df.collect()}
     want = {r.key: r.peak for r in
             max_concurrency(df, key="key", method="window").collect()}
     assert got == want
     assert len(got) == 12_000
+
+
+def test_max_concurrency_chunked_nonstring_and_null_keys(spark):
+    """ADVICE r10 #1 guard: boolean/float/NULL key columns must agree
+    between the chunked and window methods. Before round 11 the
+    chunked offsets were keyed by Python str(k) but probed with
+    Spark's CAST(key AS STRING) (True vs true, 1e+20 vs 1.0E20), and
+    NULL keys never matched either path — offsets silently coalesced
+    to 0 and peaks under-reported."""
+    import random
+
+    rng = random.Random(7)
+
+    def check(rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            r[0]: r.peak
+            for r in max_concurrency(
+                df, key="key", method="chunked", num_partitions=6
+            ).collect()
+        }
+        want = {
+            r[0]: r.peak
+            for r in max_concurrency(df, key="key", method="window").collect()
+        }
+        assert got == want
+
+    # boolean keys: str(True) = "True", Spark cast = "true"
+    rows = []
+    for i in range(200):
+        s = rng.randint(0, 50)
+        rows.append((bool(i % 2), s, s + rng.randint(0, 30)))
+    check(rows, "key boolean, start long, end long")
+
+    # float keys incl. values whose repr differs between engines
+    for k in (1e20, 1e-7, 0.1, float("inf")):
+        base = []
+        for _ in range(60):
+            s = rng.randint(0, 50)
+            base.append((k, s, s + rng.randint(0, 30)))
+        check(base, "key double, start long, end long")
+
+    # NULL keys interleaved with real ones
+    rows = []
+    for i in range(200):
+        s = rng.randint(0, 50)
+        rows.append((None if i % 3 == 0 else f"k{i % 5}", s, s + rng.randint(0, 30)))
+    check(rows, "key string, start long, end long")
