@@ -113,10 +113,18 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int, int]:
     integer sum of |sample| and ``peak`` = max |sample| — the basis
     every derived float stat (mean/RMS) computes from, so an SQL
     oracle can replay them bit-exactly.
+
+    The sample reduction is numpy-vectorized (VERDICT r10 #3): a
+    3-minute 44.1 kHz stereo asset is ~16M samples, and the round-10
+    pure-Python loop spent seconds of GIL-bound arithmetic per asset
+    inside the mapInPandas worker. ``np.frombuffer`` is a zero-copy
+    view of the PCM block; the widening cast to int64 BEFORE ``abs``
+    matters (|-32768| overflows int16) and keeps the sum exact.
     """
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     with wave.open(io.BytesIO(content), "rb") as w:
         nch = w.getnchannels()
@@ -128,15 +136,10 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int, int]:
             )
         raw = w.readframes(nframes)
     n = len(raw) // 2
-    samples = struct.unpack(f"<{n}h", raw[: 2 * n])
-    sum_abs = 0
-    peak = 0
-    for s in samples:
-        a = -s if s < 0 else s
-        sum_abs += a
-        if a > peak:
-            peak = a
-    return nch, rate, n, sum_abs, peak
+    if n == 0:
+        return nch, rate, 0, 0, 0
+    a = np.abs(np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64))
+    return nch, rate, n, int(a.sum()), int(a.max())
 
 
 def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
@@ -145,10 +148,22 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
     return exact integers ``(width, height, sum_r, sum_g, sum_b)``.
     Handles BMP's 4-byte row padding and bottom-up row order (row
     order cannot change the sums, but the stride walk must be right
-    or channels smear across columns).
+    or channels smear across columns). A leading PNG signature
+    dispatches to :func:`decode_png` (round 11) so one image hook
+    covers all three containers.
+
+    The pixel reduction is numpy-vectorized (VERDICT r10 #3): rows
+    reshape as ``(height, stride)``, the pad columns slice off, and
+    the channel sums are one ``sum(axis=0)`` over the ``(n_px, 3)``
+    view — ~100× the round-10 per-byte Python slicing on MB-scale
+    assets, bit-identical sums (uint8 widened to int64).
     """
     import struct
 
+    import numpy as np
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
     if content[:2] == b"BM":
         off, = struct.unpack_from("<I", content, 10)
         hdr_size, = struct.unpack_from("<I", content, 14)
@@ -161,13 +176,21 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
             raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
         height = abs(height)  # negative = top-down; sums don't care
         stride = (3 * width + 3) & ~3
-        sum_r = sum_g = sum_b = 0
-        for y in range(height):
-            row = content[off + y * stride : off + y * stride + 3 * width]
-            # BMP stores BGR
-            sum_b += sum(row[0::3])
-            sum_g += sum(row[1::3])
-            sum_r += sum(row[2::3])
+        need = stride * height
+        if len(content) >= off + need:
+            buf = np.frombuffer(content, np.uint8, count=need, offset=off)
+        else:  # some writers omit the final row's pad bytes
+            buf = np.zeros(need, dtype=np.uint8)
+            avail = np.frombuffer(content, np.uint8, offset=off)
+            buf[: len(avail)] = avail
+        # strided per-channel sums over the zero-copy (height, 3*width)
+        # view: reshape(-1, 3) on this non-contiguous slice would force
+        # an elementwise copy ~13x slower at MP scale
+        view = buf.reshape(height, stride)[:, : 3 * width]
+        # BMP stores BGR
+        sum_b = int(view[:, 0::3].sum(dtype=np.int64))
+        sum_g = int(view[:, 1::3].sum(dtype=np.int64))
+        sum_r = int(view[:, 2::3].sum(dtype=np.int64))
         return width, height, sum_r, sum_g, sum_b
     if content[:2] == b"P6":
         # P6\n<w> <h>\n<maxval>\n<raw RGB>; '#' comments allowed
@@ -188,16 +211,110 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
         width, height, maxval = fields
         if maxval != 255:
             raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
-        px = content[pos : pos + 3 * width * height]
-        return width, height, sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
-    raise ValueError("unsupported image container (need BMP or P6 PPM)")
+        px = np.frombuffer(
+            content, dtype=np.uint8, count=3 * width * height, offset=pos
+        ).reshape(-1, 3)
+        sums = px.sum(axis=0, dtype=np.int64)
+        return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+    raise ValueError("unsupported image container (need BMP, P6 PPM, or PNG)")
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
+    """REAL PNG decode, pure stdlib (round 11 — VERDICT r10 #5: PNG is
+    the container a real crawl corpus actually contains): parse the
+    chunk stream, zlib-inflate the concatenated IDAT payload, undo the
+    per-scanline filter — ALL five RFC 2083 filter types (None / Sub /
+    Up / Average / Paeth) — and return exact integers
+    ``(width, height, sum_r, sum_g, sum_b)``.
+
+    Supports 8-bit truecolor (color type 2) and 8-bit RGBA (type 6,
+    alpha excluded from the sums); palette / grayscale / 16-bit /
+    interlaced (Adam7) raise — they need either a PLTE indirection or
+    a pass structure this corpus doesn't ship. Unfiltering is
+    numpy-vectorized where the recurrence allows: None copies, Up is
+    one vector add, Sub is a per-channel-lane cumsum (mod distributes
+    over the prefix sum); Average and Paeth genuinely depend on the
+    floor/predictor of already-reconstructed neighbors, so those rows
+    fall back to a per-byte loop.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat: list[bytes] = []
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + CRC
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            f"only 8-bit RGB/RGBA PNG supported (depth={bit_depth}, "
+            f"color type={color_type})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = 3 if color_type == 2 else 4
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    arr = np.frombuffer(raw, np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    filters = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    sums = np.zeros(3, dtype=np.int64)
+    for y in range(height):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-lane prefix sum; mod folds at the end
+            cur = (row.reshape(width, ch).cumsum(axis=0) & 0xFF).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth: sequential reconstruction
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        sums += cur.reshape(width, ch)[:, :3].sum(axis=0)
+        prev = cur
+    return width, height, int(sums[0]), int(sums[1]), int(sums[2])
 
 
 def decode_image(content: bytes | None, dim: int = 8) -> list[float]:
-    """Image codec hook for :func:`extract_features`, now REAL for
-    BMP/PPM: ``[width, height, mean_r, mean_g, mean_b]`` padded to
+    """Image codec hook for :func:`extract_features`, REAL for
+    BMP/PPM/PNG: ``[width, height, mean_r, mean_g, mean_b]`` padded to
     ``dim`` (means are exact-integer-sum / pixel-count divisions).
-    Other containers (PNG/JPEG) need external libs and still raise."""
+    JPEG needs external libs and still raises."""
     if content is None:
         return [0.0] * dim
     width, height, sum_r, sum_g, sum_b = decode_bmp(content)
@@ -493,3 +610,74 @@ def synth_bmp(media_id: int) -> bytes:
             row += bytes((b, g, r))  # BGR on disk
         rows.append(bytes(row) + pad)
     return header + b"".join(rows)
+
+
+def synth_png(media_id: int) -> bytes:
+    """Deterministic 8-bit truecolor PNG for asset ``media_id``:
+    ``(8 + media_id % 9) x (8 + media_id % 7)`` px, pixel (x, y) =
+    (r, g, b) = ``((media_id*5 + x*11 + y*3) % 256,
+    (media_id + x*13 + y*7) % 256, (media_id*2 + x + y*19) % 256)``.
+    A REAL container — signature, CRC-correct IHDR/IDAT/IEND chunks,
+    zlib-deflated scanlines — and row y is filtered with type
+    ``y % 5``, so decoding any asset with height ≥ 5 exercises every
+    RFC 2083 filter path (None/Sub/Up/Average/Paeth). The gate's SQL
+    oracle replays the closed form over the (x, y) grid; a filter or
+    predictor bug reconstructs different bytes and hash-mismatches.
+    """
+    import struct
+    import zlib
+
+    width = 8 + media_id % 9
+    height = 8 + media_id % 7
+    ch = 3
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return (
+            (media_id * 5 + x * 11 + y * 3) % 256,
+            (media_id + x * 13 + y * 7) % 256,
+            (media_id * 2 + x + y * 19) % 256,
+        )
+
+    raw_rows = [
+        bytes(v for x in range(width) for v in px(x, y)) for y in range(height)
+    ]
+    scanlines = bytearray()
+    zero = bytes(width * ch)
+    for y, cur in enumerate(raw_rows):
+        f = y % 5
+        up = raw_rows[y - 1] if y > 0 else zero
+        scanlines.append(f)
+        for x in range(width * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = up[x]
+            if f == 0:
+                enc = cur[x]
+            elif f == 1:
+                enc = (cur[x] - a) % 256
+            elif f == 2:
+                enc = (cur[x] - b) % 256
+            elif f == 3:
+                enc = (cur[x] - ((a + b) >> 1)) % 256
+            else:  # Paeth
+                c = up[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = (cur[x] - pred) % 256
+            scanlines.append(enc)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )

@@ -267,3 +267,187 @@ if HAVE_HYP:
         assert sr == sum(p[0] for p in px.values())
         assert sg == sum(p[1] for p in px.values())
         assert sb == sum(p[2] for p in px.values())
+
+
+# -- PNG (round 11: stdlib zlib inflate + per-scanline unfilter) --------
+
+
+def _png_bytes(width, height, px, filters=None, color_type=2):
+    """Hand-rolled PNG encoder for tests: arbitrary pixels, arbitrary
+    per-row filter types (defaults to cycling all five)."""
+    import struct
+    import zlib
+
+    ch = 4 if color_type == 6 else 3
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = px[(x, y)]
+            row += bytes((r, g, b) if ch == 3 else (r, g, b, (x * 7 + y) % 256))
+        raw_rows.append(bytes(row))
+    scan = bytearray()
+    zero = bytes(width * ch)
+    for y, cur in enumerate(raw_rows):
+        f = (filters[y] if filters else y % 5)
+        up = raw_rows[y - 1] if y > 0 else zero
+        scan.append(f)
+        for x in range(width * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = up[x]
+            if f == 0:
+                enc = cur[x]
+            elif f == 1:
+                enc = (cur[x] - a) % 256
+            elif f == 2:
+                enc = (cur[x] - b) % 256
+            elif f == 3:
+                enc = (cur[x] - ((a + b) >> 1)) % 256
+            else:
+                c = up[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = (cur[x] - pred) % 256
+            scan.append(enc)
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_synth_closed_form():
+    """synth_png → decode_png reproduces the closed-form channel sums
+    for assets spanning every (dims mod, filter mix) combination."""
+    from duo_spark.operators.multimodal import decode_png, synth_png
+
+    for mid in range(0, 63, 7):
+        w, h, sr, sg, sb = decode_png(synth_png(mid))
+        ew, eh = 8 + mid % 9, 8 + mid % 7
+        grid = [(x, y) for x in range(ew) for y in range(eh)]
+        assert (w, h) == (ew, eh)
+        assert sr == sum((mid * 5 + x * 11 + y * 3) % 256 for x, y in grid)
+        assert sg == sum((mid + x * 13 + y * 7) % 256 for x, y in grid)
+        assert sb == sum((mid * 2 + x + y * 19) % 256 for x, y in grid)
+
+
+def test_decode_png_each_filter_type_alone():
+    """Each RFC 2083 filter type decodes exactly on its own (a
+    cycling mix can mask a bug where one filter 'borrows' a
+    neighbor's correct reconstruction)."""
+    import random
+
+    from duo_spark.operators.multimodal import decode_png
+
+    rng = random.Random(3)
+    px = {
+        (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for x in range(11)
+        for y in range(6)
+    }
+    want = (
+        11,
+        6,
+        sum(p[0] for p in px.values()),
+        sum(p[1] for p in px.values()),
+        sum(p[2] for p in px.values()),
+    )
+    for f in range(5):
+        got = decode_png(_png_bytes(11, 6, px, filters=[f] * 6))
+        assert got == want, f
+
+
+def test_decode_png_rgba_alpha_excluded():
+    from duo_spark.operators.multimodal import decode_png
+
+    px = {(x, y): (x, y, (x + y) % 256) for x in range(5) for y in range(4)}
+    w, h, sr, sg, sb = decode_png(_png_bytes(5, 4, px, color_type=6))
+    assert (w, h) == (5, 4)
+    assert sr == sum(p[0] for p in px.values())
+    assert sb == sum(p[2] for p in px.values())
+
+
+def test_decode_png_dispatch_and_rejects():
+    import struct
+    import zlib
+
+    import pytest
+
+    from duo_spark.operators.multimodal import decode_bmp, decode_png, synth_png
+
+    # decode_bmp dispatches on the PNG signature
+    assert decode_bmp(synth_png(9)) == decode_png(synth_png(9))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNG\r\n\x1a_nope")
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # palette color type
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bad)
+    # interlaced
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bad)
+    # truncated IDAT
+    bad = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bad)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP2 = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP2 = False
+
+if HAVE_HYP2:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        width=st.integers(min_value=1, max_value=13),
+        height=st.integers(min_value=1, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def test_png_roundtrip_property(width, height, seed):
+        """Any 8-bit RGB grid survives encode→decode with exact sums
+        under per-row filters drawn from the same seed."""
+        import random
+
+        from duo_spark.operators.multimodal import decode_png
+
+        rng = random.Random(seed)
+        px = {
+            (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for x in range(width)
+            for y in range(height)
+        }
+        filters = [rng.randrange(5) for _ in range(height)]
+        w, h, sr, sg, sb = decode_png(_png_bytes(width, height, px, filters))
+        assert (w, h) == (width, height)
+        assert sr == sum(p[0] for p in px.values())
+        assert sg == sum(p[1] for p in px.values())
+        assert sb == sum(p[2] for p in px.values())
