@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duo_spark.operators import dedup as _dedup
+from duo_spark.operators import graph as _graph
 from duo_spark.operators import text as _text
 
 
@@ -54,9 +55,15 @@ def curate_documents(
     4. ``exact_dedup``: one survivor (min id) per normalized text
        (:func:`duo_spark.operators.dedup.exact_duplicates` semantics);
     5. ``near_dedup``: banded MinHash-LSH pairs at
-       ``near_dup_threshold``; within each duplicate PAIR the larger
-       id drops (transitively: any doc that is the larger id of some
-       surviving smaller near-duplicate is removed).
+       ``near_dup_threshold``, resolved to connected components
+       (:func:`duo_spark.operators.graph.connected_components`); the
+       component minimum id survives, everything else in the
+       component drops. Round 11 (ADVICE r10 #4): the earlier
+       per-PAIR greedy rule ("larger id of every pair drops") removed
+       BOTH B and C in a chain A~B~C with A!~C — C's only
+       near-duplicate B was itself removed, so C over-dropped. The
+       cluster-representative rule keeps exactly one doc per
+       component, the same semantics ``dedup_clusters`` gates.
 
     Returns ``{"kept": survivors, "funnel": (stage, rows_in,
     rows_out, removed)}``. ``kept`` is lazy; ``funnel`` is computed
@@ -107,9 +114,15 @@ def curate_documents(
     pairs = _dedup.minhash_near_duplicates(
         s4, id_col, text_col, threshold=near_dup_threshold
     )
-    losers = pairs.select(
-        F.greatest(F.col("id_a"), F.col("id_b")).alias(id_col)
-    ).distinct()
+    # cluster-representative removal: every non-minimum member of a
+    # connected component drops (never a doc whose only duplicates
+    # were themselves removed — the A~B~C chain keeps A AND C's
+    # representative semantics consistent with dedup_clusters)
+    comps = _graph.connected_components(pairs, a_col="id_a", b_col="id_b")
+    losers = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
     s5 = s4.join(losers, id_col, "left_anti")
     n5 = s5.count()
 

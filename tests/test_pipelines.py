@@ -42,3 +42,40 @@ def test_curate_documents_ladder(spark):
     for a, b in zip(order, order[1:]):
         assert funnel[a][1] == funnel[b][0]
     assert funnel["near_dedup"][1] == 2
+
+
+def test_curate_documents_chain_keeps_cluster_representative(spark):
+    """ADVICE r10 #4 guard: in a near-dup chain A~B~C with A!~C, the
+    old per-pair greedy rule dropped BOTH B and C (C's only duplicate
+    B was itself removed); cluster-representative removal keeps
+    exactly one doc per connected component — A survives, B and C
+    drop, and an unrelated doc is untouched."""
+    from duo_spark.pipelines import curate_documents
+
+    # 3-shingle Jaccard: J(a,b)=J(b,c)=90/106≈0.849 (LSH hit prob
+    # ~1-1e-5 at 16 bands × 4 rows), J(a,c)=82/114≈0.719 — the exact
+    # verify at threshold 0.8 deterministically keeps a~b, b~c and
+    # rejects a~c even when banding happens to propose it
+    words = [f"tok{i:03d}" for i in range(120)]
+    a = " ".join(words[0:100])
+    b = " ".join(words[8:108])
+    c = " ".join(words[16:116])
+    other = " ".join(f"zzz{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, other)], "doc_id long, text string"
+    )
+    # neutralize the predicate stages so the test isolates stage 5
+    from duo_spark.operators.text import add_lang_id
+
+    langs = tuple(
+        r.lang_guess
+        for r in add_lang_id(docs, "text").select("lang_guess").distinct().collect()
+    )
+    out = curate_documents(
+        docs, min_quality=0, langs=langs, near_dup_threshold=0.8
+    )
+    kept = sorted(r.doc_id for r in out["kept"].collect())
+    assert kept == [1, 9]
+    funnel = {r.stage: (r.rows_in, r.rows_out, r.removed)
+              for r in out["funnel"].collect()}
+    assert funnel["near_dedup"] == (4, 2, 2)
