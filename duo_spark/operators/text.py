@@ -1112,3 +1112,95 @@ def ngram_diversity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 3,
+) -> DataFrame:
+    """Per-sentence corpus dedup + boilerplate drop — the CCNet
+    within-corpus pass (Wenzek et al. 2020 dedup paragraphs across
+    the shard before anything else; nav chrome, cookie banners and
+    license boilerplate repeat across thousands of pages while real
+    prose doesn't). Composes :func:`split_sentences` with the exact
+    per-sentence dedup ladder (VERDICT r10 #7):
+
+    A sentence OCCURRENCE survives iff
+    - it is the corpus-wide FIRST occurrence of its normalized form
+      (lowercase, terminal ``[.!?]`` run stripped, whitespace
+      collapsed — "Accept cookies." and "ACCEPT COOKIES!" are the
+      same boilerplate), ordering occurrences by
+      ``(id_col, sentence_idx)``, AND
+    - its normalized form occurs in at most ``max_doc_freq`` distinct
+      documents (above that it is boilerplate and drops EVERYWHERE,
+      first occurrence included).
+
+    Returns one row per input document:
+    ``(id_col, n_sentences, n_kept, text_dedup)`` where ``text_dedup``
+    re-joins the surviving sentences in document order with single
+    spaces (empty string when everything dropped — including
+    documents whose text splits to zero sentences).
+
+    Scale shape: one scan-side explode, ONE shuffle keyed by the
+    normalized sentence (both the doc-frequency and the first
+    occurrence come from the same map-side-combinable
+    ``(count_distinct, min(struct))`` aggregate — never a global
+    window), one equi-join back, one per-doc rollup. Shuffle volume
+    is O(distinct sentences), the same exchange class as exact dedup.
+    """
+    sents = split_sentences(df, id_col, text_col).withColumn(
+        "_nrm",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("sentence")), r"[.!?]+$", ""),
+                r"\s+",
+                " ",
+            )
+        ),
+    )
+    pos = F.struct(
+        F.col(id_col).alias("_d"), F.col("sentence_idx").alias("_i")
+    )
+    stats = sents.groupBy("_nrm").agg(
+        F.count_distinct(F.col(id_col)).alias("_df"),
+        F.min(pos).alias("_first"),
+    )
+    keep = (F.col("_df") <= max_doc_freq) & (F.col("_first") == pos)
+    per_doc = (
+        sents.join(stats, "_nrm")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct(
+                                    F.col("sentence_idx").alias("i"),
+                                    F.col("sentence").alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    # documents whose text split to zero sentences still get a row
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
