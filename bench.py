@@ -186,6 +186,20 @@ BENCH_QUERIES = [
     "readability",
     "zipf_slope",
     "column_mi",
+    # round-11 additions (incl. curation_funnel — VERDICT r10 #6: the
+    # composed ladder benched per-round so regressions in the composed
+    # plan are visible; tune_lsh_bands is pure driver math, benched
+    # because it IS the operator's runtime shape)
+    "luhn_valid",
+    "blocklist_match",
+    "tune_lsh_bands",
+    "split_sentences",
+    "sentence_dedup",
+    "dp_noisy_counts",
+    "token_js_divergence",
+    "ngram_diversity",
+    "curation_funnel",
+    "multimodal_decode_png",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to
@@ -219,6 +233,9 @@ BENCH_EXCLUDED = {
     "multimodal_stats",
     "multimodal_features",
     "multimodal_frames",
+    # schema_diff is a zero-job metadata report (DataFrame schemas
+    # only — no Spark jobs run); its timing would measure nothing
+    "schema_diff",
 }
 
 

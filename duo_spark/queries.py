@@ -6521,85 +6521,548 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+# ---------------------------------------------------------------------
+# round-11 gates: the nine round-10 runway operators (VERDICT r10 #1),
+# the PNG container (#5), and the sentence-dedup composition (#7)
+# ---------------------------------------------------------------------
+
+
+def q_luhn_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 card-number validity (operators/text.py luhn_valid,
+    pure-Column higher-order aggregate): per doc a deterministic digit
+    string of length 12 + doc_id % 9 (so the 20-digit rows exercise
+    the length gate) is built from a closed form, dash-grouped every 4
+    digits (so the separator strip is exercised), and checked. The
+    oracle replays the doubled-alternate digit sum from the closed
+    form — it never sees the string the operator folds."""
+    from duo_spark.operators.text import luhn_valid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = (F.col("doc_id") % 9).cast("int") + F.lit(11)  # sequence end: L-1
+    digits = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n),
+            lambda i: ((F.col("doc_id") * (i + 3) + i * i * 7) % 10).cast(
+                "string"
+            ),
+        ),
+    )
+    card = F.regexp_replace(digits, "(....)", "$1-")
+    return docs.select(
+        "doc_id",
+        card.alias("card"),
+        luhn_valid(card).alias("luhn_ok"),
+        F.length(F.regexp_replace(card, "[^0-9]", "")).alias("n_digits"),
+    )
+
+
+SQL_LUHN_VALID = r"""
+WITH d AS (SELECT doc_id, 12 + doc_id % 9 AS L FROM documents),
+dig AS (SELECT doc_id, L, unnest(range(0, L)) AS i FROM d),
+dv AS (SELECT doc_id, L, i, (doc_id * (i + 3) + i * i * 7) % 10 AS v FROM dig),
+agg AS (
+  SELECT doc_id, max(L) AS L,
+         regexp_replace(string_agg(CAST(v AS VARCHAR), '' ORDER BY i),
+                        '(....)', '\1-', 'g') AS card,
+         sum(CASE WHEN (L - 1 - i) % 2 = 1
+                  THEN CASE WHEN v * 2 > 9 THEN v * 2 - 9 ELSE v * 2 END
+                  ELSE v END) AS tot
+  FROM dv GROUP BY doc_id)
+SELECT doc_id, card,
+       (L BETWEEN 12 AND 19) AND (tot % 10 = 0) AS luhn_ok,
+       CAST(L AS INT) AS n_digits
+FROM agg
+"""
+
+
+#: gate blocklist: terms that actually occur in the synthetic corpus
+#: (DEFAULT_BLOCKLIST's casino/viagra never would — an all-zero gate
+#: verifies nothing)
+BLOCKLIST_GATE_TERMS = ("table", "spark", "slow")
+
+
+def q_blocklist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening (operators/text.py blocklist_match): one
+    tokenize pass, array_intersect-style whole-token hits — distinct
+    terms, total hits, boolean flag per document."""
+    from duo_spark.operators.text import blocklist_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_match(docs, terms=BLOCKLIST_GATE_TERMS)
+
+
+SQL_BLOCKLIST_MATCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> t != ''), t -> lower(t)) AS tk
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+         list_filter(tk, t -> list_contains(['table','spark','slow'], t)) AS h
+  FROM toks)
+SELECT doc_id,
+       CAST(len(list_distinct(h)) AS INT) AS n_blocked_terms,
+       CAST(len(h) AS INT) AS n_blocked_hits,
+       len(h) > 0 AS blocked
+FROM hits
+"""
+
+
+def q_tune_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands, rows) S-curve solver (operators/dedup.py
+    tune_lsh_bands, MMDS §3.4): for a grid of (threshold, num_hashes)
+    configs, the divisor split minimizing integrated weighted error
+    (false negatives 10x — candidates are cheap, misses are fatal).
+    Pure driver-side math by design; the oracle re-integrates the
+    same 200-point midpoint grid in SQL and re-runs the argmin with
+    the same more-bands tie rule."""
+    from duo_spark.operators.dedup import tune_lsh_bands
+
+    configs = [(0.5, 64), (0.6, 96), (0.7, 64), (0.8, 128), (0.85, 256), (0.9, 128)]
+    rows = [(t, h, *tune_lsh_bands(t, h)) for (t, h) in configs]
+    return spark.createDataFrame(
+        rows, "threshold double, num_hashes int, bands int, rows_per_band int"
+    )
+
+
+SQL_TUNE_LSH_BANDS = """
+WITH cfg(threshold, num_hashes) AS (
+  VALUES (0.5, 64), (0.6, 96), (0.7, 64), (0.8, 128), (0.85, 256), (0.9, 128)),
+splits AS (
+  SELECT threshold, num_hashes, b, num_hashes // b AS r
+  FROM cfg, unnest(range(1, num_hashes + 1)) u(b)
+  WHERE num_hashes % b = 0),
+grid AS (
+  SELECT threshold, num_hashes, b, r, (i + 0.5) / 200.0 AS s,
+         1.0 - power(1.0 - power((i + 0.5) / 200.0, r), b) AS p
+  FROM splits, unnest(range(0, 200)) g(i)),
+err AS (
+  SELECT threshold, num_hashes, b, r,
+         sum(CASE WHEN s < threshold THEN p ELSE 10.0 * (1.0 - p) END) / 200.0 AS e
+  FROM grid GROUP BY threshold, num_hashes, b, r),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY threshold, num_hashes
+                               ORDER BY e, b DESC) AS rn
+  FROM err)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       CAST(num_hashes AS INT) AS num_hashes,
+       CAST(b AS INT) AS bands,
+       CAST(r AS INT) AS rows_per_band
+FROM ranked WHERE rn = 1
+"""
+
+
+def _dotted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic sentence boundaries: the corpus is
+    punctuation-free token soup, so every occurrence of the token
+    'table' (a frequent, non-substring vocabulary word) gets a
+    terminal dot — replayable verbatim in the oracle, and it yields a
+    realistic mix of sentence lengths including repeated short
+    boilerplate-ish fragments."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.regexp_replace("text", "table", "table.").alias("text")
+    )
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation to rows (operators/text.py
+    split_sentences): sentinel after each [.!?]+ run, split + trim +
+    drop empties, posexplode with a 0-based survivor index."""
+    from duo_spark.operators.text import split_sentences
+
+    return split_sentences(_dotted_docs(spark, sf_dir))
+
+
+SQL_SPLIT_SENTENCES = r"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '([.!?]+)', '\1' || chr(1), 'g') AS mt
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(mt, chr(1)), p -> trim(p)),
+                     p -> p != '') AS pf
+  FROM m)
+SELECT doc_id,
+       CAST(generate_subscripts(pf, 1) - 1 AS INT) AS sentence_idx,
+       unnest(pf) AS sentence
+FROM sp
+"""
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-sentence corpus dedup + boilerplate drop
+    (operators/text.py sentence_dedup, round 11): first occurrence of
+    each normalized sentence survives unless its form spans more than
+    4 distinct docs. One normalized-sentence-keyed aggregate — no
+    global window; the oracle replays it with window functions, which
+    is exactly the formulation the operator avoids at scale."""
+    from duo_spark.operators.text import sentence_dedup
+
+    return sentence_dedup(_dotted_docs(spark, sf_dir), max_doc_freq=4)
+
+
+SQL_SENTENCE_DEDUP = r"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '([.!?]+)', '\1' || chr(1), 'g') AS mt
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(mt, chr(1)), p -> trim(p)),
+                     p -> p != '') AS pf
+  FROM m),
+sent AS (
+  SELECT doc_id, generate_subscripts(pf, 1) - 1 AS idx, unnest(pf) AS sentence
+  FROM sp),
+nrm AS (
+  SELECT doc_id, idx, sentence,
+         trim(regexp_replace(regexp_replace(lower(sentence), '[.!?]+$', ''),
+                             '\s+', ' ', 'g')) AS n
+  FROM sent),
+fl AS (
+  SELECT doc_id, idx, sentence,
+         count(DISTINCT doc_id) OVER (PARTITION BY n) AS df,
+         row_number() OVER (PARTITION BY n ORDER BY doc_id, idx) AS rn
+  FROM nrm),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_sentences,
+         CAST(sum(CASE WHEN df <= 4 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         coalesce(string_agg(CASE WHEN df <= 4 AND rn = 1 THEN sentence END,
+                             ' ' ORDER BY idx), '') AS text_dedup
+  FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_sentences, 0) AS n_sentences,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-mechanism noisy count release (operators/validate.py
+    dp_noisy_counts, Ghosh 2009): per-event-type counts with
+    two-sided-geometric noise at epsilon 0.5, md5-closed-form
+    uniforms so the oracle replays noise bit-exactly (seeded noise is
+    REPLAY MODE — a real release draws the seed secret)."""
+    from duo_spark.operators.validate import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, ["event_type"], epsilon=0.5, seed=42)
+
+
+SQL_DP_NOISY_COUNTS = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n_true,
+    (('0x' || substr(md5(event_type || '|42|g1'), 1, 13))::BIGINT + 0.5)
+      / 4503599627370496.0 AS u1,
+    (('0x' || substr(md5(event_type || '|42|g2'), 1, 13))::BIGINT + 0.5)
+      / 4503599627370496.0 AS u2
+  FROM c),
+g AS (
+  SELECT event_type, n_true,
+         CAST(floor(ln(u1) / -0.5) - floor(ln(u2) / -0.5) AS BIGINT) AS noise
+  FROM u)
+SELECT event_type, n_true, noise,
+       greatest(n_true + noise, 0) AS n_noisy
+FROM g
+"""
+
+
+def q_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon token-distribution divergence between the
+    English and non-English halves of the corpus (operators/text.py
+    token_js_divergence, Lin 1991): symmetric, finite on one-sided
+    vocabulary, one vocab-sized full-outer join."""
+    from duo_spark.operators.text import token_js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_js_divergence(
+        docs.filter(F.col("lang") == "en"), docs.filter(F.col("lang") != "en")
+    )
+
+
+SQL_TOKEN_JS_DIVERGENCE = r"""
+WITH lf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS fl FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE lang = 'en')
+  WHERE w != '' GROUP BY w),
+rf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS fr FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE lang != 'en')
+  WHERE w != '' GROUP BY w),
+j AS (
+  SELECT coalesce(fl, 0) AS fl, coalesce(fr, 0) AS fr
+  FROM lf FULL OUTER JOIN rf USING (w)),
+tot AS (
+  SELECT sum(fl) AS nl,
+         sum(CASE WHEN fl > 0 THEN 1 ELSE 0 END) AS tl,
+         sum(fr) AS nr,
+         sum(CASE WHEN fr > 0 THEN 1 ELSE 0 END) AS tr,
+         count(*) AS tu
+  FROM j),
+js AS (
+  SELECT sum(
+    CASE WHEN fl > 0 THEN 0.5 * (fl * 1.0 / nl)
+         * (ln(fl * 1.0 / nl) - ln((fl * 1.0 / nl + fr * 1.0 / nr) / 2))
+         ELSE 0 END
+    + CASE WHEN fr > 0 THEN 0.5 * (fr * 1.0 / nr)
+         * (ln(fr * 1.0 / nr) - ln((fl * 1.0 / nl + fr * 1.0 / nr) / 2))
+         ELSE 0 END) AS v
+  FROM j, tot)
+SELECT CAST(nl AS BIGINT) AS n_tokens_left,
+       CAST(tl AS BIGINT) AS n_types_left,
+       CAST(nr AS BIGINT) AS n_tokens_right,
+       CAST(tr AS BIGINT) AS n_types_right,
+       CAST(tu AS BIGINT) AS n_types_union,
+       round(v, 6) AS js_divergence,
+       round(sqrt(greatest(v, 0)), 6) AS js_distance
+FROM js, tot
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity report (operators/text.py ngram_diversity,
+    Li 2016): per n in (1, 2, 3), total vs distinct word n-grams and
+    their ratio — one map-side-combined distinct aggregate per n."""
+    from duo_spark.operators.text import ngram_diversity
+
+    return ngram_diversity(_t(spark, sf_dir, "documents"), ns=(1, 2, 3))
+
+
+SQL_NGRAM_DIVERSITY = r"""
+WITH docs AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT n, unnest(CASE WHEN len(w) >= n
+      THEN list_transform(range(1, len(w) - n + 2),
+                          i -> array_to_string(list_slice(w, i, i + n - 1), ' '))
+      ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM docs, unnest([1, 2, 3]) t(n))
+SELECT CAST(n AS INT) AS n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       round(count(DISTINCT gram) * 1.0 / greatest(count(*), 1), 6)
+         AS distinct_ratio
+FROM g WHERE gram != '' GROUP BY n
+"""
+
+
+def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift report (operators/profile.py schema_diff): the
+    documents table vs a next-version view that drops `source`,
+    narrows `n_chars` to int, and adds `n_tokens`. Zero Spark jobs —
+    pure metadata; the oracle derives the left-side types from
+    DuckDB's information_schema over the same parquet (normalized to
+    Spark simpleString names), so a generator schema change breaks
+    the gate instead of silently passing."""
+    from duo_spark.operators.profile import schema_diff
+
+    left = _t(spark, sf_dir, "documents")
+    right = (
+        left.drop("source")
+        .withColumn("n_chars", F.col("n_chars").cast("int"))
+        .withColumn("n_tokens", F.lit(0).cast("int"))
+    )
+    return schema_diff(left, right)
+
+
+SQL_SCHEMA_DIFF = """
+WITH lt AS (
+  SELECT column_name AS col,
+         CASE data_type
+           WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'INTEGER' THEN 'int'
+           ELSE lower(data_type) END AS t
+  FROM information_schema.columns WHERE table_name = 'documents')
+SELECT 'n_chars' AS "column", 'type_changed' AS change,
+       (SELECT t FROM lt WHERE col = 'n_chars') AS left_type,
+       'int' AS right_type
+UNION ALL
+SELECT 'n_tokens', 'added', NULL, 'int'
+UNION ALL
+SELECT 'source', 'removed', (SELECT t FROM lt WHERE col = 'source'), NULL
+"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation ladder's attrition funnel
+    (pipelines.curate_documents): quality >= 60 -> lang en ->
+    blocklist -> exact dedup -> MinHash-LSH near-dedup resolved to
+    connected components (cluster representative survives). The
+    oracle composes the stage oracles already gated individually
+    (SQL_QUALITY_SCORE / SQL_LANG_ID / SQL_BLOCKLIST_MATCH /
+    SQL_DEDUP_EXACT / the CLUSTERS_CTE exhaustive-Jaccard closure)
+    over the SAME survivor chaining — a stage-order or
+    survivor-set bug shifts the counts."""
+    from duo_spark import pipelines
+
+    docs = _docs(spark, sf_dir)
+    out = pipelines.curate_documents(
+        docs, blocklist=("vector", "warez"), near_dup_threshold=0.7
+    )
+    return out["funnel"]
+
+
+SQL_CURATION_FUNNEL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS tok,
+         length(text) AS nc,
+         length(text) - length(regexp_replace(text,
+             '[.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct
+  FROM documents),
+feats AS (
+  SELECT doc_id, text,
+         greatest(100
+           - CASE WHEN len(tok) < 10 THEN 40 ELSE 0 END
+           - CASE WHEN CAST(len(list_filter(tok, t -> list_contains(
+                 ['the','a','an','or','and','of','to','in','is','it'],
+                 lower(t)))) AS DOUBLE) / greatest(len(tok), 1) < 0.05
+             THEN 20 ELSE 0 END
+           - CASE WHEN CAST(n_punct AS DOUBLE) / greatest(nc, 1) > 0.2
+             THEN 20 ELSE 0 END
+           - CASE WHEN CAST(list_sum(list_transform(tok, t -> length(t)))
+                 AS DOUBLE) / greatest(len(tok), 1) > 12
+             THEN 20 ELSE 0 END, 0) AS q,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['the','and','of','to','a'], t))) AS h_en,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['el','la','de','que','y'], t))) AS h_es,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['der','die','und','das','ist'], t))) AS h_de,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['le','la','et','les','des'], t))) AS h_fr,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['的','是','了','在','我'], t))) AS h_zh,
+         len(list_filter(list_transform(list_filter(tok, t -> t != ''),
+                                        t -> lower(t)),
+             t -> list_contains(['vector','warez'], t))) AS n_blocked
+  FROM base),
+flags AS (
+  SELECT doc_id, text,
+         q >= 60 AS q_ok,
+         (CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr
+                    AND h_en >= h_zh THEN 'en'
+               WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+               WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+               WHEN h_fr >= h_zh THEN 'fr'
+               ELSE 'zh' END) = 'en' AS l_ok,
+         n_blocked = 0 AS b_ok
+  FROM feats),
+s3 AS (SELECT doc_id, text FROM flags WHERE q_ok AND l_ok AND b_ok),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM s3
+  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+s4 AS (SELECT s3.doc_id, s3.text FROM s3 JOIN winners USING (doc_id)),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM s4)),
+prs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.7),
+edges AS (SELECT pa AS src, pb AS dst FROM prs
+          UNION SELECT pb, pa FROM prs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src),
+losers AS (SELECT node FROM labels WHERE node != component),
+counts AS (
+  SELECT (SELECT count(*) FROM documents) AS n0,
+         (SELECT count(*) FROM flags WHERE q_ok) AS n1,
+         (SELECT count(*) FROM flags WHERE q_ok AND l_ok) AS n2,
+         (SELECT count(*) FROM s3) AS n3,
+         (SELECT count(*) FROM s4) AS n4,
+         (SELECT count(*) FROM s4) - (SELECT count(*) FROM losers) AS n5)
+SELECT stage, rows_in, rows_out, rows_in - rows_out AS removed FROM (
+  SELECT 1 AS ord, 'quality' AS stage, n0 AS rows_in, n1 AS rows_out FROM counts
+  UNION ALL SELECT 2, 'language', n1, n2 FROM counts
+  UNION ALL SELECT 3, 'blocklist', n2, n3 FROM counts
+  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM counts
+  UNION ALL SELECT 5, 'near_dedup', n4, n5 FROM counts)
+ORDER BY ord
+"""
+
+
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode e2e (operators/multimodal.py decode_png, round
+    11): per doc_id a genuine PNG — CRC-correct chunks, zlib-deflated
+    scanlines, row y filtered with type y % 5 so every RFC 2083
+    filter path (None/Sub/Up/Average/Paeth) runs — is synthesized
+    from closed-form pixels (synth_png), inflated + unfiltered in one
+    mapInPandas pass, and reduced to exact per-channel sums. The
+    oracle replays the pixel formula over the (x, y) grid; a filter
+    or predictor bug reconstructs different bytes and mismatches."""
+    from duo_spark.operators.multimodal import image_stats, synth_png
+
+    def _png(doc_id):
+        return doc_id.map(lambda d: synth_png(int(d)))
+
+    png_udf = F.pandas_udf(_png, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", png_udf("media_id").alias("content"))
+    st = image_stats(media)
+    n = F.col("width") * F.col("height")
+    return st.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / n, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / n, 6).alias("mean_b"),
+    )
+
+
+SQL_MULTIMODAL_DECODE_PNG = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 5 + x * 11 + y * 3) % 256 AS r,
+         (doc_id + x * 13 + y * 7) % 256 AS g,
+         (doc_id * 2 + x + y * 19) % 256 AS b
+  FROM xy)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       round(sum(r) * 1.0 / (max(w) * max(h)), 6) AS mean_r,
+       round(sum(g) * 1.0 / (max(w) * max(h)), 6) AS mean_g,
+       round(sum(b) * 1.0 / (max(w) * max(h)), 6) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
-    # --- ROUND-10 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # The driver SKIPPED round 8 (no CORRECTNESS_r08.json exists), so
-    # round 10 leads with round 8's lost verification debt (rotation
-    # rule 4, added this round; VERDICT r9 "next round" item 1):
-    # 1-16: the sixteen r7/r8 additions that have NEVER had a driver
-    # oracle row;
-    # 17-28: the twelve queries whose operators were REWRITTEN in
-    # round 8 after their last (r7, pre-change) driver row;
-    # 29-40: the twelve displaced r6 keepers DEVIATIONS #16 promised
-    # would lead round 10;
-    # 41-44: round-10 operator changes (rule 2 — t_closeness null-safe
-    # sensitive join, hll_overlap empty-group row, concurrent_peak
-    # offsets guard, trace_waterfall count() removal);
-    # 45-46+: round-10 additions (rule 1);
-    # rest: the stalest remaining rows — the r4-green #12 displacement
-    # set whose round-8 re-check the driver skip also swallowed.
-    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
-    "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
-    "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
-    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
-    "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
-    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
-    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
-    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
-    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
-    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
-    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
-    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
-    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
-    # --- 17-28: operators rewritten in round 8, driver row pre-change ---
-    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
-    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
-    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
-    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
-    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
-    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
-    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
-    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
-    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
-    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
-    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
-    # --- 29-40: the displaced r6 keepers (DEVIATIONS #16 promise) ---
-    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
-    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
-    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
-    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
-    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
-    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
-    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
-    # --- 41-44: round-10 operator changes (rule 2) ---
-    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
-    "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
-    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
-    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    # --- 45+: round-10 additions (rule 1), then the stalest rows
-    # (r4-green #12 displacement set; the ones past slot 50 sit first
-    # below the cutoff and lead round 11) ---
-    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
-    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
-    "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
-    "readability": (q_readability, SQL_READABILITY),
-    "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
-    "column_mi": (q_column_mi, SQL_COLUMN_MI),
-    # --- below the driver window (everything here has an r4-r9 driver
-    # row; the full local parity clone covers the whole registry).
-    # The seven r4-green #12 entries sit first and lead round 11 —
-    # ADVICE r7's standing preference: displace old keepers, never
-    # brand-new operators (DEVIATIONS #17).
+    # --- ROUND-11 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
+    # 1-7: the r4-green #12 displacement set — the registry's stalest
+    # driver rows (7 rounds old; their promised round-8 re-check was
+    # swallowed by the driver skip). VERDICT r10 #2 leads with these.
     "in_list": (q_in_list, SQL_IN_LIST),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
@@ -6607,7 +7070,29 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    # r5-green rows (stale after the r4 set clears):
+    # --- 8-18: round-11 additions (rule 1) — gates for the nine
+    # round-10 runway operators (VERDICT r10 #1) plus the PNG decoder
+    # (#5) and the sentence-dedup composition (#7) ---
+    "luhn_valid": (q_luhn_valid, SQL_LUHN_VALID),
+    "blocklist_match": (q_blocklist_match, SQL_BLOCKLIST_MATCH),
+    "tune_lsh_bands": (q_tune_lsh_bands, SQL_TUNE_LSH_BANDS),
+    "split_sentences": (q_split_sentences, SQL_SPLIT_SENTENCES),
+    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
+    "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
+    "token_js_divergence": (q_token_js_divergence, SQL_TOKEN_JS_DIVERGENCE),
+    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
+    "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
+    # --- 19-22: round-11 operator changes (rule 2): the chunked-
+    # offsets canonical-key fix (intervals), column_mi's dead-agg
+    # removal, and the numpy decoder rewrite under the WAV/BMP gates ---
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
+    "column_mi": (q_column_mi, SQL_COLUMN_MI),
+    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
+    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
+    # --- 23-36: the r5-green entries whose rule-3 staleness bound
+    # lands at round 11 ---
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
@@ -6622,7 +7107,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- r7-green entries ---
+    # --- 37-50: the stalest r7-green rows (alphabetical head; the
+    # remaining r7 entries sit first below the cutoff and lead round
+    # 12) ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -6637,6 +7124,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
+    # --- below the driver window. Remaining r7-green entries first
+    # (stalest; they lead round 12), then r9-green, then the r10-green
+    # block (the freshest rows, refreshed last) ---
     "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
     "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
@@ -6663,7 +7153,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    # --- r9-green entries (freshest driver rows; refresh last) ---
+    # --- r9-green entries ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
@@ -6711,4 +7201,52 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    # --- r10-green entries (freshest driver rows; refresh last) ---
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
+    "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
+    "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
+    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
+    "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
+    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
+    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
+    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
+    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
+    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
+    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
+    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
+    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
+    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
+    "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
+    "readability": (q_readability, SQL_READABILITY),
+    "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
 }
+

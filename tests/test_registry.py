@@ -79,31 +79,124 @@ def test_bench_artifact_sf_guard(tmp_path):
     assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
 
 
-def test_round10_window_holds_the_skipped_round8_debt():
-    """VERDICT r9 #1: the 16 never-driver-checked r7/r8 additions and
-    the 12 operators rewritten in round 8 must sit inside the first-50
-    driver window (plus this round's own additions/changes — rule 1/2).
-    Locks the ordering against accidental refactors."""
+def test_round11_window_holds_stale_debt_and_additions():
+    """Round-11 rotation lock (VERDICT r10 #1/#2): the seven r4-green
+    stale entries, the eleven round-11 gate additions (rule 1), and
+    the four queries whose operators changed this round (rule 2) must
+    sit inside the first-50 driver window. Locks the ordering against
+    accidental refactors."""
     window = list(_registry())[:50]
-    never_checked = {
-        "scd2_history", "hll_rollup", "cms_sliding", "streaming_hll_rollup",
-        "label_resolution", "annotator_kappa", "moments_quantiles",
-        "validate_orders", "hard_negatives", "hard_negatives_lsh",
-        "k_anonymity", "streaming_moments_rollup", "hll_sliding",
-        "contamination_report", "packing_stats", "streaming_anomaly",
+    r4_stale = {
+        "in_list", "point_lookup", "customers_no_orders",
+        "top_revenue_orders", "events_daily", "text_stats", "token_count",
     }
-    r8_changed = {
-        "key_skew_profile", "url_dedup", "span_merge",
-        "streaming_span_merge", "streaming_span_merge_fast",
-        "streaming_parquet_sink", "bpe_merges", "bpe_vocab",
-        "random_projection", "cms_topk", "bloom_semijoin", "hll_distinct",
+    r11_added = {
+        "luhn_valid", "blocklist_match", "tune_lsh_bands",
+        "split_sentences", "sentence_dedup", "dp_noisy_counts",
+        "token_js_divergence", "ngram_diversity", "schema_diff",
+        "curation_funnel", "multimodal_decode_png",
     }
-    r10_added_or_changed = {
-        "t_closeness", "hll_audience_overlap", "service_concurrency",
-        "trace_waterfall", "multimodal_decode_audio",
-        "multimodal_decode_image", "salted_join_skew", "readability",
-        "zipf_slope", "column_mi",
+    r11_changed = {
+        "service_concurrency", "column_mi", "multimodal_decode_audio",
+        "multimodal_decode_image",
     }
-    for group in (never_checked, r8_changed, r10_added_or_changed):
+    for group in (r4_stale, r11_added, r11_changed):
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
+
+
+#: Public operator functions with NO transitive path from a registered
+#: query, each with the reason it is allowed to stay gate-less
+#: (rotation rule 1, amended round 11 per VERDICT r10 #4, covers
+#: OPERATORS — a new operator must either be reachable from a
+#: registered gate or carry an explicit waiver here).
+OPERATOR_GATE_WAIVERS = {
+    # Column-level building blocks of gated operators (the composed
+    # operator is gated; these are its exported composable pieces)
+    "minhash_signature": "building block of gated minhash_lsh",
+    "minhash_lsh_candidates": "candidate stage of gated minhash_lsh",
+    "simhash_signature": "building block of gated simhash",
+    "lang_id": "Column form of gated lang_id query (add_lang_id)",
+    "rolling_hash_fingerprint": "Column form of gated fingerprint",
+    "cms_merge": "merge half of gated cms_topk (tested vs rebuild)",
+    # variant APIs of gated operators, pinned equal in pytest
+    "dedup_exact": "text-col variant of gated exact_duplicates",
+    "ngram_jaccard_pairs": "exhaustive variant of gated ngram_jaccard",
+    "bpe_train_batched": "scale variant of gated bpe_merges trainer",
+    "bm25_topk": "top-k wrapper of gated bm25 scoring",
+    "hash_sample": "rate variant of gated stratified_sample hashing",
+    "build_ivf_index": "persisted-index variant of gated ivf_search",
+    "ivf_search_indexed": "persisted-index variant of gated ivf_search",
+    "zorder_repartition": "write-side twin of gated zorder_layout",
+    "media_stats": "approx-percentile twin of gated multimodal_stats",
+    "scd2_merge": "incremental twin of gated scd2_history build",
+    "assemble_traces": "API-layer trace assembly (web/serialize path)",
+    "get_trace_by_id": "API-layer point lookup (web/serialize path)",
+    # real-codec hooks: the decode path is gated through
+    # audio_stats/image_stats; these are the extract_features hooks
+    "decode_image": "hook form; decode_bmp/png gated via image_stats",
+    "decode_audio": "hook form; decode_wav gated via audio_stats",
+    "sample_video_frames": "declared non-goal (README): video codec",
+}
+
+
+def test_every_public_operator_reaches_a_registered_query():
+    """Rotation rule 1 covers OPERATORS, not just queries (VERDICT r10
+    #4): every public function in duo_spark/operators/ and
+    pipelines.py must be transitively reachable from queries.py (the
+    registered gates) — via direct reference or through other engine
+    functions — or carry an explicit waiver above. Waivers must not go
+    stale: a waived name that becomes reachable (or disappears) fails
+    so the list shrinks with the debt."""
+    import ast
+
+    pkg = REPO / "duo_spark"
+    mods = {p: p.read_text() for p in pkg.rglob("*.py")}
+
+    defs: dict[str, list] = {}
+    for path, src in mods.items():
+        for node in ast.walk(ast.parse(src)):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                idents = set()
+                for n in ast.walk(node):
+                    if isinstance(n, ast.Name):
+                        idents.add(n.id)
+                    elif isinstance(n, ast.Attribute):
+                        idents.add(n.attr)
+                defs.setdefault(node.name, []).append((path, idents))
+
+    roots = set()
+    for n in ast.walk(ast.parse(mods[pkg / "queries.py"])):
+        if isinstance(n, ast.Name):
+            roots.add(n.id)
+        elif isinstance(n, ast.Attribute):
+            roots.add(n.attr)
+
+    reach: set[str] = set()
+    frontier = {n for n in defs if n in roots}
+    while frontier:
+        reach |= frontier
+        nxt: set[str] = set()
+        for name in frontier:
+            for _p, idents in defs[name]:
+                nxt |= {i for i in idents if i in defs and i not in reach}
+        frontier = nxt
+
+    targets = sorted((pkg / "operators").glob("*.py")) + [pkg / "pipelines.py"]
+    public = set()
+    for path in targets:
+        for node in ast.parse(mods[path]).body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if not node.name.startswith("_"):
+                    public.add(node.name)
+
+    unreachable = public - reach - set(OPERATOR_GATE_WAIVERS)
+    assert not unreachable, (
+        f"public operators with no path from a registered query and no "
+        f"waiver: {sorted(unreachable)}"
+    )
+    stale = {
+        w for w in OPERATOR_GATE_WAIVERS
+        if w not in public or w in reach
+    }
+    assert not stale, f"stale waivers (now reachable or gone): {sorted(stale)}"
