@@ -200,6 +200,13 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "curation_funnel",
     "multimodal_decode_png",
+    "dsir_select",
+    "multimodal_spectrogram",
+    "tokenizer_fertility",
+    "semantic_decontam",
+    "epoch_allocation",
+    "image_dhash",
+    "dhash_near_dup",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

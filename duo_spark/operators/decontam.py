@@ -134,3 +134,79 @@ def contamination_report(
             ).cast("long").alias("leak_ppm"),
         )
     )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    threshold: float = 0.8,
+    max_benchmark: int = 200_000,
+) -> DataFrame:
+    """Embedding-space decontamination (round 11): flag corpus items
+    whose nearest BENCHMARK embedding clears ``threshold`` cosine —
+    the semantic sibling of :func:`contaminated_docs`, catching the
+    paraphrased leakage n-gram containment misses.
+
+    Shape, built for the asymmetry of the real problem: benchmarks
+    are 1e3–1e5 items while the corpus is 1e9+, so the benchmark side
+    is collected into ONE normalized float64 matrix (guarded by
+    ``max_benchmark`` — a benchmark that large is a corpus, use the
+    LSH pair path in similarity.py instead) and every corpus
+    partition scores against it in a single (batch × dim) @ (dim × n)
+    Arrow-batched matmul — no shuffle, no pair materialization, same
+    scale pattern as similarity._centroid_sims_udf and the reasons it
+    beats per-centroid Column folds.
+
+    Similarities round to 6 decimals BEFORE the argmax (ties break to
+    the smallest benchmark id), so an SQL oracle replaying brute-force
+    cosine ranks identically. Returns
+    ``(id_col, bench_id, sim)`` for corpus rows with
+    ``sim >= threshold``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bid = bench_id_col or id_col
+    rows = benchmark.select(bid, vec_col).limit(max_benchmark + 1).collect()
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"benchmark exceeds max_benchmark={max_benchmark}; "
+            "use similarity.embedding_near_dup_pairs for corpus-scale sides"
+        )
+    if not rows:
+        raise ValueError("benchmark is empty")
+    bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def _best(v):  # pd.Series[array<float>] -> pd.DataFrame[bench_id, sim]
+        mat = np.array(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round((mat / norms) @ M.T, 6)
+        # smallest-bench-id argmax over the ROUNDED sims: scan columns
+        # in bench-id order and keep the first strict improvement
+        order = np.argsort(bench_ids, kind="stable")
+        s_ord = sims[:, order]
+        best_pos = np.argmax(s_ord, axis=1)  # first max in id order
+        rows_ix = np.arange(len(mat))
+        return pd.DataFrame(
+            {
+                "bench_id": bench_ids[order][best_pos],
+                "sim": s_ord[rows_ix, best_pos],
+            }
+        )
+
+    best = pandas_udf(_best, "bench_id: long, sim: double")(F.col(vec_col))
+    return (
+        corpus.select(F.col(id_col), best.alias("_b"))
+        .select(id_col, F.col("_b.bench_id").alias("bench_id"),
+                F.col("_b.sim").alias("sim"))
+        .filter(F.col("sim") >= F.lit(threshold))
+    )

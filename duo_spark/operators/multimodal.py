@@ -158,65 +158,82 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
     view — ~100× the round-10 per-byte Python slicing on MB-scale
     assets, bit-identical sums (uint8 widened to int64).
     """
-    import struct
-
     import numpy as np
 
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:2] == b"BM":
-        off, = struct.unpack_from("<I", content, 10)
-        hdr_size, = struct.unpack_from("<I", content, 14)
-        if hdr_size < 40:
-            raise ValueError(f"unsupported BMP header size {hdr_size}")
-        width, height = struct.unpack_from("<ii", content, 18)
-        bpp, = struct.unpack_from("<H", content, 28)
-        comp, = struct.unpack_from("<I", content, 30)
-        if bpp != 24 or comp != 0:
-            raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
-        height = abs(height)  # negative = top-down; sums don't care
-        stride = (3 * width + 3) & ~3
-        need = stride * height
-        if len(content) >= off + need:
-            buf = np.frombuffer(content, np.uint8, count=need, offset=off)
-        else:  # some writers omit the final row's pad bytes
-            buf = np.zeros(need, dtype=np.uint8)
-            avail = np.frombuffer(content, np.uint8, offset=off)
-            buf[: len(avail)] = avail
+        width, height, view, _topdown = _bmp_bgr_rows(content)
         # strided per-channel sums over the zero-copy (height, 3*width)
         # view: reshape(-1, 3) on this non-contiguous slice would force
         # an elementwise copy ~13x slower at MP scale
-        view = buf.reshape(height, stride)[:, : 3 * width]
-        # BMP stores BGR
         sum_b = int(view[:, 0::3].sum(dtype=np.int64))
         sum_g = int(view[:, 1::3].sum(dtype=np.int64))
         sum_r = int(view[:, 2::3].sum(dtype=np.int64))
         return width, height, sum_r, sum_g, sum_b
     if content[:2] == b"P6":
-        # P6\n<w> <h>\n<maxval>\n<raw RGB>; '#' comments allowed
-        pos = 2
-        fields: list[int] = []
-        while len(fields) < 3:
-            while pos < len(content) and content[pos : pos + 1].isspace():
-                pos += 1
-            if content[pos : pos + 1] == b"#":
-                while pos < len(content) and content[pos] != 0x0A:
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(content) and not content[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(content[start:pos]))
-        pos += 1  # single whitespace after maxval
-        width, height, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
-        px = np.frombuffer(
-            content, dtype=np.uint8, count=3 * width * height, offset=pos
-        ).reshape(-1, 3)
-        sums = px.sum(axis=0, dtype=np.int64)
+        width, height, px = _ppm_pixels(content)
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         return width, height, int(sums[0]), int(sums[1]), int(sums[2])
     raise ValueError("unsupported image container (need BMP, P6 PPM, or PNG)")
+
+
+def _bmp_bgr_rows(content: bytes):
+    """Parse a 24-bit BI_RGB BMP to ``(width, height, view, topdown)``
+    where ``view`` is the zero-copy ``(height, 3*width)`` uint8 array
+    of BGR-interleaved pixel rows in FILE order — bottom-up unless
+    ``topdown`` (negative header height) says otherwise."""
+    import struct
+
+    import numpy as np
+
+    off, = struct.unpack_from("<I", content, 10)
+    hdr_size, = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp, = struct.unpack_from("<H", content, 28)
+    comp, = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    topdown = height < 0
+    height = abs(height)
+    stride = (3 * width + 3) & ~3
+    need = stride * height
+    if len(content) >= off + need:
+        buf = np.frombuffer(content, np.uint8, count=need, offset=off)
+    else:  # some writers omit the final row's pad bytes
+        buf = np.zeros(need, dtype=np.uint8)
+        avail = np.frombuffer(content, np.uint8, offset=off)
+        buf[: len(avail)] = avail
+    return width, height, buf.reshape(height, stride)[:, : 3 * width], topdown
+
+
+def _ppm_pixels(content: bytes):
+    """Parse a binary P6 PPM to ``(width, height, (h, w, 3) uint8)``."""
+    import numpy as np
+
+    # P6\n<w> <h>\n<maxval>\n<raw RGB>; '#' comments allowed
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    return width, height, np.frombuffer(
+        content, dtype=np.uint8, count=3 * width * height, offset=pos
+    ).reshape(height, width, 3)
 
 
 def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
@@ -235,8 +252,22 @@ def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
     one vector add, Sub is a per-channel-lane cumsum (mod distributes
     over the prefix sum); Average and Paeth genuinely depend on the
     floor/predictor of already-reconstructed neighbors, so those rows
-    fall back to a per-byte loop.
+    fall back to a per-byte loop (all inside :func:`_png_reconstruct`,
+    shared with the pixel-level :func:`decode_rgb` path).
     """
+    import numpy as np
+
+    width, height, ch, out = _png_reconstruct(content)
+    px = out.reshape(height, width, ch)[:, :, :3]
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def _png_reconstruct(content: bytes):
+    """Chunk-parse + inflate + unfilter a PNG to
+    ``(width, height, channels, (height, width*channels) uint8)`` of
+    reconstructed top-down scanlines — the shared core of
+    :func:`decode_png` (sums) and :func:`decode_rgb` (pixels)."""
     import struct
     import zlib
 
@@ -280,7 +311,7 @@ def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
     filters = arr[:, 0]
     rows = arr[:, 1:].astype(np.int64)
     prev = np.zeros(stride, dtype=np.int64)
-    sums = np.zeros(3, dtype=np.int64)
+    out = np.empty((height, stride), dtype=np.uint8)
     for y in range(height):
         f = int(filters[y])
         row = rows[y]
@@ -305,9 +336,9 @@ def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
                 cur[x] = (row[x] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
-        sums += cur.reshape(width, ch)[:, :3].sum(axis=0)
+        out[y] = cur
         prev = cur
-    return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+    return width, height, ch, out
 
 
 def decode_image(content: bytes | None, dim: int = 8) -> list[float]:
@@ -556,6 +587,248 @@ def image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_rgb(content: bytes):
+    """REAL pixel-level image decode: any supported container (BMP /
+    P6 PPM / PNG) to ``(width, height, (height, width, 3) uint8)`` in
+    top-down RGB order — the input every perceptual operator
+    (:func:`image_dhash`) works from. Shares the container cores with
+    :func:`decode_bmp` / :func:`decode_png`, so the pixels here are
+    the exact bytes those gated sums are computed over."""
+    import numpy as np
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, rows = _png_reconstruct(content)
+        return w, h, rows.reshape(h, w, ch)[:, :, :3]
+    if content[:2] == b"BM":
+        w, h, view, topdown = _bmp_bgr_rows(content)
+        px = view.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return w, h, (px if topdown else px[::-1])
+    if content[:2] == b"P6":
+        return _ppm_pixels(content)
+    raise ValueError("unsupported image container (need BMP, P6 PPM, or PNG)")
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("dhash", T.StringType(), False),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, *, grid_w: int = 9,
+                grid_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels (round 11):
+    the standard near-duplicate image fingerprint — average-pool the
+    image to a ``grid_w × grid_h`` grid of integer luma sums and emit
+    one bit per horizontally adjacent cell pair (1 = left brighter),
+    ``grid_h · (grid_w - 1)`` bits total (the classic 9×8 → 64-bit
+    dHash). Resilient to rescaling and re-encoding; identical scenes
+    hash equal, so exact ``groupBy(dhash)`` IS the near-dup pass — no
+    pair join at all, the cheapest dedup shape there is.
+
+    Exactness contract (what makes an SQL oracle possible): luma is
+    the UNSCALED integer sum r+g+b; cell membership is
+    ``col = x·grid_w // width`` (every cell non-empty when the image
+    is at least grid-sized — smaller images raise); brightness
+    compares cross-multiplied integer sums ``sum_l·n_r > sum_r·n_l``,
+    so no float ever enters the hash. The bit string ('1'/'0' chars,
+    row-major) groups/joins portably — no 64-bit sign games.
+
+    One mapInPandas pass, no shuffle; pooling is two
+    ``np.add.reduceat`` reductions per asset.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, px = decode_rgb(content)
+                if w < grid_w or h < grid_h:
+                    raise ValueError(
+                        f"image {w}x{h} smaller than dhash grid "
+                        f"{grid_w}x{grid_h}"
+                    )
+                luma = px.astype(np.int64).sum(axis=2)
+                xb = np.searchsorted(np.arange(w) * grid_w // w,
+                                     np.arange(grid_w))
+                yb = np.searchsorted(np.arange(h) * grid_h // h,
+                                     np.arange(grid_h))
+                cells = np.add.reduceat(
+                    np.add.reduceat(luma, yb, axis=0), xb, axis=1
+                )
+                xs = np.diff(np.append(xb, w))
+                ys = np.diff(np.append(yb, h))
+                counts = np.outer(ys, xs)
+                left = cells[:, :-1] * counts[:, 1:]
+                right = cells[:, 1:] * counts[:, :-1]
+                bits = (left > right).astype(np.uint8)
+                dhash = "".join(
+                    "1" if b else "0" for b in bits.reshape(-1)
+                )
+                rows.append((mid, w, h, dhash))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "width", "height", "dhash"]
+        )
+
+    return media.select("media_id", "content").mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_near_dup(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 2,
+    bands: int | None = None,
+    bits: int | None = None,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs from :func:`image_dhash`
+    bit strings: all unordered pairs within Hamming distance
+    ``max_hamming``, found by LSH-style banding — split every hash
+    into ``bands`` (default ``max_hamming + 1``) contiguous
+    substrings and join on any exact band match. Pigeonhole makes
+    the candidate set EXHAUSTIVE: a pair differing in ≤ max_hamming
+    bits cannot differ in all ``max_hamming + 1`` disjoint bands, so
+    recall is 1.0 by construction (same argument as the simhash
+    band join in operators/dedup.py) and no all-pairs product ever
+    forms — candidates are bounded by per-band posting lists.
+
+    Exact Hamming verification is a fixed ``bits``-term Column sum of
+    per-position char compares. ``bits`` (the uniform hash length —
+    ``grid_h · (grid_w − 1)`` from the producing :func:`image_dhash`)
+    must be a plan-time constant; pass it to keep the plan job-free,
+    or leave None for a bounded 1-row probe. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at "
+            f"max_hamming={max_hamming}; need bands > max_hamming"
+        )
+    if bits is None:
+        first = hashes.select(F.length(hash_col).alias("n")).limit(1).collect()
+        if not first:
+            return hashes.sparkSession.createDataFrame(
+                [], f"id_a {dict(hashes.dtypes)[id_col]}, "
+                    f"id_b {dict(hashes.dtypes)[id_col]}, hamming int")
+        bits = int(first[0]["n"])
+    bounds = [i * bits // bands for i in range(bands)] + [bits]
+    segs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.substring(F.col(hash_col), bounds[i] + 1,
+                        bounds[i + 1] - bounds[i]).alias("val"),
+        )
+        for i in range(bands)
+    ])
+    posted = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.explode(segs).alias("_s"),
+    ).select("_id", "_h", F.col("_s.band").alias("_band"),
+             F.col("_s.val").alias("_val"))
+    a, b = posted.alias("a"), posted.alias("b")
+    cand = (
+        a.join(b, ["_band", "_val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = sum(
+        (F.substring("_ha", i + 1, 1) != F.substring("_hb", i + 1, 1))
+        .cast("int")
+        for i in range(bits)
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+SPECTRUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("dominant_bin", T.IntegerType(), False),
+        T.StructField("dominant_mag", T.DoubleType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def spectrum_stats(media: DataFrame) -> DataFrame:
+    """Per-asset frequency-domain audio features from a REAL FFT
+    (round 11): decode the WAV PCM16 stream, run ``numpy.fft.rfft``
+    over the (mono-mixed) samples, and report the dominant non-DC
+    frequency bin, its magnitude, and the exact time-domain energy
+    ``Σ s²`` (int64 — Parseval's counterpart an SQL oracle can replay
+    sample-by-sample).
+
+    Same scale shape as :func:`audio_stats`: one mapInPandas pass,
+    payload projected to (media_id, content) before the task boundary,
+    no shuffle — decode + FFT are embarrassingly parallel per asset.
+    ``rfft`` on an n-sample asset is O(n log n) vectorized C, so the
+    stage stays scan-bound like the decoders (SCALING.md probe 27).
+
+    DC (bin 0) is excluded from the argmax — it only encodes sample
+    count imbalance, and every downstream consumer (pitch detection,
+    tone classification) wants the dominant *oscillation*. Multichannel
+    assets are mixed by summing channels per frame (exact in int64)
+    before the transform.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        rows = []
+        for pdf in batches:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                with wave.open(io.BytesIO(content), "rb") as w:
+                    nch = w.getnchannels()
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only PCM16 wav supported")
+                    raw = w.readframes(w.getnframes())
+                n = len(raw) // 2
+                s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
+                if nch > 1:
+                    s = s[: (n // nch) * nch].reshape(-1, nch).sum(axis=1)
+                energy = int((s * s).sum())
+                if len(s) < 2:
+                    rows.append((mid, len(s), 0, 0.0, energy))
+                    continue
+                mags = np.abs(np.fft.rfft(s.astype(np.float64)))
+                dom = int(np.argmax(mags[1:])) + 1
+                rows.append((mid, len(s), dom, float(mags[dom]), energy))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "n_samples", "dominant_bin",
+                "dominant_mag", "energy",
+            ],
+        )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, SPECTRUM_SCHEMA
+    )
+
+
 # -- deterministic fixture encoders (tests + oracle-replayable gates) ----
 
 def synth_wav(media_id: int) -> bytes:
@@ -572,6 +845,39 @@ def synth_wav(media_id: int) -> bytes:
     samples = [
         (media_id * 7919 + i * 104729) % 65536 - 32768 for i in range(n)
     ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def synth_square_wav(media_id: int) -> bytes:
+    """Deterministic pure-TONE PCM16 mono WAV for asset ``media_id``:
+    256 samples at 8 kHz of an integer square wave at frequency bin
+    ``k = 1 + media_id % 100`` with amplitude
+    ``A = 4000 + (media_id % 8) * 500``::
+
+        s_t = +A  if (k * t) % 256 < 128  else  -A
+
+    Integer arithmetic only — no trig, no rounding-mode hazards — so
+    an SQL oracle regenerates the samples bit-exactly. The square
+    wave's spectrum peaks at bin k (harmonics decay 1/m and aliasing
+    never amplifies them; DC ≤ gcd(k,256)·A stays far below the
+    ~0.63·A·256 fundamental and is excluded from the argmax anyway),
+    so :func:`spectrum_stats` must return ``dominant_bin = k`` — a
+    closed form the oracle states while Spark derives it from a real
+    ``numpy.fft.rfft``. Energy is exactly ``256 · A²``."""
+    import io
+    import struct
+    import wave
+
+    n = 256
+    k = 1 + media_id % 100
+    amp = 4000 + (media_id % 8) * 500
+    samples = [amp if (k * t) % n < n // 2 else -amp for t in range(n)]
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

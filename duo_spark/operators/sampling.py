@@ -273,3 +273,90 @@ def temperature_sample(
         .filter(hash_bucket(id_col, salt) < (F.col("_kr") * _M).cast("long"))
         .drop("_kr")
     )
+
+
+def epoch_allocation(
+    df: DataFrame,
+    strata_col: str = "source",
+    token_col: str | None = None,
+    *,
+    budget: float,
+    max_epochs: float = 4.0,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data-constrained training-mixture plan (Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models"): split a token
+    ``budget`` across sources proportionally to temperature-flattened
+    weights ``w_s ∝ n_s^alpha`` (the q_s ∝ p_s^α rule
+    :func:`temperature_rates` uses), but cap every source at
+    ``max_epochs`` passes over its ``n_s`` unique tokens — the paper's
+    ~4-epoch point where repeating data stops buying loss — and
+    water-fill the surplus into the uncapped sources.
+
+    Water-filling closed form, no iteration: allocation is
+    ``min(λ·w_s, max_epochs·n_s)`` with λ chosen so the total hits the
+    budget. Sorting sources by ``cap_s / w_s`` ascending makes the
+    capped set a PREFIX of the order, so λ falls out of prefix sums:
+    at the first rank where ``(budget − Σ_prefix cap) / Σ_suffix w ≤
+    cap/w``, every earlier source is capped and λ is that quotient.
+    If the budget exceeds Σ cap, every source caps and the plan
+    reports the shortfall implicitly (Σ alloc < budget).
+
+    One aggregate to |sources| rows, then window math over that tiny
+    frame (bounded by the source cardinality, not the corpus — the
+    single-partition window is fine at any data scale). ``token_col``
+    None counts documents instead of summing tokens.
+
+    Output per source: ``(stratum, n_tokens, cap, alloc, epochs)``,
+    floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    tok = (
+        F.sum(F.col(token_col)) if token_col is not None
+        else F.count(F.lit(1))
+    )
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        tok.cast("double").alias("_n")
+    )
+    per = per.select(
+        "stratum",
+        "_n",
+        F.pow("_n", float(alpha)).alias("_w"),
+        (F.col("_n") * F.lit(float(max_epochs))).alias("_cap"),
+    )
+    order = Window.orderBy(F.col("_cap") / F.col("_w"), F.col("stratum"))
+    suffix = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked = per.select(
+        "stratum", "_n", "_w", "_cap",
+        (F.sum("_cap").over(order) - F.col("_cap")).alias("_cap_before"),
+        # explicit suffix frame: both engines then sum the SAME terms
+        # in the SAME order, so the float quotient replays bit-exactly
+        F.sum("_w").over(suffix).alias("_w_from_here"),
+    )
+    lam_here = (F.lit(float(budget)) - F.col("_cap_before")) / F.col("_w_from_here")
+    uncapped = lam_here <= F.col("_cap") / F.col("_w")
+    # λ* = the FIRST (smallest-ratio) uncapped row's quotient — later
+    # uncapped rows' quotients subtract caps the boundary row never
+    # granted, so they undershoot; the capped set being a prefix makes
+    # the first one exact (and guarantees λ*·w ≤ cap for all rows
+    # after it, so the `least` below is a no-op safety net)
+    everything = order.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)
+    lam_star = F.first(F.when(uncapped, lam_here), ignorenulls=True).over(
+        everything
+    )
+    alloc = F.when(
+        uncapped, F.least(lam_star * F.col("_w"), F.col("_cap"))
+    ).otherwise(F.col("_cap"))
+    return ranked.select(
+        "stratum",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_cap").cast("long").alias("cap"),
+        F.round(alloc, 6).alias("alloc"),
+        F.round(alloc / F.col("_n"), 6).alias("epochs"),
+    )

@@ -1,0 +1,220 @@
+"""Importance-resampling data selection (DSIR).
+
+Implements Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"): pick
+the raw-corpus documents whose hashed-n-gram distribution looks most
+like a small high-quality TARGET corpus, by
+
+1. featurizing every document into a bag of hashed word n-grams
+   (unigrams + bigrams → ``buckets`` hash buckets — the paper's
+   hashing trick keeps the model a fixed-size table regardless of
+   vocabulary),
+2. fitting two Laplace-smoothed bag-of-buckets unigram models, one on
+   the target corpus and one on the raw corpus,
+3. scoring each raw document with its log importance weight
+   ``log p_target(doc) - log p_raw(doc)
+   = Σ_gram (log p_t[bucket(gram)] - log p_r[bucket(gram)])``, and
+4. resampling without replacement via Gumbel top-k: add a Gumbel(0,1)
+   perturbation to each log weight and take the k largest keys —
+   equivalent to sampling w/o replacement ∝ the importance weights
+   (Vieira 2014; the paper's resampling step).
+
+Spark shape, built for the 100 TB case:
+- both models are ≤ ``buckets`` rows (default 1024) — they aggregate
+  with map-side combine and BROADCAST to the scoring join; nothing
+  model-sized ever shuffles.
+- scoring is explode(grams) → broadcast-join(log-ratio) → one
+  map-side-combined ``groupBy(doc).sum()`` — a single ~1-row-per-doc
+  shuffle for the whole corpus.
+- the top-k runs through ``orderBy().limit(k)`` which Spark executes
+  as TakeOrderedAndProject (per-partition heaps + driver merge of k),
+  never a global sort.
+
+The Gumbel uniforms are md5-derived from (doc id, seed) — replayable
+bit-exactly by a DuckDB oracle, same contract as
+``validate.dp_noisy_counts``. A production run draws ``seed`` fresh;
+the selection distribution is identical either way.
+
+Reference parity note: the duo reference has no data-selection
+surface; this extends the engine for LLM-pretraining curation
+alongside operators/dedup.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duo_spark.operators.text import tokens
+
+#: 2^52 — md5 uniforms use 13 hex digits, matching dp_noisy_counts.
+_U52 = float(1 << 52)
+
+
+def _hash_bucket(gram: Column, buckets: int) -> Column:
+    """Hash a gram string to ``[0, buckets)`` via the md5 idiom every
+    oracle-replayable operator here uses (DuckDB:
+    ``('0x' || substr(md5(g), 1, 13))::BIGINT % buckets``)."""
+    bits = F.conv(F.substring(F.md5(gram), 1, 13), 16, 10).cast("long")
+    return bits % F.lit(buckets)
+
+
+def hashed_grams(df: DataFrame, text_col: str = "text", *,
+                 bigrams: bool = True) -> Column:
+    """Array column of the document's word unigrams (+ bigrams):
+    whitespace tokens (empty tokens dropped, so blank documents
+    featurize to zero grams), then adjacent pairs joined with one
+    space."""
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    if not bigrams:
+        return toks
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, pairs)
+
+
+def hashed_bucket_counts(df: DataFrame, text_col: str = "text", *,
+                         buckets: int = 1024,
+                         bigrams: bool = True) -> DataFrame:
+    """Corpus-wide hashed-gram bucket counts ``(bucket, cnt)`` — the
+    sufficient statistic of the bag-of-buckets model. One explode +
+    one map-side-combined aggregate; at most ``buckets`` rows out."""
+    g = df.select(
+        F.explode(hashed_grams(df, text_col, bigrams=bigrams)).alias("gram")
+    )
+    return (
+        g.select(_hash_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document log importance weights ``(id_col, n_grams, score)``
+    of every ``raw`` document under target-vs-raw hashed bag models.
+
+    ``score = Σ_grams ln p̂_t[b] - ln p̂_r[b]`` with Laplace-``alpha``
+    smoothing over all ``buckets`` cells, so buckets unseen in either
+    corpus still carry the finite constant ratio
+    ``ln(alpha/(T_t + alpha·B)) - ln(alpha/(T_r + alpha·B))``.
+    Empty documents score 0 (an even-odds doc under both models).
+    """
+    t_counts = hashed_bucket_counts(target, text_col,
+                                    buckets=buckets, bigrams=bigrams)
+    r_counts = hashed_bucket_counts(raw, text_col,
+                                    buckets=buckets, bigrams=bigrams)
+    # log-ratio table: full-outer on the two ≤B-row count tables; the
+    # totals are single-row aggregates crossed in (broadcast both ways).
+    t_tot = t_counts.agg(F.sum("cnt").alias("t_tot"))
+    r_tot = r_counts.agg(F.sum("cnt").alias("r_tot"))
+    ratio = (
+        t_counts.withColumnRenamed("cnt", "t_cnt")
+        .join(r_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
+                      / (F.coalesce(F.col("t_tot"), F.lit(0)) + F.lit(alpha * buckets)))
+                - F.log((F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
+                        / (F.coalesce(F.col("r_tot"), F.lit(0)) + F.lit(alpha * buckets)))
+            ).alias("log_ratio"),
+        )
+    )
+    # default ratio for buckets absent from BOTH count tables — a pure
+    # arithmetic constant, but the totals live in one-row DataFrames;
+    # carry it as a broadcast-crossed literal row so no collect() runs.
+    default = (
+        t_tot.crossJoin(r_tot)
+        .select(
+            (
+                F.log(F.lit(alpha) / (F.coalesce(F.col("t_tot"), F.lit(0))
+                                      + F.lit(alpha * buckets)))
+                - F.log(F.lit(alpha) / (F.coalesce(F.col("r_tot"), F.lit(0))
+                                        + F.lit(alpha * buckets)))
+            ).alias("default_ratio")
+        )
+    )
+    exploded = raw.select(
+        F.col(id_col),
+        F.explode_outer(hashed_grams(raw, text_col, bigrams=bigrams)).alias("gram"),
+    ).select(
+        id_col,
+        F.when(F.col("gram").isNotNull(),
+               _hash_bucket(F.col("gram"), buckets)).alias("bucket"),
+    )
+    scored = (
+        exploded.join(F.broadcast(ratio), "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).alias("n_grams"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+                        F.coalesce(F.col("log_ratio"), F.col("default_ratio"))
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("score"),
+        )
+    )
+    return scored
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel top-k importance resample: the ``k`` raw documents with
+    the largest ``score + Gumbel(0,1)`` keys — sampling without
+    replacement proportional to the importance weights.
+
+    Returns ``(id_col, n_grams, score, gumbel_key)`` rounded to 6
+    decimals (both engines' libm ``ln`` agree far beyond that; the
+    rounding pins the oracle comparison), ties broken by ``id_col``.
+    SEEDED GUMBELS ARE REPLAY/TEST MODE — draw ``seed`` fresh for a
+    production selection run.
+    """
+    scores = dsir_scores(raw, target, id_col=id_col, text_col=text_col,
+                         buckets=buckets, alpha=alpha, bigrams=bigrams)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                  F.lit(str(seed)), F.lit("gumbel"))),
+                1, 13),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U52)
+    gumbel = -F.log(-F.log(u))
+    keyed = scores.select(
+        id_col,
+        "n_grams",
+        F.round(F.col("score"), 6).alias("score"),
+        F.round(F.col("score") + gumbel, 6).alias("gumbel_key"),
+    )
+    # TakeOrderedAndProject: per-partition k-heaps, driver merge of k.
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)

@@ -1204,3 +1204,49 @@ def sentence_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility report per corpus slice (round 11): the
+    standard multilingual-tokenizer health metric — subword tokens per
+    whitespace word ("fertility", Rust et al. 2021), plus characters
+    and UTF-8 bytes per subword. A tokenizer that fragments one
+    language 3× more than another starves it of effective context;
+    this surfaces that from corpus stats alone, before any training.
+
+    Uses the same deterministic proxy segmentation the ``token_count``
+    gate pins (:func:`bpe_ish_tokens` — letter/digit/punct runs), so
+    the numbers are comparable across every text operator here.
+
+    One projection + one map-side-combined groupBy — ratios computed
+    from exact integer sums AFTER aggregation, where an SQL oracle
+    replays the same division. Scale: output is |slices| rows.
+    """
+    c = F.col(text_col)
+    per_doc = df.select(
+        F.col(group_col),
+        F.size(F.filter(tokens(c), lambda t: t != "")).alias("_w"),
+        F.size(bpe_ish_tokens(c)).alias("_s"),
+        F.length(c).alias("_c"),
+        F.octet_length(c).alias("_b"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_s").alias("n_subwords"),
+        F.sum("_c").alias("n_chars"),
+        F.sum("_b").alias("n_bytes"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        F.round(F.col("n_chars") / F.col("n_subwords"), 6).alias("chars_per_subword"),
+        F.round(F.col("n_bytes") / F.col("n_subwords"), 6).alias("bytes_per_subword"),
+    )

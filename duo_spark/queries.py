@@ -7057,6 +7057,342 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/selection.py, Xie et al.
+    2023): select the 50 documents whose hashed unigram+bigram
+    distribution is most English-like (target = the lang='en' slice)
+    via Gumbel top-k over log importance weights. Both bag models
+    broadcast; scoring is one map-side-combined per-doc sum; the top-k
+    is TakeOrderedAndProject. md5 Gumbels are REPLAY MODE — a
+    production selection draws the seed secret."""
+    from duo_spark.operators.selection import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, 50, buckets=256, seed=42)
+
+
+SQL_DSIR_SELECT = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(t) AS gram FROM tok
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+  FROM tok),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 13))::BIGINT % 256 AS bucket
+  FROM grams),
+tc AS (SELECT bucket, count(*) AS t_cnt FROM b WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY 1),
+tt AS (SELECT coalesce(sum(t_cnt), 0) AS t_tot FROM tc),
+rt AS (SELECT coalesce(sum(r_cnt), 0) AS r_tot FROM rc),
+ratio AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         ln((coalesce(t_cnt, 0) + 1.0) / (t_tot + 256))
+         - ln((coalesce(r_cnt, 0) + 1.0) / (r_tot + 256)) AS log_ratio
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+  CROSS JOIN tt CROSS JOIN rt),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(ratio.log_ratio) AS score
+  FROM b LEFT JOIN ratio USING (bucket)
+  GROUP BY b.doc_id),
+alldocs AS (
+  SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+         coalesce(s.score, 0.0) AS score
+  FROM documents d LEFT JOIN scored s USING (doc_id)),
+keyed AS (
+  SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         round(score, 6) AS score,
+         round(score - ln(-ln(
+           (('0x' || substr(md5(doc_id || '|42|gumbel'), 1, 13))::BIGINT + 0.5)
+           / 4503599627370496.0)), 6) AS gumbel_key
+  FROM alldocs)
+SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+"""
+
+
+def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FFT over REAL WAV containers (operators/multimodal.py
+    spectrum_stats, round 11): per doc_id an integer square-wave tone
+    at frequency bin ``k = 1 + doc_id % 100`` (synth_square_wav — no
+    trig in synthesis, so the samples are integer-exact in both
+    engines) is decoded and transformed with numpy.fft.rfft in one
+    mapInPandas pass. The oracle states the closed form — dominant
+    bin k, the direct DFT magnitude at k, energy 256·A² — while Spark
+    must DERIVE the dominant bin from the actual spectrum; an FFT,
+    windowing, or channel-mix bug lands on a different bin and
+    hash-mismatches."""
+    from duo_spark.operators.multimodal import spectrum_stats, synth_square_wav
+
+    def _wav(doc_id):
+        return doc_id.map(lambda d: synth_square_wav(int(d)))
+
+    wav_udf = F.pandas_udf(_wav, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", wav_udf("media_id").alias("content"))
+    st = spectrum_stats(media)
+    return st.select(
+        "media_id",
+        "n_samples",
+        "dominant_bin",
+        F.round(F.col("dominant_mag"), 2).alias("dominant_mag"),
+        "energy",
+    )
+
+
+SQL_MULTIMODAL_SPECTROGRAM = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 100 AS k,
+         4000 + (doc_id % 8) * 500 AS amp
+  FROM documents),
+t AS (SELECT doc_id, k, amp, unnest(range(0, 256)) AS t FROM d),
+s AS (
+  SELECT doc_id, k, t,
+         CASE WHEN (k * t) % 256 < 128 THEN amp ELSE -amp END AS sv
+  FROM t),
+m AS (
+  SELECT doc_id, max(k) AS k,
+         sum(sv * cos(2 * pi() * k * t / 256.0)) AS re,
+         sum(sv * sin(2 * pi() * k * t / 256.0)) AS im,
+         sum(CAST(sv AS BIGINT) * sv) AS energy
+  FROM s GROUP BY doc_id)
+SELECT doc_id AS media_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(k AS INT) AS dominant_bin,
+       round(sqrt(re * re + im * im), 2) AS dominant_mag,
+       CAST(energy AS BIGINT) AS energy
+FROM m
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language slice (operators/text.py
+    tokenizer_fertility, Rust et al. 2021): subwords per word and
+    chars/bytes per subword from the same bpe_ish segmentation the
+    token_count gate pins. One groupBy over exact integer sums."""
+    from duo_spark.operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH per AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t != '')) AS w,
+         len(list_filter(string_split_regex(
+             regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)',
+                            '\1' || chr(1), 'g'),
+             '[\s' || chr(1) || ']+'), t -> t != '')) AS s,
+         length(text) AS c,
+         strlen(text) AS b
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_subwords,
+       round(sum(s) * 1.0 / sum(w), 6) AS fertility,
+       round(sum(c) * 1.0 / sum(s), 6) AS chars_per_subword,
+       round(sum(b) * 1.0 / sum(s), 6) AS bytes_per_subword
+FROM per GROUP BY lang
+"""
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/decontam.py
+    semantic_decontam, round 11): corpus vectors (vec_id % 20 != 0)
+    whose nearest benchmark vector (vec_id % 20 == 0) clears 0.35
+    cosine — the paraphrase-leakage sweep n-gram containment misses.
+    The benchmark collects into one broadcast matrix (benchmarks are
+    small by definition; guarded); scoring is one Arrow matmul per
+    corpus batch, no shuffle, no pair materialization."""
+    from duo_spark.operators.decontam import semantic_decontam
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    benchmark = emb.filter(F.col("vec_id") % 20 == 0)
+    return semantic_decontam(corpus, benchmark, threshold=0.35)
+
+
+SQL_SEMANTIC_DECONTAM = """
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+corp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+pairs AS (
+  SELECT c.vec_id, b.bench_id,
+         round(
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(c.embedding[i] AS DOUBLE) * b.embedding[i]))
+           / (sqrt(list_sum(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
+  FROM corp c CROSS JOIN bench b),
+best AS (
+  SELECT vec_id, bench_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, bench_id) AS rn
+  FROM pairs)
+SELECT vec_id, bench_id, sim FROM best WHERE rn = 1 AND sim >= 0.35
+"""
+
+
+def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training-mixture plan (operators/sampling.py
+    epoch_allocation, Muennighoff 2023): water-fill a 600-document
+    budget across sources with temperature-α=0.5 weights, capping
+    every source at 2 epochs of its unique docs. Closed-form λ via
+    prefix/suffix window sums over the |sources|-row aggregate — no
+    iteration, no driver math."""
+    from duo_spark.operators.sampling import epoch_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_allocation(docs, "source", None,
+                            budget=600, max_epochs=2.0, alpha=0.5)
+
+
+SQL_EPOCH_ALLOCATION = """
+WITH per AS (
+  SELECT source AS stratum, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1),
+base AS (
+  SELECT stratum, n, pow(n, 0.5) AS w, n * 2.0 AS cap FROM per),
+r AS (
+  SELECT *,
+         sum(cap) OVER (ORDER BY cap / w, stratum) - cap AS cap_before,
+         sum(w) OVER (ORDER BY cap / w, stratum
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS w_from_here
+  FROM base),
+l AS (
+  SELECT *, (600 - cap_before) / w_from_here AS lam_here,
+         (600 - cap_before) / w_from_here <= cap / w AS unc
+  FROM r),
+star AS (
+  SELECT lam_here AS lam FROM l WHERE unc
+  ORDER BY cap / w, stratum LIMIT 1)
+SELECT stratum,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(cap AS BIGINT) AS cap,
+       round(CASE WHEN unc THEN least((SELECT lam FROM star) * w, cap)
+                  ELSE cap END, 6) AS alloc,
+       round(CASE WHEN unc THEN least((SELECT lam FROM star) * w, cap)
+                  ELSE cap END / n, 6) AS epochs
+FROM l
+"""
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded PNG pixels
+    (operators/multimodal.py image_dhash, round 11): per doc_id the
+    synth_png container is inflated + unfiltered to pixels, pooled to
+    a 5×4 integer-luma grid, and hashed as one brightness-gradient
+    bit per adjacent cell pair — all integer arithmetic, so the
+    oracle replays the exact bit string from the closed-form pixels
+    while Spark derives it from the real zlib/filter decode path."""
+    from duo_spark.operators.multimodal import image_dhash, synth_png
+
+    def _png(doc_id):
+        return doc_id.map(lambda d: synth_png(int(d)))
+
+    png_udf = F.pandas_udf(_png, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", png_udf("media_id").alias("content"))
+    return image_dhash(media, grid_w=5, grid_h=4)
+
+
+SQL_IMAGE_DHASH = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (doc_id * 5 + x * 11 + y * 3) % 256
+         + (doc_id + x * 13 + y * 7) % 256
+         + (doc_id * 2 + x + y * 19) % 256 AS luma
+  FROM xy),
+cells AS (
+  SELECT doc_id, w, h, (y * 4) // h AS i, (x * 5) // w AS j,
+         sum(luma) AS s, count(*) AS c
+  FROM px GROUP BY 1, 2, 3, 4, 5),
+pairs AS (
+  SELECT a.doc_id, a.w, a.h, a.i, a.j,
+         CASE WHEN a.s * b.c > b.s * a.c THEN '1' ELSE '0' END AS bit
+  FROM cells a
+  JOIN cells b ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       string_agg(bit, '' ORDER BY i, j) AS dhash
+FROM pairs GROUP BY doc_id
+"""
+
+
+def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded perceptual near-dup pairs (operators/multimodal.py
+    dhash_near_dup, round 11): image pairs within Hamming 1 of each
+    other's 16-bit dHash. Spark finds candidates by pigeonhole
+    banding (2 disjoint 8-bit bands — a ≤1-bit difference must leave
+    one band intact, recall 1.0 by construction, no all-pairs); the
+    oracle brute-forces every pair, so any banding recall bug
+    surfaces as missing rows."""
+    from duo_spark.operators.multimodal import (
+        dhash_near_dup,
+        image_dhash,
+        synth_png,
+    )
+
+    def _png(doc_id):
+        return doc_id.map(lambda d: synth_png(int(d)))
+
+    png_udf = F.pandas_udf(_png, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", png_udf("media_id").alias("content"))
+    hashes = image_dhash(media, grid_w=5, grid_h=4)
+    return dhash_near_dup(hashes, max_hamming=1, bands=2, bits=16)
+
+
+SQL_DHASH_NEAR_DUP = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (doc_id * 5 + x * 11 + y * 3) % 256
+         + (doc_id + x * 13 + y * 7) % 256
+         + (doc_id * 2 + x + y * 19) % 256 AS luma
+  FROM xy),
+cells AS (
+  SELECT doc_id, (y * 4) // h AS i, (x * 5) // w AS j,
+         sum(luma) AS s, count(*) AS c
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.i, a.j,
+         CASE WHEN a.s * b.c > b.s * a.c THEN '1' ELSE '0' END AS bit
+  FROM cells a
+  JOIN cells b ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1),
+hashes AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY i, j) AS dhash
+  FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(range(1, 17),
+             i -> substr(a.dhash, i, 1) != substr(b.dhash, i, 1)))
+           AS hamming
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
     # --- ROUND-11 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
@@ -7084,14 +7420,25 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    # --- 19-22: round-11 operator changes (rule 2): the chunked-
+    # --- 19-25: round-11 NEW operators (rule 1, second wave): DSIR
+    # importance resampling, FFT spectrogram, tokenizer fertility,
+    # embedding-space decontamination, data-constrained epoch
+    # allocation, perceptual image dHash + banded near-dup pairs ---
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
+    "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
+    "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
+    # --- 26-29: round-11 operator changes (rule 2): the chunked-
     # offsets canonical-key fix (intervals), column_mi's dead-agg
     # removal, and the numpy decoder rewrite under the WAV/BMP gates ---
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "column_mi": (q_column_mi, SQL_COLUMN_MI),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
-    # --- 23-36: the r5-green entries whose rule-3 staleness bound
+    # --- 30-43: the r5-green entries whose rule-3 staleness bound
     # lands at round 11 ---
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
@@ -7107,9 +7454,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- 37-50: the stalest r7-green rows (alphabetical head; the
-    # remaining r7 entries sit first below the cutoff and lead round
-    # 12) ---
+    # --- 44-50: the stalest r7-green rows (alphabetical head; the
+    # remaining r7 entries — including the seven displaced by the
+    # second-wave additions — sit first below the cutoff and lead
+    # round 12) ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -7117,6 +7465,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    # --- below the driver window. The seven r7 rows the second-wave
+    # additions displaced lead round 12, then the remaining r7-green
+    # entries (stalest), then r9-green, then the r10-green block (the
+    # freshest rows, refreshed last) ---
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
     "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
@@ -7124,9 +7476,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
-    # --- below the driver window. Remaining r7-green entries first
-    # (stalest; they lead round 12), then r9-green, then the r10-green
-    # block (the freshest rows, refreshed last) ---
     "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
     "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),

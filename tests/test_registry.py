@@ -95,6 +95,10 @@ def test_round11_window_holds_stale_debt_and_additions():
         "split_sentences", "sentence_dedup", "dp_noisy_counts",
         "token_js_divergence", "ngram_diversity", "schema_diff",
         "curation_funnel", "multimodal_decode_png",
+        # second wave: new operators built after the rotation was laid
+        "dsir_select", "multimodal_spectrogram",
+        "tokenizer_fertility", "semantic_decontam",
+        "epoch_allocation", "image_dhash", "dhash_near_dup",
     }
     r11_changed = {
         "service_concurrency", "column_mi", "multimodal_decode_audio",
