@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "epoch_allocation",
     "image_dhash",
     "dhash_near_dup",
+    "audio_envelope_hash",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

@@ -183,6 +183,10 @@ def semantic_decontam(
     bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
     M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # pre-sort by bench id ONCE so the per-batch argmax's first-max
+    # tiebreak lands on the smallest id with no per-batch sort
+    order = np.argsort(bench_ids, kind="stable")
+    bench_ids, M = bench_ids[order], M[order]
 
     def _best(v):  # pd.Series[array<float>] -> pd.DataFrame[bench_id, sim]
         mat = np.array(
@@ -190,16 +194,12 @@ def semantic_decontam(
         )
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         sims = np.round((mat / norms) @ M.T, 6)
-        # smallest-bench-id argmax over the ROUNDED sims: scan columns
-        # in bench-id order and keep the first strict improvement
-        order = np.argsort(bench_ids, kind="stable")
-        s_ord = sims[:, order]
-        best_pos = np.argmax(s_ord, axis=1)  # first max in id order
+        best_pos = np.argmax(sims, axis=1)  # first max == smallest id
         rows_ix = np.arange(len(mat))
         return pd.DataFrame(
             {
-                "bench_id": bench_ids[order][best_pos],
-                "sim": s_ord[rows_ix, best_pos],
+                "bench_id": bench_ids[best_pos],
+                "sim": sims[rows_ix, best_pos],
             }
         )
 

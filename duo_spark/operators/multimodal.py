@@ -758,6 +758,68 @@ def dhash_near_dup(
     )
 
 
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("envhash", T.StringType(), False),
+    ]
+)
+
+
+def audio_envelope_hash(media: DataFrame, *, frame: int = 16) -> DataFrame:
+    """Audio energy-envelope fingerprint over REAL WAV decoding (round
+    11): the time-domain sibling of :func:`image_dhash` — split the
+    (mono-mixed) PCM stream into ``frame``-sample windows, take each
+    window's exact integer energy ``Σ s²``, and emit one bit per
+    adjacent window pair (1 = earlier window louder). Loudness-scale
+    and codec-requantization robust the way envelope matching is;
+    ``groupBy(envhash)`` (optionally with :func:`dhash_near_dup`'s
+    banding for fixed-length corpora) is the duplicate-audio pass.
+
+    Exactness contract: energies are int64 sums of int64 squares;
+    the final (possibly short) window compares by cross-multiplied
+    mean energy ``e_l·n_r > e_r·n_l`` — no float anywhere, so an SQL
+    oracle replays the bit string sample-by-sample. One mapInPandas
+    pass, no shuffle.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        rows = []
+        for pdf in batches:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                with wave.open(io.BytesIO(content), "rb") as w:
+                    nch = w.getnchannels()
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only PCM16 wav supported")
+                    raw = w.readframes(w.getnframes())
+                n = len(raw) // 2
+                s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
+                if nch > 1:
+                    s = s[: (n // nch) * nch].reshape(-1, nch).sum(axis=1)
+                sq = s * s
+                m = (len(s) + frame - 1) // frame
+                bounds = np.arange(m) * frame
+                e = np.add.reduceat(sq, bounds) if len(s) else np.array([])
+                c = np.diff(np.append(bounds, len(s)))
+                bits = (e[:-1] * c[1:] > e[1:] * c[:-1]) if m > 1 else []
+                rows.append(
+                    (mid, int(m),
+                     "".join("1" if b else "0" for b in bits))
+                )
+        yield pd.DataFrame(rows, columns=["media_id", "n_frames", "envhash"])
+
+    return media.select("media_id", "content").mapInPandas(
+        run, ENVELOPE_SCHEMA
+    )
+
+
 SPECTRUM_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

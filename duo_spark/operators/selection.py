@@ -59,7 +59,7 @@ def _hash_bucket(gram: Column, buckets: int) -> Column:
     return bits % F.lit(buckets)
 
 
-def hashed_grams(df: DataFrame, text_col: str = "text", *,
+def hashed_grams(text_col: str = "text", *,
                  bigrams: bool = True) -> Column:
     """Array column of the document's word unigrams (+ bigrams):
     whitespace tokens (empty tokens dropped, so blank documents
@@ -83,7 +83,7 @@ def hashed_bucket_counts(df: DataFrame, text_col: str = "text", *,
     sufficient statistic of the bag-of-buckets model. One explode +
     one map-side-combined aggregate; at most ``buckets`` rows out."""
     g = df.select(
-        F.explode(hashed_grams(df, text_col, bigrams=bigrams)).alias("gram")
+        F.explode(hashed_grams(text_col, bigrams=bigrams)).alias("gram")
     )
     return (
         g.select(_hash_bucket(F.col("gram"), buckets).alias("bucket"))
@@ -150,7 +150,7 @@ def dsir_scores(
     )
     exploded = raw.select(
         F.col(id_col),
-        F.explode_outer(hashed_grams(raw, text_col, bigrams=bigrams)).alias("gram"),
+        F.explode_outer(hashed_grams(text_col, bigrams=bigrams)).alias("gram"),
     ).select(
         id_col,
         F.when(F.col("gram").isNotNull(),

@@ -7393,6 +7393,52 @@ FROM pairs WHERE hamming <= 1
 """
 
 
+def q_audio_envelope_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-envelope fingerprint (operators/multimodal.py
+    audio_envelope_hash, round 11): per doc_id the synth_wav PCM16
+    container decodes to its closed-form sample stream, and 16-sample
+    window energies Σs² yield one louder-than-next bit per adjacent
+    window — all int64 arithmetic, replayed sample-by-sample by the
+    oracle. The duplicate-audio pass is groupBy(envhash)."""
+    from duo_spark.operators.multimodal import (
+        audio_envelope_hash,
+        synth_wav,
+    )
+
+    def _wav(doc_id):
+        return doc_id.map(lambda d: synth_wav(int(d)))
+
+    wav_udf = F.pandas_udf(_wav, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", wav_udf("media_id").alias("content"))
+    return audio_envelope_hash(media, frame=16)
+
+
+SQL_AUDIO_ENVELOPE_HASH = """
+WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+idx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+s AS (
+  SELECT doc_id, n, i,
+         (doc_id * 7919 + i * 104729) % 65536 - 32768 AS sv
+  FROM idx),
+fr AS (
+  SELECT doc_id, i // 16 AS j,
+         sum(CAST(sv AS BIGINT) * sv) AS e, count(*) AS c
+  FROM s GROUP BY 1, 2),
+bits AS (
+  SELECT a.doc_id, a.j,
+         CASE WHEN a.e * b.c > b.e * a.c THEN '1' ELSE '0' END AS bit
+  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+agg AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS envhash
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id AS media_id,
+       CAST((n + 15) // 16 AS INT) AS n_frames,
+       coalesce(agg.envhash, '') AS envhash
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
     # --- ROUND-11 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
@@ -7420,10 +7466,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    # --- 19-25: round-11 NEW operators (rule 1, second wave): DSIR
+    # --- 19-26: round-11 NEW operators (rule 1, second wave): DSIR
     # importance resampling, FFT spectrogram, tokenizer fertility,
     # embedding-space decontamination, data-constrained epoch
-    # allocation, perceptual image dHash + banded near-dup pairs ---
+    # allocation, perceptual image dHash + banded near-dup pairs,
+    # audio envelope fingerprint ---
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
@@ -7431,14 +7478,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
-    # --- 26-29: round-11 operator changes (rule 2): the chunked-
+    "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),
+    # --- 27-30: round-11 operator changes (rule 2): the chunked-
     # offsets canonical-key fix (intervals), column_mi's dead-agg
     # removal, and the numpy decoder rewrite under the WAV/BMP gates ---
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "column_mi": (q_column_mi, SQL_COLUMN_MI),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
-    # --- 30-43: the r5-green entries whose rule-3 staleness bound
+    # --- 31-44: the r5-green entries whose rule-3 staleness bound
     # lands at round 11 ---
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
@@ -7454,8 +7502,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- 44-50: the stalest r7-green rows (alphabetical head; the
-    # remaining r7 entries — including the seven displaced by the
+    # --- 45-50: the stalest r7-green rows (alphabetical head; the
+    # remaining r7 entries — including the eight displaced by the
     # second-wave additions — sit first below the cutoff and lead
     # round 12) ---
     "decontam": (q_decontam, SQL_DECONTAM),
@@ -7464,11 +7512,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    # --- below the driver window. The seven r7 rows the second-wave
+    # --- below the driver window. The eight r7 rows the second-wave
     # additions displaced lead round 12, then the remaining r7-green
     # entries (stalest), then r9-green, then the r10-green block (the
     # freshest rows, refreshed last) ---
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
     "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),

@@ -363,3 +363,35 @@ def test_dhash_near_dup_banding_is_exhaustive(spark):
         for r in dhash_near_dup(df, max_hamming=2, bands=3).collect()
     }
     assert got2 == want
+
+
+def test_audio_envelope_hash_bits_and_edges(spark):
+    import io
+    import struct
+    import wave
+
+    from duo_spark.operators.multimodal import audio_envelope_hash
+
+    def wav(samples, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return bytearray(buf.getvalue())
+
+    # bit = 1 iff the EARLIER window is louder (mean energy,
+    # cross-multiplied). Rising envelope (100->200->short [300],
+    # whose mean 300^2 beats 200^2) -> "00"; falling -> "11".
+    s = [100] * 4 + [200] * 4 + [300]
+    t = [500] * 4 + [100] * 4 + [50]
+    media = spark.createDataFrame(
+        [(1, wav(s)), (2, wav(t)), (3, wav([7]))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in
+           audio_envelope_hash(media, frame=4).collect()}
+    assert (out[1].n_frames, out[1].envhash) == (3, "00")
+    assert (out[2].n_frames, out[2].envhash) == (3, "11")
+    assert (out[3].n_frames, out[3].envhash) == (1, "")
