@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "image_dhash",
     "dhash_near_dup",
     "audio_envelope_hash",
+    "margin_mine",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

@@ -654,7 +654,10 @@ def image_dhash(media: DataFrame, *, grid_w: int = 9,
                         f"image {w}x{h} smaller than dhash grid "
                         f"{grid_w}x{grid_h}"
                     )
-                luma = px.astype(np.int64).sum(axis=2)
+                # sum with an int64 accumulator directly on the uint8
+                # view — astype-then-sum copies 8x the bytes first
+                # (measured 4x slower at 1 MP)
+                luma = px.sum(axis=2, dtype=np.int64)
                 xb = np.searchsorted(np.arange(w) * grid_w // w,
                                      np.arange(grid_w))
                 yb = np.searchsorted(np.arange(h) * grid_h // h,
@@ -724,16 +727,21 @@ def dhash_near_dup(
     segs = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
-            F.substring(F.col(hash_col), bounds[i] + 1,
+            F.substring(F.col("_h"), bounds[i] + 1,
                         bounds[i + 1] - bounds[i]).alias("val"),
         )
         for i in range(bands)
     ])
-    posted = hashes.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
-        F.explode(segs).alias("_s"),
-    ).select("_id", "_h", F.col("_s.band").alias("_band"),
-             F.col("_s.val").alias("_val"))
+    # the self-join below duplicates the upstream plan on both sides —
+    # if `hashes` is an expensive derivation (a real decode pass), it
+    # would run twice; checkpoint the tiny (id, hash) projection once
+    posted = (
+        hashes.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+        .localCheckpoint(eager=False)
+        .select("_id", "_h", F.explode(segs).alias("_s"))
+        .select("_id", "_h", F.col("_s.band").alias("_band"),
+                F.col("_s.val").alias("_val"))
+    )
     a, b = posted.alias("a"), posted.alias("b")
     cand = (
         a.join(b, ["_band", "_val"])

@@ -1119,3 +1119,140 @@ def hard_negatives_lsh(
         F.spark_partition_id().alias("_pid"),
     )
     return _topk_two_phase(scored, k, id_col, anchor_id_col)
+
+
+def margin_mine(
+    corpus: DataFrame,
+    pool: DataFrame,
+    *,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_id_col: str | None = None,
+    max_pool: int = 200_000,
+) -> DataFrame:
+    """Margin-based nearest-neighbor mining (Artetxe & Schwenk 2019 —
+    the CCMatrix/LASER bitext-mining criterion): pair each corpus
+    vector x with its best pool vector y and keep the pair if the
+    RATIO margin clears ``threshold``::
+
+        margin(x, y) = cos(x, y) /
+                       ((fwd_k(x) + bwd_k(y)) / 2)
+
+    where ``fwd_k(x)`` is the mean cosine of x's k nearest pool
+    vectors and ``bwd_k(y)`` the mean cosine of y's k nearest corpus
+    vectors. Absolute-cosine thresholds over-fire on hubs (vectors
+    close to everything); the margin normalizes by both sides' local
+    neighborhood density, which is why the published pipelines mine
+    with it.
+
+    Scale shape (pool small — the "target language" / query side —
+    corpus unbounded):
+    - forward: pool collects to ONE normalized matrix (``max_pool``
+      guard, as in decontam.semantic_decontam); every corpus batch
+      computes its top-k + mean in a single Arrow matmul — NO shuffle.
+    - backward: the same broadcast crossed the other way, reduced with
+      the two-phase partial top-k (``_topk_two_phase``) — shuffle is
+      O(|pool| · k · partitions), never the n·|pool| scored rows.
+    - the final margin is one broadcast join of corpus rows to the
+      |pool|-row backward-mean table.
+
+    Determinism contract: similarities quantize to integer
+    MICRO-COSINES (round(cos·10⁶), ties to the smaller id) before any
+    selection, and both neighborhood means stay exact integer sums
+    until one final double division — means of 6-decimal values land
+    exactly ON .5e-6 rounding boundaries (where numpy's banker
+    rounding and SQL's half-away rounding disagree), so the integer
+    form is the only shape a brute-force SQL oracle replays
+    bit-exactly. Returns
+    ``(id_col, pool_id, cos, fwd_mean, bwd_mean, margin)`` for pairs
+    with ``margin >= threshold``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pid = pool_id_col or id_col
+    rows = pool.select(pid, vec_col).limit(max_pool + 1).collect()
+    if len(rows) > max_pool:
+        raise ValueError(f"pool exceeds max_pool={max_pool}")
+    if not rows:
+        raise ValueError("pool is empty")
+    pool_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(pool_ids, kind="stable")
+    pool_ids, M = pool_ids[order], M[order]
+    kk = min(k, len(pool_ids))
+
+    def _fwd(v):  # per corpus row: best pool id, micro-cos, top-k sum
+        mat = np.array(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ M.T
+        # half-away-from-zero micro-quantization (matches SQL round;
+        # raw matmul cosines never sit on exact .5e-6 boundaries)
+        micro = np.where(
+            sims >= 0,
+            np.floor(sims * 1e6 + 0.5),
+            -np.floor(-sims * 1e6 + 0.5),
+        ).astype(np.int64)
+        # ids ascend left-to-right, so a stable sort on (-micro)
+        # keeps the smaller id first among ties
+        idx = np.argsort(-micro, axis=1, kind="stable")[:, :kk]
+        rows_ix = np.arange(len(mat))[:, None]
+        top = micro[rows_ix, idx]
+        return pd.DataFrame(
+            {
+                "pool_id": pool_ids[idx[:, 0]],
+                "cos_u": top[:, 0],
+                "fwd_sum": top.sum(axis=1),
+            }
+        )
+
+    fwd = pandas_udf(_fwd, "pool_id: long, cos_u: long, fwd_sum: long")(
+        F.col(vec_col)
+    )
+    forward = corpus.select(F.col(id_col), fwd.alias("_f")).select(
+        id_col,
+        F.col("_f.pool_id").alias("pool_id"),
+        F.col("_f.cos_u").alias("_cos_u"),
+        F.col("_f.fwd_sum").alias("_fwd_sum"),
+    )
+    # backward: micro-cosines through the shared two-phase top-k
+    queries = pool.select(
+        F.col(pid).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(queries)).select(
+        F.col("_qid"),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")) * F.lit(1e6))
+        .cast("long")
+        .alias("cosine"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    bwd = (
+        _topk_two_phase(scored, k, id_col, "_qid")
+        .groupBy("_qid")
+        .agg(F.sum("cosine").alias("_bwd_sum"),
+             F.count(F.lit(1)).alias("_bwd_n"))
+        .withColumnRenamed("_qid", "pool_id")
+    )
+    joined = forward.join(F.broadcast(bwd), "pool_id")
+    cos_d = F.col("_cos_u") / F.lit(1e6)
+    fwd_mean = F.col("_fwd_sum") / F.lit(float(kk) * 1e6)
+    bwd_mean = F.col("_bwd_sum") / (F.col("_bwd_n") * F.lit(1e6))
+    margin = F.round(cos_d / ((fwd_mean + bwd_mean) / 2), 6)
+    return (
+        joined.select(
+            id_col,
+            "pool_id",
+            cos_d.alias("cos"),
+            fwd_mean.alias("fwd_mean"),
+            bwd_mean.alias("bwd_mean"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= F.lit(threshold))
+    )

@@ -7439,6 +7439,71 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based nearest-neighbor mining (operators/similarity.py
+    margin_mine, Artetxe & Schwenk 2019): pair each label≠0 vector
+    with its best label=0 pool vector and keep pairs whose ratio
+    margin — cos over the mean of both sides' k=4 neighborhood
+    cosines — clears 1.2. Forward pass is a per-batch Arrow matmul
+    (no shuffle); backward is the shared two-phase top-k; the oracle
+    brute-forces both directions with window functions."""
+    from duo_spark.operators.similarity import margin_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") != 0)
+    pool = emb.filter(F.col("label") == 0)
+    return margin_mine(corpus, pool, k=4, threshold=1.2)
+
+
+SQL_MARGIN_MINE = """
+WITH pool AS (
+  SELECT vec_id AS pool_id, embedding FROM embeddings WHERE label = 0),
+corp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+sims AS (
+  SELECT c.vec_id, p.pool_id,
+         CAST(round(
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(c.embedding[i] AS DOUBLE) * p.embedding[i]))
+           / (sqrt(list_sum(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(p.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))) * 1000000) AS BIGINT) AS su
+  FROM corp c CROSS JOIN pool p),
+fwd AS (
+  SELECT vec_id, pool_id, su,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY su DESC, pool_id) AS rn
+  FROM sims),
+fstat AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN pool_id END) AS pool_id,
+         max(CASE WHEN rn = 1 THEN su END) AS cos_u,
+         CAST(sum(su) FILTER (rn <= 4) AS BIGINT) AS fwd_sum
+  FROM fwd GROUP BY vec_id),
+bwdr AS (
+  SELECT pool_id, su, vec_id,
+         row_number() OVER (PARTITION BY pool_id
+                            ORDER BY su DESC, vec_id) AS rn
+  FROM sims),
+bstat AS (
+  SELECT pool_id,
+         CAST(sum(su) FILTER (rn <= 4) AS BIGINT) AS bwd_sum,
+         CAST(count(*) FILTER (rn <= 4) AS BIGINT) AS bwd_n
+  FROM bwdr GROUP BY pool_id),
+m AS (
+  SELECT f.vec_id, f.pool_id,
+         f.cos_u / 1000000.0 AS cos,
+         f.fwd_sum / 4000000.0 AS fwd_mean,
+         b.bwd_sum / (b.bwd_n * 1000000.0) AS bwd_mean
+  FROM fstat f JOIN bstat b USING (pool_id))
+SELECT vec_id, pool_id, cos, fwd_mean, bwd_mean,
+       round(cos / ((fwd_mean + bwd_mean) / 2), 6) AS margin
+FROM m
+WHERE round(cos / ((fwd_mean + bwd_mean) / 2), 6) >= 1.2
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
     # --- ROUND-11 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
@@ -7466,11 +7531,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    # --- 19-26: round-11 NEW operators (rule 1, second wave): DSIR
+    # --- 19-27: round-11 NEW operators (rule 1, second wave): DSIR
     # importance resampling, FFT spectrogram, tokenizer fertility,
     # embedding-space decontamination, data-constrained epoch
     # allocation, perceptual image dHash + banded near-dup pairs,
-    # audio envelope fingerprint ---
+    # audio envelope fingerprint, margin-based NN mining ---
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
@@ -7479,14 +7544,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
     "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),
-    # --- 27-30: round-11 operator changes (rule 2): the chunked-
+    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
+    # --- 28-31: round-11 operator changes (rule 2): the chunked-
     # offsets canonical-key fix (intervals), column_mi's dead-agg
     # removal, and the numpy decoder rewrite under the WAV/BMP gates ---
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "column_mi": (q_column_mi, SQL_COLUMN_MI),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
-    # --- 31-44: the r5-green entries whose rule-3 staleness bound
+    # --- 32-45: the r5-green entries whose rule-3 staleness bound
     # lands at round 11 ---
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
@@ -7502,8 +7568,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- 45-50: the stalest r7-green rows (alphabetical head; the
-    # remaining r7 entries — including the eight displaced by the
+    # --- 46-50: the stalest r7-green rows (alphabetical head; the
+    # remaining r7 entries — including the nine displaced by the
     # second-wave additions — sit first below the cutoff and lead
     # round 12) ---
     "decontam": (q_decontam, SQL_DECONTAM),
@@ -7511,11 +7577,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
-    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
-    # --- below the driver window. The eight r7 rows the second-wave
+    # --- below the driver window. The nine r7 rows the second-wave
     # additions displaced lead round 12, then the remaining r7-green
     # entries (stalest), then r9-green, then the r10-green block (the
     # freshest rows, refreshed last) ---
+    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),

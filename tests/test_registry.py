@@ -99,7 +99,7 @@ def test_round11_window_holds_stale_debt_and_additions():
         "dsir_select", "multimodal_spectrogram",
         "tokenizer_fertility", "semantic_decontam",
         "epoch_allocation", "image_dhash", "dhash_near_dup",
-        "audio_envelope_hash",
+        "audio_envelope_hash", "margin_mine",
     }
     r11_changed = {
         "service_concurrency", "column_mi", "multimodal_decode_audio",

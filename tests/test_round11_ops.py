@@ -395,3 +395,50 @@ def test_audio_envelope_hash_bits_and_edges(spark):
     assert (out[1].n_frames, out[1].envhash) == (3, "00")
     assert (out[2].n_frames, out[2].envhash) == (3, "11")
     assert (out[3].n_frames, out[3].envhash) == (1, "")
+
+
+def test_margin_mine_normalizes_hubs(spark):
+    import pytest
+
+    from duo_spark.operators.similarity import margin_mine
+
+    # pool: three near-identical "hub"-direction vectors (so a hub
+    # lover's k=2 forward neighborhood is ALL high cosines) plus one
+    # direction with a unique tight match
+    pool = spark.createDataFrame(
+        [
+            (20, [1.0, 0.01, 0.0, 0.0]),
+            (21, [1.0, -0.01, 0.0, 0.0]),
+            (22, [1.0, 0.0, 0.01, 0.0]),
+            (40, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # hub orbiters: best cos ~0.999 but the neighborhood mean
+            # is also ~0.999 on both sides -> margin ~1, none mined
+            (1, [1.0, 0.05, 0.0, 0.0]),
+            (2, [1.0, -0.05, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.05, 0.0]),
+            # the unique tight pair with y40: cos 1.0 far above both
+            # neighborhoods -> big margin
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in
+           margin_mine(corpus, pool, k=2, threshold=1.2).collect()}
+    assert set(out) == {4}
+    assert out[4].pool_id == 40 and out[4].cos == 1.0
+    assert out[4].margin > 1.2
+    # absolute-cosine mining at the same bar WOULD have taken the hub
+    # copies too (cos ~0.999); the margin is what filtered them
+    low = {r.vec_id: r for r in
+           margin_mine(corpus, pool, k=2, threshold=0.0).collect()}
+    assert low[1].cos > 0.99 and low[1].margin < 1.1
+
+    with pytest.raises(ValueError, match="pool is empty"):
+        margin_mine(corpus, pool.filter("vec_id < 0"), k=2)
+    with pytest.raises(ValueError, match="max_pool"):
+        margin_mine(corpus, pool, k=2, max_pool=1)
