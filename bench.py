@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "dhash_near_dup",
     "audio_envelope_hash",
     "margin_mine",
+    "ccnet_buckets",
+    "epoch_repeats",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to

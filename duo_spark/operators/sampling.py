@@ -360,3 +360,51 @@ def epoch_allocation(
         F.round(alloc, 6).alias("alloc"),
         F.round(alloc / F.col("_n"), 6).alias("epochs"),
     )
+
+
+def epoch_repeats(
+    df: DataFrame,
+    strata_col: str = "source",
+    token_col: str | None = None,
+    *,
+    budget: float,
+    max_epochs: float = 4.0,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize :func:`epoch_allocation` into per-document repeat
+    counts — the step that turns the mixture PLAN into a training
+    manifest: every document repeats ``floor(epochs_s)`` times, plus
+    one more with probability ``frac(epochs_s)`` (stochastic rounding
+    on an md5 uniform keyed by document id), so each source's
+    expected token total matches its allocation exactly while no
+    document repeats more than ⌈max_epochs⌉ times.
+
+    The uniforms are md5-derived from (id, seed) — replay/test mode,
+    same contract as validate.dp_noisy_counts; draw ``seed`` fresh in
+    production. One broadcast join of the |sources|-row plan onto the
+    corpus; no shuffle of the corpus itself.
+
+    Returns ``(id_col, strata_col, epochs, repeats)``.
+    """
+    plan = epoch_allocation(
+        df, strata_col, token_col,
+        budget=budget, max_epochs=max_epochs, alpha=alpha,
+    ).select(F.col("stratum").alias(strata_col), "epochs")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                  F.lit(str(seed)), F.lit("repeat"))),
+                1, 13),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    base = F.floor(F.col("epochs")).cast("long")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    repeats = base + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(strata_col)).join(
+        F.broadcast(plan), strata_col
+    ).select(id_col, strata_col, "epochs", repeats.alias("repeats"))

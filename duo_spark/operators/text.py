@@ -1250,3 +1250,51 @@ def tokenizer_fertility(
         F.round(F.col("n_chars") / F.col("n_subwords"), 6).alias("chars_per_subword"),
         F.round(F.col("n_bytes") / F.col("n_subwords"), 6).alias("bytes_per_subword"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020):
+    score every document with the corpus-trained bigram LM
+    (:func:`bigram_lm_score`) and bucket it against its OWN language
+    slice's score terciles — "head" (lowest perplexity) is the
+    third CCNet keeps for LM pretraining, "tail" the third it drops.
+    Per-language thresholds matter: absolute cutoffs starve whichever
+    language the LM models worst.
+
+    Scale shape: thresholds are ONE percentile aggregate per language
+    (a proper aggregate — never an ntile window, whose per-language
+    sort partition is the 1e9-row anti-pattern), broadcast back as a
+    |languages|-row table. Scores and thresholds are both rounded to
+    6 decimals before comparison so an SQL oracle buckets
+    identically. Documents with fewer than 2 tokens can't be scored
+    and land in an explicit 'unscored' bucket.
+
+    Returns ``(id_col, lang_col, bigram_lm, bucket)``.
+    """
+    scores = bigram_lm_score(df, id_col, text_col, alpha).select(
+        id_col, "bigram_lm"
+    )
+    scored = df.select(id_col, lang_col).join(scores, id_col, "left")
+    th = (
+        scored.filter(F.col("bigram_lm").isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            F.round(F.percentile("bigram_lm", F.lit(1.0 / 3)), 6).alias("_t1"),
+            F.round(F.percentile("bigram_lm", F.lit(2.0 / 3)), 6).alias("_t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("bigram_lm").isNull(), F.lit("unscored"))
+        .when(F.col("bigram_lm") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("bigram_lm") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(th), lang_col, "left").select(
+        id_col, lang_col, "bigram_lm", bucket.alias("bucket")
+    )

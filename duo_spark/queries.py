@@ -7504,6 +7504,103 @@ WHERE round(cos / ((fwd_mean + bwd_mean) / 2), 6) >= 1.2
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (operators/text.py
+    ccnet_buckets, Wenzek 2020): every document bucketed against its
+    OWN language slice's bigram-LM score terciles. Thresholds are one
+    percentile aggregate per language broadcast back — never an
+    ntile window over the corpus."""
+    docs = _docs(spark, sf_dir)
+    return text.ccnet_buckets(docs, "doc_id", "text", "lang", alpha=0.5)
+
+
+SQL_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+uni AS (
+  SELECT t AS w1, CAST(count(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) u(i)
+  WHERE len(ts) >= 2),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM pairs GROUP BY 1, 2),
+sc AS (
+  SELECT p.doc_id,
+         round(avg(ln((u.c1 + 0.5 * v.v) / (b.c2 + 0.5))), 6) AS bigram_lm
+  FROM pairs p
+  JOIN bi b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v
+  GROUP BY p.doc_id),
+d2 AS (
+  SELECT d.doc_id, d.lang, sc.bigram_lm
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+th AS (
+  SELECT lang,
+         round(quantile_cont(bigram_lm, 1.0 / 3), 6) AS t1,
+         round(quantile_cont(bigram_lm, 2.0 / 3), 6) AS t2
+  FROM d2 WHERE bigram_lm IS NOT NULL GROUP BY lang)
+SELECT d2.doc_id, d2.lang, d2.bigram_lm,
+       CASE WHEN d2.bigram_lm IS NULL THEN 'unscored'
+            WHEN d2.bigram_lm <= th.t1 THEN 'head'
+            WHEN d2.bigram_lm <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d2 LEFT JOIN th USING (lang)
+"""
+
+
+def q_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeat manifest (operators/sampling.py
+    epoch_repeats): the epoch_allocation plan materialized —
+    floor(epochs) repeats plus one more on an md5-uniform stochastic
+    round, so expected totals match the allocation exactly. One
+    |sources|-row broadcast join onto the corpus. Seeded uniforms are
+    REPLAY MODE."""
+    from duo_spark.operators.sampling import epoch_repeats
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_repeats(docs, "source", None,
+                         budget=600, max_epochs=2.0, alpha=0.5, seed=42)
+
+
+SQL_EPOCH_REPEATS = """
+WITH per AS (
+  SELECT source AS stratum, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1),
+base AS (
+  SELECT stratum, n, pow(n, 0.5) AS w, n * 2.0 AS cap FROM per),
+r AS (
+  SELECT *,
+         sum(cap) OVER (ORDER BY cap / w, stratum) - cap AS cap_before,
+         sum(w) OVER (ORDER BY cap / w, stratum
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS w_from_here
+  FROM base),
+l AS (
+  SELECT *, (600 - cap_before) / w_from_here AS lam_here,
+         (600 - cap_before) / w_from_here <= cap / w AS unc
+  FROM r),
+star AS (
+  SELECT lam_here AS lam FROM l WHERE unc
+  ORDER BY cap / w, stratum LIMIT 1),
+plan AS (
+  SELECT stratum,
+         round(CASE WHEN unc THEN least((SELECT lam FROM star) * w, cap)
+                    ELSE cap END / n, 6) AS epochs
+  FROM l)
+SELECT d.doc_id, d.source, p.epochs,
+       CAST(floor(p.epochs)
+            + CASE WHEN (('0x' || substr(md5(d.doc_id || '|42|repeat'),
+                                         1, 13))::BIGINT + 0.5)
+                        / 4503599627370496.0
+                        < p.epochs - floor(p.epochs)
+                   THEN 1 ELSE 0 END AS BIGINT) AS repeats
+FROM documents d JOIN plan p ON p.stratum = d.source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
     # --- ROUND-11 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
@@ -7531,11 +7628,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    # --- 19-27: round-11 NEW operators (rule 1, second wave): DSIR
+    # --- 19-29: round-11 NEW operators (rule 1, second wave): DSIR
     # importance resampling, FFT spectrogram, tokenizer fertility,
     # embedding-space decontamination, data-constrained epoch
-    # allocation, perceptual image dHash + banded near-dup pairs,
-    # audio envelope fingerprint, margin-based NN mining ---
+    # allocation + per-doc repeat manifest, perceptual image dHash +
+    # banded near-dup pairs, audio envelope fingerprint, margin-based
+    # NN mining, CCNet perplexity buckets ---
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
@@ -7545,14 +7643,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
     "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),
     "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
-    # --- 28-31: round-11 operator changes (rule 2): the chunked-
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "epoch_repeats": (q_epoch_repeats, SQL_EPOCH_REPEATS),
+    # --- 30-33: round-11 operator changes (rule 2): the chunked-
     # offsets canonical-key fix (intervals), column_mi's dead-agg
     # removal, and the numpy decoder rewrite under the WAV/BMP gates ---
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "column_mi": (q_column_mi, SQL_COLUMN_MI),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
-    # --- 32-45: the r5-green entries whose rule-3 staleness bound
+    # --- 34-47: the r5-green entries whose rule-3 staleness bound
     # lands at round 11 ---
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
@@ -7568,19 +7668,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- 46-50: the stalest r7-green rows (alphabetical head; the
-    # remaining r7 entries — including the nine displaced by the
+    # --- 48-50: the stalest r7-green rows (alphabetical head; the
+    # remaining r7 entries — including the eleven displaced by the
     # second-wave additions — sit first below the cutoff and lead
     # round 12) ---
     "decontam": (q_decontam, SQL_DECONTAM),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
-    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
-    # --- below the driver window. The nine r7 rows the second-wave
+    # --- below the driver window. The eleven r7 rows the second-wave
     # additions displaced lead round 12, then the remaining r7-green
     # entries (stalest), then r9-green, then the r10-green block (the
     # freshest rows, refreshed last) ---
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),

@@ -100,6 +100,7 @@ def test_round11_window_holds_stale_debt_and_additions():
         "tokenizer_fertility", "semantic_decontam",
         "epoch_allocation", "image_dhash", "dhash_near_dup",
         "audio_envelope_hash", "margin_mine",
+        "ccnet_buckets", "epoch_repeats",
     }
     r11_changed = {
         "service_concurrency", "column_mi", "multimodal_decode_audio",

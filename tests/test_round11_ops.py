@@ -442,3 +442,58 @@ def test_margin_mine_normalizes_hubs(spark):
         margin_mine(corpus, pool.filter("vec_id < 0"), k=2)
     with pytest.raises(ValueError, match="max_pool"):
         margin_mine(corpus, pool, k=2, max_pool=1)
+
+
+def test_ccnet_buckets_per_language_terciles(spark):
+    from duo_spark.operators.text import ccnet_buckets
+
+    # lang A: three docs with clearly ordered perplexity (repeated
+    # common bigrams vs rare ones); lang B: one unscorable doc
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x y x y x y x y"),        # common bigrams -> low ppl
+            (2, "a", "x y x y q r x y"),        # mixed
+            (3, "a", "q r s t u v w z"),        # all-rare -> high ppl
+            (4, "b", "solo"),                   # <2 tokens -> unscored
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r for r in ccnet_buckets(docs).collect()}
+    assert out[1].bucket == "head"
+    assert out[2].bucket == "middle"
+    assert out[3].bucket == "tail"
+    assert out[4].bucket == "unscored" and out[4].bigram_lm is None
+    assert out[1].bigram_lm < out[2].bigram_lm < out[3].bigram_lm
+
+
+def test_epoch_repeats_matches_plan_in_expectation(spark):
+    from duo_spark.operators.sampling import epoch_allocation, epoch_repeats
+
+    rows = [(i, "big" if i < 200 else "small") for i in range(220)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {r.stratum: r for r in epoch_allocation(
+        df, "source", None, budget=300, max_epochs=2.0, alpha=0.0
+    ).collect()}
+    out = epoch_repeats(df, "source", None, budget=300, max_epochs=2.0,
+                        alpha=0.0, seed=42).collect()
+    assert len(out) == 220
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.repeats)
+        # a doc never repeats beyond ceil(epochs)
+        assert r.repeats in (
+            int(plan[r.source].epochs // 1),
+            int(plan[r.source].epochs // 1) + 1,
+        )
+    # small source (20 docs) caps at 2 epochs -> every doc exactly 2
+    assert set(by_src["small"]) == {2}
+    # big source: uniform budget 150 over 200 docs -> epochs 0.75;
+    # realized total within binomial noise of the plan's allocation
+    total_big = sum(by_src["big"])
+    assert abs(total_big - plan["big"].alloc) < 30
+    # deterministic under the same seed
+    again = epoch_repeats(df, "source", None, budget=300, max_epochs=2.0,
+                          alpha=0.0, seed=42).collect()
+    assert sorted((r.doc_id, r.repeats) for r in again) == sorted(
+        (r.doc_id, r.repeats) for r in out
+    )
