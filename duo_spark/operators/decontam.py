@@ -182,7 +182,18 @@ def semantic_decontam(
         raise ValueError("benchmark is empty")
     bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bnorm = np.linalg.norm(M, axis=1, keepdims=True)
+    # fail LOUD on a degenerate benchmark vector: a zero-norm (or NaN)
+    # row would turn its sims column NaN, np.argmax would pick the NaN
+    # column for EVERY corpus row, and the sweep would silently report
+    # zero contamination — the worst possible failure mode here
+    bad = ~np.isfinite(bnorm.ravel()) | (bnorm.ravel() == 0)
+    if bad.any():
+        raise ValueError(
+            f"benchmark rows with zero/NaN embeddings: "
+            f"{bench_ids[bad][:5].tolist()}"
+        )
+    M = M / bnorm
     # pre-sort by bench id ONCE so the per-batch argmax's first-max
     # tiebreak lands on the smallest id with no per-batch sort
     order = np.argsort(bench_ids, kind="stable")
@@ -193,7 +204,18 @@ def semantic_decontam(
             [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
         )
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.round((mat / norms) @ M.T, 6)
+        # a zero-norm CORPUS row is just unflaggable: score it 0
+        # against everything instead of poisoning the argmax with NaN
+        safe = np.where(norms == 0, 1.0, norms)
+        raw_sims = (mat / safe) @ M.T
+        # half-away-from-zero 6-decimal quantization, matching the SQL
+        # oracle's round() — np.round is banker's and disagrees on
+        # exact .5e-6 boundaries (see similarity.margin_mine)
+        sims = np.where(
+            raw_sims >= 0,
+            np.floor(raw_sims * 1e6 + 0.5),
+            -np.floor(-raw_sims * 1e6 + 0.5),
+        ) / 1e6
         best_pos = np.argmax(sims, axis=1)  # first max == smallest id
         rows_ix = np.arange(len(mat))
         return pd.DataFrame(

@@ -766,6 +766,27 @@ def dhash_near_dup(
     )
 
 
+def _pcm16_mono(content: bytes):
+    """Decode a PCM16 WAV to one int64 mono sample vector (channels
+    summed per frame, exact) — the shared front end of
+    :func:`audio_envelope_hash` and :func:`spectrum_stats`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 wav supported")
+        raw = w.readframes(w.getnframes())
+    n = len(raw) // 2
+    s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
+    if nch > 1:
+        s = s[: (n // nch) * nch].reshape(-1, nch).sum(axis=1)
+    return s
+
+
 ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -794,23 +815,12 @@ def audio_envelope_hash(media: DataFrame, *, frame: int = 16) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         rows = []
         for pdf in batches:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                with wave.open(io.BytesIO(content), "rb") as w:
-                    nch = w.getnchannels()
-                    if w.getsampwidth() != 2:
-                        raise ValueError("only PCM16 wav supported")
-                    raw = w.readframes(w.getnframes())
-                n = len(raw) // 2
-                s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
-                if nch > 1:
-                    s = s[: (n // nch) * nch].reshape(-1, nch).sum(axis=1)
+                s = _pcm16_mono(content)
                 sq = s * s
                 m = (len(s) + frame - 1) // frame
                 bounds = np.arange(m) * frame
@@ -862,23 +872,12 @@ def spectrum_stats(media: DataFrame) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         rows = []
         for pdf in batches:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                with wave.open(io.BytesIO(content), "rb") as w:
-                    nch = w.getnchannels()
-                    if w.getsampwidth() != 2:
-                        raise ValueError("only PCM16 wav supported")
-                    raw = w.readframes(w.getnframes())
-                n = len(raw) // 2
-                s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
-                if nch > 1:
-                    s = s[: (n // nch) * nch].reshape(-1, nch).sum(axis=1)
+                s = _pcm16_mono(content)
                 energy = int((s * s).sum())
                 if len(s) < 2:
                     rows.append((mid, len(s), 0, 0.0, energy))

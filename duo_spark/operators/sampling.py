@@ -388,23 +388,20 @@ def epoch_repeats(
 
     Returns ``(id_col, strata_col, epochs, repeats)``.
     """
+    from duo_spark.operators.util import md5_uniform
+
     plan = epoch_allocation(
         df, strata_col, token_col,
         budget=budget, max_epochs=max_epochs, alpha=alpha,
-    ).select(F.col("stratum").alias(strata_col), "epochs")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
-                                  F.lit(str(seed)), F.lit("repeat"))),
-                1, 13),
-            16, 10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 52))
+    ).select(F.col("stratum").alias("_stratum"), "epochs")
+    u = md5_uniform(id_col, seed, "repeat")
     base = F.floor(F.col("epochs")).cast("long")
     frac = F.col("epochs") - F.floor(F.col("epochs"))
     repeats = base + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    # null-safe stratum join: epoch_allocation's groupBy keeps a NULL
+    # stratum and budgets it — a plain equi-join would silently drop
+    # those documents and undershoot the plan
     return df.select(F.col(id_col), F.col(strata_col)).join(
-        F.broadcast(plan), strata_col
+        F.broadcast(plan),
+        F.col(strata_col).eqNullSafe(F.col("_stratum")),
     ).select(id_col, strata_col, "epochs", repeats.alias("repeats"))

@@ -47,10 +47,6 @@ from pyspark.sql import functions as F
 
 from duo_spark.operators.text import tokens
 
-#: 2^52 — md5 uniforms use 13 hex digits, matching dp_noisy_counts.
-_U52 = float(1 << 52)
-
-
 def _hash_bucket(gram: Column, buckets: int) -> Column:
     """Hash a gram string to ``[0, buckets)`` via the md5 idiom every
     oracle-replayable operator here uses (DuckDB:
@@ -106,10 +102,11 @@ def dsir_scores(
     of every ``raw`` document under target-vs-raw hashed bag models.
 
     ``score = Σ_grams ln p̂_t[b] - ln p̂_r[b]`` with Laplace-``alpha``
-    smoothing over all ``buckets`` cells, so buckets unseen in either
-    corpus still carry the finite constant ratio
-    ``ln(alpha/(T_t + alpha·B)) - ln(alpha/(T_r + alpha·B))``.
-    Empty documents score 0 (an even-odds doc under both models).
+    smoothing over all ``buckets`` cells (the denominators count every
+    cell, so the models stay proper distributions; a bucket scoring a
+    raw gram is always present in the raw count table by
+    construction). Empty documents score 0 (an even-odds doc under
+    both models).
     """
     t_counts = hashed_bucket_counts(target, text_col,
                                     buckets=buckets, bigrams=bigrams)
@@ -134,20 +131,6 @@ def dsir_scores(
             ).alias("log_ratio"),
         )
     )
-    # default ratio for buckets absent from BOTH count tables — a pure
-    # arithmetic constant, but the totals live in one-row DataFrames;
-    # carry it as a broadcast-crossed literal row so no collect() runs.
-    default = (
-        t_tot.crossJoin(r_tot)
-        .select(
-            (
-                F.log(F.lit(alpha) / (F.coalesce(F.col("t_tot"), F.lit(0))
-                                      + F.lit(alpha * buckets)))
-                - F.log(F.lit(alpha) / (F.coalesce(F.col("r_tot"), F.lit(0))
-                                        + F.lit(alpha * buckets)))
-            ).alias("default_ratio")
-        )
-    )
     exploded = raw.select(
         F.col(id_col),
         F.explode_outer(hashed_grams(text_col, bigrams=bigrams)).alias("gram"),
@@ -156,20 +139,17 @@ def dsir_scores(
         F.when(F.col("gram").isNotNull(),
                _hash_bucket(F.col("gram"), buckets)).alias("bucket"),
     )
+    # every bucket exploded from `raw` necessarily appears in r_counts
+    # (same corpus, same hash, same flags), so the ratio join can only
+    # miss on the explode_outer NULL of an empty document — no
+    # unseen-bucket fallback branch can ever execute
     scored = (
         exploded.join(F.broadcast(ratio), "bucket", "left")
-        .crossJoin(F.broadcast(default))
         .groupBy(id_col)
         .agg(
             F.count(F.col("bucket")).alias("n_grams"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
-                        F.coalesce(F.col("log_ratio"), F.col("default_ratio"))
-                    )
-                ),
-                F.lit(0.0),
-            ).alias("score"),
+            F.coalesce(F.sum(F.coalesce(F.col("log_ratio"), F.lit(0.0))),
+                       F.lit(0.0)).alias("score"),
         )
     )
     return scored
@@ -197,19 +177,11 @@ def dsir_select(
     SEEDED GUMBELS ARE REPLAY/TEST MODE — draw ``seed`` fresh for a
     production selection run.
     """
+    from duo_spark.operators.util import md5_uniform
+
     scores = dsir_scores(raw, target, id_col=id_col, text_col=text_col,
                          buckets=buckets, alpha=alpha, bigrams=bigrams)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
-                                  F.lit(str(seed)), F.lit("gumbel"))),
-                1, 13),
-            16, 10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(_U52)
-    gumbel = -F.log(-F.log(u))
+    gumbel = -F.log(-F.log(md5_uniform(id_col, seed, "gumbel")))
     keyed = scores.select(
         id_col,
         "n_grams",

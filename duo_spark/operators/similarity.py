@@ -1181,7 +1181,18 @@ def margin_mine(
         raise ValueError("pool is empty")
     pool_ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    pnorm = np.linalg.norm(M, axis=1, keepdims=True)
+    # a zero-norm pool vector would cast its NaN micro-cosines to
+    # INT64_MIN, whose negation overflows back to INT64_MIN and sorts
+    # FIRST — the degenerate vector would become every row's top-1 and
+    # the miner would emit garbage; fail loud instead
+    bad = ~np.isfinite(pnorm.ravel()) | (pnorm.ravel() == 0)
+    if bad.any():
+        raise ValueError(
+            f"pool rows with zero/NaN embeddings: "
+            f"{pool_ids[bad][:5].tolist()}"
+        )
+    M = M / pnorm
     order = np.argsort(pool_ids, kind="stable")
     pool_ids, M = pool_ids[order], M[order]
     kk = min(k, len(pool_ids))
@@ -1191,7 +1202,9 @@ def margin_mine(
             [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
         )
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = (mat / norms) @ M.T
+        # zero-norm corpus rows score 0 everywhere (unmineable), never
+        # NaN — NaN casts to INT64_MIN and corrupts the integer sums
+        sims = (mat / np.where(norms == 0, 1.0, norms)) @ M.T
         # half-away-from-zero micro-quantization (matches SQL round;
         # raw matmul cosines never sit on exact .5e-6 boundaries)
         micro = np.where(
@@ -1225,12 +1238,16 @@ def margin_mine(
     queries = pool.select(
         F.col(pid).alias("_qid"), F.col(vec_col).alias("_qv")
     )
+    # zero-norm corpus rows score 0 here too (ANSI mode would throw on
+    # the cosine's division otherwise); pool norms are guarded nonzero
+    denom = _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+    safe_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dotd(F.col(vec_col), F.col("_qv")) / denom
+    )
     scored = ensure_parallelism(corpus).crossJoin(F.broadcast(queries)).select(
         F.col("_qid"),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")) * F.lit(1e6))
-        .cast("long")
-        .alias("cosine"),
+        F.round(safe_cos * F.lit(1e6)).cast("long").alias("cosine"),
         F.spark_partition_id().alias("_pid"),
     )
     bwd = (

@@ -1280,7 +1280,15 @@ def ccnet_buckets(
     scores = bigram_lm_score(df, id_col, text_col, alpha).select(
         id_col, "bigram_lm"
     )
-    scored = df.select(id_col, lang_col).join(scores, id_col, "left")
+    # the scored projection feeds BOTH the threshold aggregate and the
+    # output join; checkpoint the 3-column frame once so the full
+    # bigram-LM plan (explode + two count aggregates + two big joins)
+    # doesn't execute twice
+    scored = (
+        df.select(id_col, lang_col)
+        .join(scores, id_col, "left")
+        .localCheckpoint(eager=False)
+    )
     th = (
         scored.filter(F.col("bigram_lm").isNotNull())
         .groupBy(lang_col)

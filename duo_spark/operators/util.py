@@ -136,3 +136,25 @@ class checkpoint_scope:
             t = it.next()
             if int(t._1()) not in self._before:
                 t._2().unpersist(False)
+
+
+def md5_uniform(key, seed: int, salt: str):
+    """Oracle-replayable uniform in (0, 1): 52 md5 bits of
+    ``key|seed|salt`` → ``(bits + 0.5) / 2^52`` — the shared idiom of
+    every seeded-randomness operator here (dp_noisy_counts' noise,
+    dsir_select's Gumbels, epoch_repeats' stochastic rounding). One
+    definition so the DuckDB replay
+    ``(('0x' || substr(md5(k), 1, 13))::BIGINT + 0.5) / 2^52`` can
+    never drift against a stray copy. SEEDED DRAWS ARE REPLAY/TEST
+    MODE — production callers draw ``seed`` fresh."""
+    from pyspark.sql import functions as F
+
+    k = F.col(key) if isinstance(key, str) else key
+    bits = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", k.cast("string"),
+                              F.lit(str(seed)), F.lit(salt))),
+            1, 13),
+        16, 10,
+    ).cast("double")
+    return (bits + F.lit(0.5)) / F.lit(float(1 << 52))

@@ -316,18 +316,11 @@ def dp_noisy_counts(
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_true"))
     ln_alpha = -float(epsilon)
+    from duo_spark.operators.util import md5_uniform
+
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
-
-    def _uniform(salt: str) -> F.Column:
-        bits = F.conv(
-            F.substring(F.md5(F.concat_ws("|", key, F.lit(str(seed)), F.lit(salt))), 1, 13),
-            16,
-            10,
-        ).cast("double")
-        return (bits + F.lit(0.5)) / F.lit(float(1 << 52))
-
-    g1 = F.floor(F.log(_uniform("g1")) / F.lit(ln_alpha))
-    g2 = F.floor(F.log(_uniform("g2")) / F.lit(ln_alpha))
+    g1 = F.floor(F.log(md5_uniform(key, seed, "g1")) / F.lit(ln_alpha))
+    g2 = F.floor(F.log(md5_uniform(key, seed, "g2")) / F.lit(ln_alpha))
     noise = (g1 - g2).cast("long")
     noisy = F.col("n_true") + noise
     if clamp_nonneg:

@@ -7494,7 +7494,9 @@ bstat AS (
 m AS (
   SELECT f.vec_id, f.pool_id,
          f.cos_u / 1000000.0 AS cos,
-         f.fwd_sum / 4000000.0 AS fwd_mean,
+         f.fwd_sum
+           / (least(4, (SELECT count(*) FROM pool)) * 1000000.0)
+           AS fwd_mean,
          b.bwd_sum / (b.bwd_n * 1000000.0) AS bwd_mean
   FROM fstat f JOIN bstat b USING (pool_id))
 SELECT vec_id, pool_id, cos, fwd_mean, bwd_mean,
@@ -7597,7 +7599,7 @@ SELECT d.doc_id, d.source, p.epochs,
                         / 4503599627370496.0
                         < p.epochs - floor(p.epochs)
                    THEN 1 ELSE 0 END AS BIGINT) AS repeats
-FROM documents d JOIN plan p ON p.stratum = d.source
+FROM documents d JOIN plan p ON p.stratum IS NOT DISTINCT FROM d.source
 """
 
 

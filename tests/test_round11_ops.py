@@ -497,3 +497,42 @@ def test_epoch_repeats_matches_plan_in_expectation(spark):
     assert sorted((r.doc_id, r.repeats) for r in again) == sorted(
         (r.doc_id, r.repeats) for r in out
     )
+
+
+def test_degenerate_vectors_fail_loud_or_score_zero(spark):
+    import pytest
+
+    from duo_spark.operators.decontam import semantic_decontam
+    from duo_spark.operators.similarity import margin_mine
+
+    good = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    with_zero = good + [(3, [0.0, 0.0])]
+    bench_zero = spark.createDataFrame(with_zero,
+                                       "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame([(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+                                   "vec_id long, embedding array<float>")
+    # a zero-norm BENCHMARK/POOL vector would fail OPEN (NaN argmax /
+    # INT64_MIN overflow) — both operators must refuse it instead
+    with pytest.raises(ValueError, match="zero/NaN"):
+        semantic_decontam(corpus, bench_zero, threshold=0.5).collect()
+    with pytest.raises(ValueError, match="zero/NaN"):
+        margin_mine(corpus, bench_zero, k=2, threshold=0.0).collect()
+    # a zero-norm CORPUS row scores 0 everywhere: never flagged, never
+    # poisoning other rows
+    bench = spark.createDataFrame(good, "vec_id long, embedding array<float>")
+    flagged = semantic_decontam(corpus, bench, threshold=0.5).collect()
+    assert {r.vec_id for r in flagged} == {10}
+    mined = margin_mine(corpus, bench, k=2, threshold=0.0).collect()
+    assert all(r.cos == 0.0 for r in mined if r.vec_id == 11)
+
+
+def test_epoch_repeats_keeps_null_stratum_docs(spark):
+    from duo_spark.operators.sampling import epoch_repeats
+
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_repeats(df, "source", None, budget=4, max_epochs=2.0,
+                        alpha=0.0, seed=1).collect()
+    # the NULL stratum was budgeted by the plan; its docs must appear
+    assert len(out) == 4
+    assert {r.doc_id for r in out if r.source is None} == {3, 4}
