@@ -735,8 +735,24 @@ def dhash_near_dup(
     # the self-join below duplicates the upstream plan on both sides —
     # if `hashes` is an expensive derivation (a real decode pass), it
     # would run twice; checkpoint the tiny (id, hash) projection once
+    # enforce the uniform-length contract instead of documenting it:
+    # F.substring past a short hash's end returns '' on BOTH sides of
+    # the Hamming compare, so tail-bit differences would be silently
+    # ignored and false near-dup pairs emitted. A length-guarded
+    # raise_error makes mixed-length (or wrong `bits`) input fail loud
+    # at scan time for the cost of one per-row length check.
+    checked_hash = F.when(
+        F.length(hash_col) != F.lit(bits),
+        F.raise_error(
+            F.concat(
+                F.lit("dhash_near_dup: hash length "),
+                F.length(hash_col).cast("string"),
+                F.lit(f" != bits={bits} (uniform-length contract)"),
+            )
+        ),
+    ).otherwise(F.col(hash_col))
     posted = (
-        hashes.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+        hashes.select(F.col(id_col).alias("_id"), checked_hash.alias("_h"))
         .localCheckpoint(eager=False)
         .select("_id", "_h", F.explode(segs).alias("_s"))
         .select("_id", "_h", F.col("_s.band").alias("_band"),

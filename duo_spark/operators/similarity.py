@@ -1261,7 +1261,13 @@ def margin_mine(
     cos_d = F.col("_cos_u") / F.lit(1e6)
     fwd_mean = F.col("_fwd_sum") / F.lit(float(kk) * 1e6)
     bwd_mean = F.col("_bwd_sum") / (F.col("_bwd_n") * F.lit(1e6))
-    margin = F.round(cos_d / ((fwd_mean + bwd_mean) / 2), 6)
+    # try_divide: with mutually orthogonal neighborhoods the micro-
+    # quantized fwd/bwd top-k sums can both be exactly 0 (|cos| < 5e-7
+    # rounds to 0), and positive/negative cosines can cancel — a plain
+    # `/` would kill the job under ANSI mode. A NULL margin then fails
+    # the >= threshold filter below, which is the right outcome: a
+    # zero-mean neighborhood carries no margin signal (round-12 ADVICE)
+    margin = F.round(F.try_divide(cos_d, (fwd_mean + bwd_mean) / 2), 6)
     return (
         joined.select(
             id_col,

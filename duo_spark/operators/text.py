@@ -1241,14 +1241,17 @@ def tokenizer_fertility(
         F.sum("_c").alias("n_chars"),
         F.sum("_b").alias("n_bytes"),
     )
+    # try_divide: a slice of all-empty docs has n_words = n_subwords = 0
+    # and under ANSI mode a plain `/` kills the whole job; DuckDB returns
+    # NULL for 0/0 division here, so NULL is also the parity-correct value
     return agg.select(
         group_col,
         "n_docs",
         "n_words",
         "n_subwords",
-        F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
-        F.round(F.col("n_chars") / F.col("n_subwords"), 6).alias("chars_per_subword"),
-        F.round(F.col("n_bytes") / F.col("n_subwords"), 6).alias("bytes_per_subword"),
+        F.round(F.try_divide("n_subwords", "n_words"), 6).alias("fertility"),
+        F.round(F.try_divide("n_chars", "n_subwords"), 6).alias("chars_per_subword"),
+        F.round(F.try_divide("n_bytes", "n_subwords"), 6).alias("bytes_per_subword"),
     )
 
 
@@ -1291,7 +1294,7 @@ def ccnet_buckets(
     )
     th = (
         scored.filter(F.col("bigram_lm").isNotNull())
-        .groupBy(lang_col)
+        .groupBy(F.col(lang_col).alias("_lang_th"))
         .agg(
             F.round(F.percentile("bigram_lm", F.lit(1.0 / 3)), 6).alias("_t1"),
             F.round(F.percentile("bigram_lm", F.lit(2.0 / 3)), 6).alias("_t2"),
@@ -1303,6 +1306,10 @@ def ccnet_buckets(
         .when(F.col("bigram_lm") <= F.col("_t2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return scored.join(F.broadcast(th), lang_col, "left").select(
-        id_col, lang_col, "bigram_lm", bucket.alias("bucket")
-    )
+    # eqNullSafe: groupBy keeps the NULL-lang slice as its own group, so
+    # a null-safe join gives those docs their own terciles instead of a
+    # never-matching equi-join that dumped every scored NULL-lang doc in
+    # 'tail' (round-12 ADVICE fix; oracle joins IS NOT DISTINCT FROM)
+    return scored.join(
+        F.broadcast(th), F.col(lang_col).eqNullSafe(F.col("_lang_th")), "left"
+    ).select(id_col, lang_col, "bigram_lm", bucket.alias("bucket"))

@@ -7549,7 +7549,7 @@ SELECT d2.doc_id, d2.lang, d2.bigram_lm,
             WHEN d2.bigram_lm <= th.t1 THEN 'head'
             WHEN d2.bigram_lm <= th.t2 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM d2 LEFT JOIN th USING (lang)
+FROM d2 LEFT JOIN th ON th.lang IS NOT DISTINCT FROM d2.lang
 """
 
 
@@ -7605,110 +7605,37 @@ FROM documents d JOIN plan p ON p.stratum IS NOT DISTINCT FROM d.source
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
-    # --- ROUND-11 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # 1-7: the r4-green #12 displacement set — the registry's stalest
-    # driver rows (7 rounds old; their promised round-8 re-check was
-    # swallowed by the driver skip). VERDICT r10 #2 leads with these.
-    "in_list": (q_in_list, SQL_IN_LIST),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    # --- 8-18: round-11 additions (rule 1) — gates for the nine
-    # round-10 runway operators (VERDICT r10 #1) plus the PNG decoder
-    # (#5) and the sentence-dedup composition (#7) ---
-    "luhn_valid": (q_luhn_valid, SQL_LUHN_VALID),
-    "blocklist_match": (q_blocklist_match, SQL_BLOCKLIST_MATCH),
-    "tune_lsh_bands": (q_tune_lsh_bands, SQL_TUNE_LSH_BANDS),
-    "split_sentences": (q_split_sentences, SQL_SPLIT_SENTENCES),
-    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
-    "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
-    "token_js_divergence": (q_token_js_divergence, SQL_TOKEN_JS_DIVERGENCE),
-    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
-    "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
-    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
-    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    # --- 19-29: round-11 NEW operators (rule 1, second wave): DSIR
-    # importance resampling, FFT spectrogram, tokenizer fertility,
-    # embedding-space decontamination, data-constrained epoch
-    # allocation + per-doc repeat manifest, perceptual image dHash +
-    # banded near-dup pairs, audio envelope fingerprint, margin-based
-    # NN mining, CCNet perplexity buckets ---
-    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
-    "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
-    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
-    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
-    "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
-    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
-    "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
-    "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),
-    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
-    "epoch_repeats": (q_epoch_repeats, SQL_EPOCH_REPEATS),
-    # --- 30-33: round-11 operator changes (rule 2): the chunked-
-    # offsets canonical-key fix (intervals), column_mi's dead-agg
-    # removal, and the numpy decoder rewrite under the WAV/BMP gates ---
-    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
-    "column_mi": (q_column_mi, SQL_COLUMN_MI),
-    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
-    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
-    # --- 34-47: the r5-green entries whose rule-3 staleness bound
-    # lands at round 11 ---
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
-    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
-    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
-    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    # --- 48-50: the stalest r7-green rows (alphabetical head; the
-    # remaining r7 entries — including the eleven displaced by the
-    # second-wave additions — sit first below the cutoff and lead
-    # round 12) ---
-    "decontam": (q_decontam, SQL_DECONTAM),
-    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    # --- below the driver window. The eleven r7 rows the second-wave
-    # additions displaced lead round 12, then the remaining r7-green
-    # entries (stalest), then r9-green, then the r10-green block (the
-    # freshest rows, refreshed last) ---
-    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
-    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    # --- ROUND-12 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
+    # 1-37: ALL thirty-seven r7-green rows — rule 3 lapsed for them
+    # at r12 (5 rounds stale; VERDICT r11 #1 leads with exactly this set) ---
+    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
+    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
+    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
+    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
+    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
     "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
+    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
     "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
-    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
-    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
     "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
-    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
-    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
     "store_retention": (q_store_retention, SQL_STORE_RETENTION),
     "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
-    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
-    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
-    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "winnowing": (q_winnowing, SQL_WINNOWING),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
@@ -7718,7 +7645,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    # --- r9-green entries ---
+    # --- 38-41: round-12 operator changes so far (rule 2): the four
+    # ADVICE fixes — ANSI try_divide in tokenizer_fertility and
+    # margin_mine, the dhash uniform-length contract made loud, and
+    # ccnet_buckets' null-safe lang terciles (more r12 additions are
+    # inserted here as they land, displacing the r9 tail below) ---
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
+    "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
+    # r13; the rest of the r9 block sits first below the cutoff) ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
@@ -7728,6 +7665,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    # --- below the driver window: remaining r9-green entries (lead
+    # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
     "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
@@ -7766,7 +7705,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    # --- r10-green entries (freshest driver rows; refresh last) ---
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
@@ -7813,5 +7751,51 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
     "readability": (q_readability, SQL_READABILITY),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "luhn_valid": (q_luhn_valid, SQL_LUHN_VALID),
+    "blocklist_match": (q_blocklist_match, SQL_BLOCKLIST_MATCH),
+    "tune_lsh_bands": (q_tune_lsh_bands, SQL_TUNE_LSH_BANDS),
+    "split_sentences": (q_split_sentences, SQL_SPLIT_SENTENCES),
+    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
+    "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
+    "token_js_divergence": (q_token_js_divergence, SQL_TOKEN_JS_DIVERGENCE),
+    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
+    "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
+    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
+    "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
+    "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),
+    "epoch_repeats": (q_epoch_repeats, SQL_EPOCH_REPEATS),
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
+    "column_mi": (q_column_mi, SQL_COLUMN_MI),
+    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
+    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
+    "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
+    "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "decontam": (q_decontam, SQL_DECONTAM),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }
 

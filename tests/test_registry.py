@@ -79,34 +79,33 @@ def test_bench_artifact_sf_guard(tmp_path):
     assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
 
 
-def test_round11_window_holds_stale_debt_and_additions():
-    """Round-11 rotation lock (VERDICT r10 #1/#2): the seven r4-green
-    stale entries, the eleven round-11 gate additions (rule 1), and
-    the four queries whose operators changed this round (rule 2) must
-    sit inside the first-50 driver window. Locks the ordering against
-    accidental refactors."""
+def test_round12_window_holds_stale_debt_and_changes():
+    """Round-12 rotation lock (VERDICT r11 #1): ALL thirty-seven
+    r7-green entries (rule 3 lapsed at r12) plus every query whose
+    operator changed this round (rule 2) must sit inside the first-50
+    driver window. Locks the ordering against accidental refactors."""
     window = list(_registry())[:50]
-    r4_stale = {
-        "in_list", "point_lookup", "customers_no_orders",
-        "top_revenue_orders", "events_daily", "text_stats", "token_count",
+    r7_stale = {
+        "logs_keyword", "logs_pagination", "span_log_correlation",
+        "trace_logs", "process_enrich", "distinct_operations",
+        "union_drift", "level_codec", "value_histogram",
+        "field_stats_level", "field_stats_trace", "fingerprint",
+        "token_shards", "compaction_roundtrip", "embedding_near_dup",
+        "events_props_rollup", "ivf_assign", "lang_id",
+        "multimodal_stats", "ngram_jaccard", "ngram_jaccard_strong",
+        "orders_with_returns", "quality_score", "service_deps",
+        "store_retention", "topk_batch", "drift_psi", "funnel_latency",
+        "winnowing", "fuzzy_name_pairs", "streaming_funnel", "funnel",
+        "containment_dedup", "triangle_count", "anomaly_zscore",
+        "collocation_lift", "event_transitions",
     }
-    r11_added = {
-        "luhn_valid", "blocklist_match", "tune_lsh_bands",
-        "split_sentences", "sentence_dedup", "dp_noisy_counts",
-        "token_js_divergence", "ngram_diversity", "schema_diff",
-        "curation_funnel", "multimodal_decode_png",
-        # second wave: new operators built after the rotation was laid
-        "dsir_select", "multimodal_spectrogram",
-        "tokenizer_fertility", "semantic_decontam",
-        "epoch_allocation", "image_dhash", "dhash_near_dup",
-        "audio_envelope_hash", "margin_mine",
-        "ccnet_buckets", "epoch_repeats",
+    r12_changed = {
+        # the four ADVICE fixes (ANSI try_divide, dhash length
+        # contract, null-safe lang terciles)
+        "tokenizer_fertility", "margin_mine", "dhash_near_dup",
+        "ccnet_buckets",
     }
-    r11_changed = {
-        "service_concurrency", "column_mi", "multimodal_decode_audio",
-        "multimodal_decode_image",
-    }
-    for group in (r4_stale, r11_added, r11_changed):
+    for group in (r7_stale, r12_changed):
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
 
