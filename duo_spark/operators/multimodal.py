@@ -244,10 +244,11 @@ def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
     Up / Average / Paeth) — and return exact integers
     ``(width, height, sum_r, sum_g, sum_b)``.
 
-    Supports 8-bit truecolor (color type 2) and 8-bit RGBA (type 6,
-    alpha excluded from the sums); palette / grayscale / 16-bit /
-    interlaced (Adam7) raise — they need either a PLTE indirection or
-    a pass structure this corpus doesn't ship. Unfiltering is
+    Supports 8-bit grayscale (color type 0, round 12 — expanded to
+    RGB by channel broadcast), truecolor (type 2), palette (type 3,
+    round 12 — one vectorized PLTE ``take()`` after unfiltering) and
+    RGBA (type 6, alpha excluded from the sums); 16-bit and
+    interlaced (Adam7) still raise. Unfiltering is
     numpy-vectorized where the recurrence allows: None copies, Up is
     one vector add, Sub is a per-channel-lane cumsum (mod distributes
     over the prefix sum); Average and Paeth genuinely depend on the
@@ -277,6 +278,7 @@ def _png_reconstruct(content: bytes):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     idat: list[bytes] = []
+    plte: bytes | None = None
     width = height = bit_depth = color_type = interlace = None
     while pos + 8 <= len(content):
         (ln,) = struct.unpack_from(">I", content, pos)
@@ -287,20 +289,24 @@ def _png_reconstruct(content: bytes):
             width, height, bit_depth, color_type, _c, _f, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (2, 6):
+    if bit_depth != 8 or color_type not in (0, 2, 3, 6):
         raise ValueError(
-            f"only 8-bit RGB/RGBA PNG supported (depth={bit_depth}, "
-            f"color type={color_type})"
+            f"only 8-bit grayscale/RGB/palette/RGBA PNG supported "
+            f"(depth={bit_depth}, color type={color_type})"
         )
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and (plte is None or len(plte) % 3 or not plte):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     stride = width * ch
     raw = zlib.decompress(b"".join(idat))
     if len(raw) < height * (stride + 1):
@@ -338,6 +344,17 @@ def _png_reconstruct(content: bytes):
             raise ValueError(f"bad PNG filter type {f} on row {y}")
         out[y] = cur
         prev = cur
+    if color_type == 0:
+        # grayscale (round 12): expand to RGB by channel broadcast so
+        # every caller keeps the (h, w*3) contract
+        return width, height, 3, np.repeat(out, 3, axis=1)
+    if color_type == 3:
+        # palette (round 12): one vectorized PLTE take() per index
+        # byte; out-of-range indices fail loud rather than wrap
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        return width, height, 3, pal[out].reshape(height, width * 3)
     return width, height, ch, out
 
 
@@ -1032,6 +1049,24 @@ def synth_png(media_id: int) -> bytes:
     raw_rows = [
         bytes(v for x in range(width) for v in px(x, y)) for y in range(height)
     ]
+    return _png_container(width, height, 2, ch, raw_rows)
+
+
+def _png_container(
+    width: int,
+    height: int,
+    color_type: int,
+    ch: int,
+    raw_rows: list[bytes],
+    plte: bytes | None = None,
+) -> bytes:
+    """Assemble a CRC-correct PNG from raw (unfiltered) scanlines,
+    filtering row y with type ``y % 5`` so every RFC 2083 filter path
+    runs — the shared encoder core of :func:`synth_png`,
+    :func:`synth_png_gray` and :func:`synth_png_palette`."""
+    import struct
+    import zlib
+
     scanlines = bytearray()
     zero = bytes(width * ch)
     for y, cur in enumerate(raw_rows):
@@ -1065,10 +1100,51 @@ def synth_png(media_id: int) -> bytes:
             + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(scanlines))) + chunk(b"IEND", b"")
+
+
+def synth_png_gray(media_id: int) -> bytes:
+    """Deterministic 8-bit grayscale (color type 0) PNG — same
+    dimensions as :func:`synth_png`, pixel (x, y) =
+    ``(media_id*5 + x*11 + y*3) % 256`` (the truecolor variant's red
+    formula), so the decoded RGB sums are three copies of the gray
+    sum. Row y filtered with type ``y % 5``."""
+    width = 8 + media_id % 9
+    height = 8 + media_id % 7
+    raw_rows = [
+        bytes((media_id * 5 + x * 11 + y * 3) % 256 for x in range(width))
+        for y in range(height)
+    ]
+    return _png_container(width, height, 0, 1, raw_rows)
+
+
+def synth_png_palette(media_id: int) -> bytes:
+    """Deterministic 8-bit palette (color type 3) PNG — same
+    dimensions as :func:`synth_png`; palette size
+    ``16 + media_id % 5``, entry i =
+    ``((media_id*7 + i*31) % 256, (media_id*11 + i*17) % 256,
+    (media_id*3 + i*53) % 256)``; index (x, y) =
+    ``(x + y*3 + media_id) % size``. The gate's SQL oracle composes
+    the two closed forms directly — a PLTE-indirection bug lands on
+    different channel sums. Row y filtered with type ``y % 5``."""
+    width = 8 + media_id % 9
+    height = 8 + media_id % 7
+    size = 16 + media_id % 5
+    plte = bytes(
+        v
+        for i in range(size)
+        for v in (
+            (media_id * 7 + i * 31) % 256,
+            (media_id * 11 + i * 17) % 256,
+            (media_id * 3 + i * 53) % 256,
+        )
     )
+    raw_rows = [
+        bytes((x + y * 3 + media_id) % size for x in range(width))
+        for y in range(height)
+    ]
+    return _png_container(width, height, 3, 1, raw_rows, plte=plte)

@@ -7009,17 +7009,27 @@ ORDER BY ord
 
 def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode e2e (operators/multimodal.py decode_png, round
-    11): per doc_id a genuine PNG — CRC-correct chunks, zlib-deflated
-    scanlines, row y filtered with type y % 5 so every RFC 2083
-    filter path (None/Sub/Up/Average/Paeth) runs — is synthesized
-    from closed-form pixels (synth_png), inflated + unfiltered in one
-    mapInPandas pass, and reduced to exact per-channel sums. The
-    oracle replays the pixel formula over the (x, y) grid; a filter
-    or predictor bug reconstructs different bytes and mismatches."""
-    from duo_spark.operators.multimodal import image_stats, synth_png
+    11; extended round 12 to ALL THREE 8-bit color types): per doc_id
+    a genuine PNG — CRC-correct chunks, zlib-deflated scanlines, row y
+    filtered with type y % 5 so every RFC 2083 filter path
+    (None/Sub/Up/Average/Paeth) runs — is synthesized from closed-form
+    pixels, inflated + unfiltered in one mapInPandas pass, and reduced
+    to exact per-channel sums. doc_id % 3 picks the container variant:
+    0 → grayscale (color type 0, channel broadcast), 1 → truecolor
+    (type 2), 2 → palette (type 3, PLTE indirection). The oracle
+    replays the pixel formula — including the palette composition —
+    over the (x, y) grid; a filter, predictor, broadcast or PLTE bug
+    reconstructs different bytes and mismatches."""
+    from duo_spark.operators.multimodal import (
+        image_stats,
+        synth_png,
+        synth_png_gray,
+        synth_png_palette,
+    )
 
     def _png(doc_id):
-        return doc_id.map(lambda d: synth_png(int(d)))
+        variants = (synth_png_gray, synth_png, synth_png_palette)
+        return doc_id.map(lambda d: variants[int(d) % 3](int(d)))
 
     png_udf = F.pandas_udf(_png, "binary")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -7038,14 +7048,28 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_DECODE_PNG = """
 WITH d AS (
-  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
-xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
-xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         doc_id % 3 AS variant, 16 + doc_id % 5 AS psize
+  FROM documents),
+xs AS (SELECT * FROM d, unnest(range(0, w)) u(x)),
+xy AS (SELECT xs.*, y FROM xs, unnest(range(0, h)) v(y)),
 px AS (
   SELECT doc_id, w, h,
-         (doc_id * 5 + x * 11 + y * 3) % 256 AS r,
-         (doc_id + x * 13 + y * 7) % 256 AS g,
-         (doc_id * 2 + x + y * 19) % 256 AS b
+         CASE variant
+           WHEN 0 THEN (doc_id * 5 + x * 11 + y * 3) % 256
+           WHEN 1 THEN (doc_id * 5 + x * 11 + y * 3) % 256
+           ELSE (doc_id * 7 + ((x + y * 3 + doc_id) % psize) * 31) % 256
+         END AS r,
+         CASE variant
+           WHEN 0 THEN (doc_id * 5 + x * 11 + y * 3) % 256
+           WHEN 1 THEN (doc_id + x * 13 + y * 7) % 256
+           ELSE (doc_id * 11 + ((x + y * 3 + doc_id) % psize) * 17) % 256
+         END AS g,
+         CASE variant
+           WHEN 0 THEN (doc_id * 5 + x * 11 + y * 3) % 256
+           WHEN 1 THEN (doc_id * 2 + x + y * 19) % 256
+           ELSE (doc_id * 3 + ((x + y * 3 + doc_id) % psize) * 53) % 256
+         END AS b
   FROM xy)
 SELECT doc_id AS media_id,
        CAST(max(w) AS INT) AS width,
@@ -7654,6 +7678,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
     "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
@@ -7664,9 +7689,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
-    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     # --- below the driver window: remaining r9-green entries (lead
     # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
@@ -7768,7 +7793,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
-    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
     "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),

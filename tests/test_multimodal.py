@@ -397,9 +397,14 @@ def test_decode_png_dispatch_and_rejects():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # palette color type
+    # palette color type is SUPPORTED since round 12 — but only with a
+    # valid PLTE chunk; a bare palette header must still fail loud
     bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
-    with pytest.raises(ValueError, match="color type"):
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bad)
+    # 16-bit depth still rejected
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="depth"):
         decode_png(bad)
     # interlaced
     bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))

@@ -104,6 +104,9 @@ def test_round12_window_holds_stale_debt_and_changes():
         # contract, null-safe lang terciles)
         "tokenizer_fertility", "margin_mine", "dhash_near_dup",
         "ccnet_buckets",
+        # PNG decoder extended to color types 0/3 (gate now mixes all
+        # three 8-bit variants)
+        "multimodal_decode_png",
     }
     for group in (r7_stale, r12_changed):
         missing = group - set(window)

@@ -96,3 +96,63 @@ def test_ccnet_buckets_null_lang_slice_gets_own_terciles(spark):
     assert null_buckets == {"head", "middle", "tail"}
     en_buckets = {out[f"d{i}"].bucket for i in (0, 2, 4)}
     assert en_buckets == {"head", "middle", "tail"}
+
+
+def test_png_gray_and_palette_decode_exact_sums(spark):
+    """Round-12 PNG extension: color types 0 (grayscale broadcast) and
+    3 (PLTE indirection) decode to the closed-form channel sums, with
+    every RFC 2083 filter exercised (row y uses filter y % 5)."""
+    from duo_spark.operators.multimodal import (
+        decode_png,
+        decode_rgb,
+        synth_png_gray,
+        synth_png_palette,
+    )
+
+    for mid in (0, 7, 13, 31):
+        w, h = 8 + mid % 9, 8 + mid % 7
+        gw, gh, r, g, b = decode_png(synth_png_gray(mid))
+        exp = sum(
+            (mid * 5 + x * 11 + y * 3) % 256
+            for x in range(w) for y in range(h)
+        )
+        assert (gw, gh, r, g, b) == (w, h, exp, exp, exp)
+
+        size = 16 + mid % 5
+
+        def pal(i, mid=mid):
+            return (
+                (mid * 7 + i * 31) % 256,
+                (mid * 11 + i * 17) % 256,
+                (mid * 3 + i * 53) % 256,
+            )
+
+        want = [0, 0, 0]
+        for x in range(w):
+            for y in range(h):
+                for c, v in enumerate(pal((x + y * 3 + mid) % size)):
+                    want[c] += v
+        pw, ph, pr, pg, pb = decode_png(synth_png_palette(mid))
+        assert (pw, ph, pr, pg, pb) == (w, h, *want)
+
+        # pixel-level path agrees with the sum path for both variants
+        for blob in (synth_png_gray(mid), synth_png_palette(mid)):
+            dw, dh, px = decode_rgb(blob)
+            assert (dw, dh) == (w, h) and px.shape == (h, w, 3)
+
+
+def test_png_palette_missing_or_short_plte_fails_loud(spark):
+    """A palette PNG without PLTE (or with an index past the palette
+    end) must raise, not wrap or zero-fill."""
+    import pytest as _pytest
+
+    from duo_spark.operators.multimodal import decode_png, synth_png_palette
+
+    blob = bytearray(synth_png_palette(5))
+    # strip the PLTE chunk: find its 4-byte type tag and cut the chunk
+    i = blob.find(b"PLTE")
+    import struct
+    (ln,) = struct.unpack_from(">I", blob, i - 4)
+    del blob[i - 4 : i + 4 + ln + 4]
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(blob))
