@@ -198,8 +198,10 @@ BENCH_QUERIES = [
     "dp_noisy_counts",
     "token_js_divergence",
     "ngram_diversity",
+    "ngram_diversity_approx",
     "curation_funnel",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "dsir_select",
     "multimodal_spectrogram",
     "tokenizer_fertility",

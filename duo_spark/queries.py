@@ -6859,6 +6859,69 @@ FROM g WHERE gram != '' GROUP BY n
 """
 
 
+def q_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-approximate distinct-n diversity (operators/text.py
+    ngram_diversity(approx=True), round 12 — VERDICT r11 #4): the same
+    report as ngram_diversity, but the distinct count comes from the
+    repo's mergeable HLL register algebra (operators/sketch.py) over
+    an md5-hashed gram, so the per-n shuffle is bounded by m=4096
+    register rows instead of every distinct gram — exact distinct over
+    trillions of 3-grams was the last linear-shuffle heavyweight. The
+    register arithmetic is integer + one float divide, so the DuckDB
+    oracle replays the estimate bit-exactly."""
+    from duo_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    return text.ngram_diversity(docs, "text", (1, 2, 3), approx=True)
+
+
+SQL_NGRAM_DIVERSITY_APPROX = r"""
+WITH docs AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT n, unnest(CASE WHEN len(w) >= n
+      THEN list_transform(range(1, len(w) - n + 2),
+                          i -> array_to_string(list_slice(w, i, i + n - 1), ' '))
+      ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM docs, unnest([1, 2, 3]) t(n)),
+gg AS (SELECT n, gram FROM g WHERE gram != ''),
+tot AS (SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams FROM gg GROUP BY n),
+hv AS (
+  SELECT n, ('0x' || substr(md5(gram), 1, 13))::BIGINT % 2147483647 AS u
+  FROM gg),
+h1 AS (SELECT n, u * 48271 % 2147483647 AS a FROM hv),
+h2 AS (SELECT n, xor(a, a >> 15) * 69621 % 2147483647 AS c FROM h1),
+v AS (SELECT n, xor(c, c >> 13) AS h FROM h2),
+b AS (
+  SELECT n, h % 4096 AS bucket,
+         CASE WHEN floor(h / 4096) = 0 THEN 24
+              ELSE 24 - length(bin(CAST(floor(h / 4096) AS BIGINT))) END AS rho
+  FROM v),
+reg AS (SELECT n, bucket, max(rho) AS register FROM b GROUP BY 1, 2),
+s AS (
+  SELECT n,
+         sum(CAST(1 AS BIGINT) << CAST(24 - register AS INT)) AS present_sum,
+         count(*) AS n_present
+  FROM reg GROUP BY 1),
+raw AS (
+  SELECT n, 4096 - n_present AS zeros,
+         CAST(floor(0.7213 / (1.0 + 1.079 / 4096) * 16777216.0 * 16777216.0
+                    / (present_sum + (4096 - n_present) * 16777216))
+              AS BIGINT) AS est_raw
+  FROM s),
+est AS (
+  SELECT n,
+         CASE WHEN est_raw <= 10240 AND zeros > 0
+              THEN CAST(floor(4096.0 * ln(4096.0 / zeros)) AS BIGINT)
+              ELSE est_raw END AS distinct_ngrams
+  FROM raw)
+SELECT CAST(t.n AS INT) AS n, t.total_ngrams, e.distinct_ngrams,
+       round(e.distinct_ngrams * 1.0 / greatest(t.total_ngrams, 1), 6)
+         AS distinct_ratio
+FROM tot t JOIN est e USING (n)
+"""
+
+
 def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema drift report (operators/profile.py schema_diff): the
     documents table vs a next-version view that drops `source`,
@@ -7071,6 +7134,88 @@ px AS (
            ELSE (doc_id * 3 + ((x + y * 3 + doc_id) % psize) * 53) % 256
          END AS b
   FROM xy)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       round(sum(r) * 1.0 / (max(w) * max(h)), 6) AS mean_r,
+       round(sum(g) * 1.0 / (max(w) * max(h)), 6) AS mean_g,
+       round(sum(b) * 1.0 / (max(w) * max(h)), 6) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode e2e (operators/multimodal.py
+    decode_jpeg, round 12 — VERDICT r11 #3: a real crawl corpus is
+    mostly JPEG): per doc_id a genuine ITU-T T.81 baseline JFIF —
+    Annex K Huffman tables, flat DQT, interleaved MCUs — is
+    synthesized from closed-form DC-only blocks (synth_jpeg),
+    entropy-decoded + dequantized + IDCT'd + color-converted in one
+    mapInPandas pass, and reduced to exact per-channel sums.
+    doc_id % 3 picks the scan shape: 0 → grayscale, 1 → YCbCr 4:4:4,
+    2 → YCbCr 4:2:0 with a restart marker (and DC-predictor reset)
+    after every MCU. The oracle replays
+    pixel = clamp(floor(colorconvert(128 + dc) + 0.5)) over the
+    (x, y) grid; a Huffman, predictor, restart, upsample or color
+    bug lands on different sums."""
+    from duo_spark.operators.multimodal import image_stats, synth_jpeg
+
+    def _jpg(doc_id):
+        return doc_id.map(lambda d: synth_jpeg(int(d)))
+
+    jpg_udf = F.pandas_udf(_jpg, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", jpg_udf("media_id").alias("content"))
+    st = image_stats(media)
+    n = F.col("width") * F.col("height")
+    return st.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / n, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / n, 6).alias("mean_b"),
+    )
+
+
+SQL_MULTIMODAL_DECODE_JPEG = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS variant,
+         CASE doc_id % 3
+           WHEN 0 THEN 8 * (2 + doc_id % 3)
+           WHEN 1 THEN 16
+           ELSE 16 * (1 + doc_id % 2) END AS w,
+         CASE doc_id % 3
+           WHEN 0 THEN 8 * (2 + doc_id % 2)
+           ELSE 16 END AS h
+  FROM documents),
+xs AS (SELECT * FROM d, unnest(range(0, w)) u(x)),
+xy AS (SELECT xs.*, y FROM xs, unnest(range(0, h)) v(y)),
+yc AS (
+  SELECT doc_id, variant, w, h, x, y,
+         (doc_id * 29 + (x // 8) * 31 + (y // 8) * 37) % 256 AS yv,
+         CASE variant
+           WHEN 1 THEN (doc_id * 17 + (x // 8) * 11 + (y // 8) * 41) % 256
+           ELSE (doc_id * 17 + (x // 16) * 11 + (y // 16) * 41) % 256
+         END - 128 AS cb,
+         CASE variant
+           WHEN 1 THEN (doc_id * 23 + (x // 8) * 13 + (y // 8) * 43) % 256
+           ELSE (doc_id * 23 + (x // 16) * 13 + (y // 16) * 43) % 256
+         END - 128 AS cr
+  FROM xy),
+px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN variant = 0 THEN yv ELSE
+           least(255, greatest(0, CAST(floor(yv + 1.402 * cr + 0.5) AS BIGINT)))
+         END AS r,
+         CASE WHEN variant = 0 THEN yv ELSE
+           least(255, greatest(0, CAST(floor(
+             yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT)))
+         END AS g,
+         CASE WHEN variant = 0 THEN yv ELSE
+           least(255, greatest(0, CAST(floor(yv + 1.772 * cb + 0.5) AS BIGINT)))
+         END AS b
+  FROM yc)
 SELECT doc_id AS media_id,
        CAST(max(w) AS INT) AS width,
        CAST(max(h) AS INT) AS height,
@@ -7679,6 +7824,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
+    "multimodal_decode_jpeg": (q_multimodal_decode_jpeg, SQL_MULTIMODAL_DECODE_JPEG),
+    "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
@@ -7687,10 +7834,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
-    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     # --- below the driver window: remaining r9-green entries (lead
     # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),

@@ -108,7 +108,13 @@ def test_round12_window_holds_stale_debt_and_changes():
         # three 8-bit variants)
         "multimodal_decode_png",
     }
-    for group in (r7_stale, r12_changed):
+    r12_added = {
+        # baseline JPEG decoder (rule 1: new operator -> window)
+        "multimodal_decode_jpeg",
+        # HLL-bounded distinct-n shuffle (VERDICT r11 #4)
+        "ngram_diversity_approx",
+    }
+    for group in (r7_stale, r12_changed, r12_added):
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
 

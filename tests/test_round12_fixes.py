@@ -156,3 +156,197 @@ def test_png_palette_missing_or_short_plte_fails_loud(spark):
     del blob[i - 4 : i + 4 + ln + 4]
     with _pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(blob))
+
+
+def _encode_gray_jpeg(width, height, coef_blocks, qtab):
+    """Test-local baseline JPEG encoder for arbitrary zigzag
+    coefficient blocks (grayscale, one component) — exercises the
+    decoder's AC run-length / ZRL / EOB paths, which the DC-only
+    synth_jpeg gate never emits."""
+    import struct
+
+    from duo_spark.operators.multimodal import (
+        _JPEG_STD_AC,
+        _JPEG_STD_DC,
+        _jpeg_canonical,
+        _JpegBitWriter,
+    )
+
+    dc_codes = _jpeg_canonical(*_JPEG_STD_DC)
+    ac_codes = _jpeg_canonical(*_JPEG_STD_AC)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtab))
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1)
+               + struct.pack(">BBB", 1, 0x11, 0))
+    out += seg(0xC4, bytes([0x00]) + _JPEG_STD_DC[0] + _JPEG_STD_DC[1])
+    out += seg(0xC4, bytes([0x10]) + _JPEG_STD_AC[0] + _JPEG_STD_AC[1])
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in coef_blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if blk[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if blk[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            s = abs(blk[k]).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            w.put(code, ln)
+            w.put(blk[k] if blk[k] >= 0 else blk[k] + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.put(code, ln)
+    w.align()
+    out += w.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_ac_runlength_decode_matches_reference_idct(spark):
+    """Random AC coefficients (runs, ZRL, EOB, negative amplitudes)
+    through the real entropy decoder must reproduce a reference
+    direct-cosine-sum IDCT with libjpeg plane rounding, exactly."""
+    import numpy as np
+
+    from duo_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_reconstruct
+
+    rng = np.random.RandomState(42)
+    qtab = [(i % 16) + 1 for i in range(64)]
+    blocks = []
+    for _ in range(4):  # 16x16 grayscale = 4 blocks
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-200, 200))
+        for _k in range(rng.randint(1, 12)):
+            blk[int(rng.randint(1, 64))] = int(rng.randint(-255, 256))
+        blocks.append(blk)
+    blob = _encode_gray_jpeg(16, 16, blocks, qtab)
+    w, h, got = _jpeg_reconstruct(blob)
+    assert (w, h) == (16, 16)
+
+    # independent reference: de-zigzag, dequant, direct O(64^2) IDCT
+    def ref_block(blk):
+        C = np.zeros((8, 8))
+        for i, pos in enumerate(_JPEG_ZIGZAG):
+            C[pos // 8, pos % 8] = blk[i] * qtab[i]
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv / 4.0 * C[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[x, y] = s
+        return np.clip(np.floor(out + 128.0 + 0.5), 0, 255)
+
+    want = np.zeros((16, 16))
+    for bi, blk in enumerate(blocks):
+        by, bx = divmod(bi, 2)
+        want[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = ref_block(blk)
+    assert np.array_equal(got[:, :, 0].astype(float), want)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_jpeg_dc_only_variants_closed_form(spark):
+    """synth_jpeg's three scan shapes (gray / 4:4:4 / 4:2:0 + DRI)
+    decode to the closed-form pixels the SQL oracle replays."""
+    import numpy as np
+
+    from duo_spark.operators.multimodal import (
+        decode_bmp,
+        decode_jpeg,
+        synth_jpeg,
+        _jpeg_reconstruct,
+    )
+
+    def clamp(x):
+        return max(0, min(255, int(np.floor(x + 0.5))))
+
+    for mid in (0, 1, 2, 3, 4, 5, 10, 11):
+        v = mid % 3
+        if v == 0:
+            w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+        elif v == 1:
+            w = h = 16
+        else:
+            w, h = 16 * (1 + mid % 2), 16
+        dw, dh, px = _jpeg_reconstruct(synth_jpeg(mid))
+        assert (dw, dh) == (w, h)
+        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+            yv = (mid * 29 + (x // 8) * 31 + (y // 8) * 37) % 256
+            if v == 0:
+                exp = (yv, yv, yv)
+            else:
+                d = 8 if v == 1 else 16
+                cb = (mid * 17 + (x // d) * 11 + (y // d) * 41) % 256 - 128
+                cr = (mid * 23 + (x // d) * 13 + (y // d) * 43) % 256 - 128
+                exp = (
+                    clamp(yv + 1.402 * cr),
+                    clamp(yv - 0.344136 * cb - 0.714136 * cr),
+                    clamp(yv + 1.772 * cb),
+                )
+            assert tuple(int(c) for c in px[y, x]) == exp, (mid, x, y)
+        # sum path and dispatch agree with the pixel path
+        assert decode_bmp(synth_jpeg(mid)) == decode_jpeg(synth_jpeg(mid))
+
+
+def test_jpeg_rejects_progressive_and_garbage(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from duo_spark.operators.multimodal import decode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    sof2 = (b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC2, 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(sof2)
+
+
+def test_ngram_diversity_approx_tracks_exact(spark):
+    """approx=True reuses the repo HLL register algebra: the estimate
+    must track the exact distinct within the m=4096 error envelope and
+    be deterministic across runs (integer registers, one float
+    divide). The shuffle carries at most m register rows per n — the
+    100-TB rationale."""
+    from duo_spark.operators.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 97} tok{(i * 7) % 89} tok{(i * 13) % 83} word{i}")
+         for i in range(400)],
+        "doc_id long, text string",
+    )
+    exact = {r.n: r for r in ngram_diversity(docs).collect()}
+    approx = {r.n: r for r in ngram_diversity(docs, approx=True).collect()}
+    approx2 = {r.n: r for r in ngram_diversity(docs, approx=True).collect()}
+    for n in (1, 2, 3):
+        assert approx[n].total_ngrams == exact[n].total_ngrams
+        rel = abs(approx[n].distinct_ngrams - exact[n].distinct_ngrams) / max(
+            exact[n].distinct_ngrams, 1
+        )
+        assert rel < 0.08, (n, approx[n].distinct_ngrams,
+                            exact[n].distinct_ngrams)
+        assert approx[n].distinct_ngrams == approx2[n].distinct_ngrams
