@@ -145,6 +145,7 @@ def semantic_decontam(
     bench_id_col: str | None = None,
     threshold: float = 0.8,
     max_benchmark: int = 200_000,
+    max_benchmark_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Embedding-space decontamination (round 11): flag corpus items
     whose nearest BENCHMARK embedding clears ``threshold`` cosine —
@@ -171,17 +172,17 @@ def semantic_decontam(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from duo_spark.operators.util import collect_vector_matrix
+
     bid = bench_id_col or id_col
-    rows = benchmark.select(bid, vec_col).limit(max_benchmark + 1).collect()
-    if len(rows) > max_benchmark:
-        raise ValueError(
-            f"benchmark exceeds max_benchmark={max_benchmark}; "
-            "use similarity.embedding_near_dup_pairs for corpus-scale sides"
-        )
-    if not rows:
-        raise ValueError("benchmark is empty")
-    bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # row cap AND byte cap (round-12 VERDICT #5); a benchmark past
+    # either is a corpus — use similarity.embedding_near_dup_pairs
+    bench_ids, M = collect_vector_matrix(
+        benchmark, bid, vec_col,
+        max_rows=max_benchmark, max_bytes=max_benchmark_bytes,
+        what="benchmark",
+        row_knob="max_benchmark", byte_knob="max_benchmark_bytes",
+    )
     bnorm = np.linalg.norm(M, axis=1, keepdims=True)
     # fail LOUD on a degenerate benchmark vector: a zero-norm (or NaN)
     # row would turn its sims column NaN, np.argmax would pick the NaN

@@ -1131,6 +1131,7 @@ def margin_mine(
     vec_col: str = "embedding",
     pool_id_col: str | None = None,
     max_pool: int = 200_000,
+    max_pool_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Margin-based nearest-neighbor mining (Artetxe & Schwenk 2019 —
     the CCMatrix/LASER bitext-mining criterion): pair each corpus
@@ -1173,14 +1174,16 @@ def margin_mine(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from duo_spark.operators.util import collect_vector_matrix
+
     pid = pool_id_col or id_col
-    rows = pool.select(pid, vec_col).limit(max_pool + 1).collect()
-    if len(rows) > max_pool:
-        raise ValueError(f"pool exceeds max_pool={max_pool}")
-    if not rows:
-        raise ValueError("pool is empty")
-    pool_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # row cap AND byte cap (round-12 VERDICT #5: a row cap alone is
+    # dimension-blind — 200k rows is 1.6 GB at dim=1024 float64)
+    pool_ids, M = collect_vector_matrix(
+        pool, pid, vec_col,
+        max_rows=max_pool, max_bytes=max_pool_bytes, what="pool",
+        row_knob="max_pool", byte_knob="max_pool_bytes",
+    )
     pnorm = np.linalg.norm(M, axis=1, keepdims=True)
     # a zero-norm pool vector would cast its NaN micro-cosines to
     # INT64_MIN, whose negation overflows back to INT64_MIN and sorts

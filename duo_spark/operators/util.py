@@ -158,3 +158,49 @@ def md5_uniform(key, seed: int, salt: str):
         16, 10,
     ).cast("double")
     return (bits + F.lit(0.5)) / F.lit(float(1 << 52))
+
+
+def collect_vector_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    max_rows: int,
+    max_bytes: int = 256 << 20,
+    what: str = "side",
+    row_knob: str = "max_rows",
+    byte_knob: str = "max_bytes",
+):
+    """Collect a small DataFrame of (id, embedding) rows into one
+    float64 numpy matrix for broadcast-matmul operators (margin_mine,
+    semantic_decontam) — with BOTH a row cap and a byte cap.
+
+    A row-denominated cap alone is dimension-blind (round-12 VERDICT
+    #5): 200k rows is ~100 MB at dim=64 but ~1.6 GB at dim=1024
+    float64 — on the driver AND again in every executor's broadcast.
+    The byte budget is probed from the first row's dimensionality
+    BEFORE the big collect, so a fat-dimension frame fails loud after
+    transferring one row, not after materializing gigabytes.
+
+    Returns ``(ids int64 array, matrix float64 (rows x dim))`` in the
+    DataFrame's row order. Raises on empty input or either cap.
+    """
+    import numpy as np
+
+    first = df.select(vec_col).limit(1).collect()
+    if not first:
+        raise ValueError(f"{what} is empty")
+    dim = len(first[0][0])
+    row_budget = max_bytes // max(dim * 8, 1)
+    allowed = min(max_rows, row_budget)
+    rows = df.select(id_col, vec_col).limit(allowed + 1).collect()
+    if len(rows) > allowed:
+        raise ValueError(
+            f"{what} exceeds the broadcast-matrix cap: > {allowed} rows "
+            f"allowed ({row_knob}={max_rows}, {byte_knob}={max_bytes} "
+            f"~= {row_budget} rows at dim={dim} float64); shrink the "
+            f"{what} or raise the caps explicitly"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, mat

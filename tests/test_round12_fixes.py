@@ -350,3 +350,35 @@ def test_ngram_diversity_approx_tracks_exact(spark):
         assert rel < 0.08, (n, approx[n].distinct_ngrams,
                             exact[n].distinct_ngrams)
         assert approx[n].distinct_ngrams == approx2[n].distinct_ngrams
+
+
+def test_broadcast_matrix_byte_cap_trips_on_fat_dims(spark):
+    """VERDICT r11 #5: the broadcast-matrix collects must be byte-
+    denominated, not just row-denominated — a fat-dimension frame must
+    trip the byte cap while still under the row cap, and the error
+    must name both knobs."""
+    import pytest as _pytest
+
+    from duo_spark.operators.decontam import semantic_decontam
+    from duo_spark.operators.similarity import margin_mine
+
+    # 10 rows x dim=64 float64 = 5120 bytes; byte cap of 4096 allows
+    # only 8 rows -> trips while max_rows=200k is nowhere near
+    fat = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="max_pool_bytes"):
+        margin_mine(fat, fat, k=2, max_pool_bytes=4096)
+    with _pytest.raises(ValueError, match="max_benchmark_bytes"):
+        semantic_decontam(fat, fat, max_benchmark_bytes=4096)
+
+    # row cap unchanged: trips by name too
+    with _pytest.raises(ValueError, match="max_pool"):
+        margin_mine(fat, fat, k=2, max_pool=2)
+    with _pytest.raises(ValueError, match="max_benchmark"):
+        semantic_decontam(fat, fat, max_benchmark=2)
+
+    # within both caps still works
+    out = semantic_decontam(fat, fat, threshold=0.99)
+    assert out.count() == 10  # every row matches itself at cos 1.0
