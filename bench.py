@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "ngram_diversity_approx",
     "curation_funnel",
+    "curation_funnel_sd",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "dsir_select",

@@ -41,11 +41,21 @@ def curate_documents(
     langs: tuple[str, ...] = ("en",),
     blocklist: tuple[str, ...] = _text.DEFAULT_BLOCKLIST,
     near_dup_threshold: float = 0.7,
+    sentence_dedup: bool = False,
+    sentence_max_doc_freq: int = 3,
 ) -> dict[str, DataFrame]:
     """The standard curation ladder over a documents table.
 
     Stages, in pipeline order (each consumes the previous survivors):
 
+    0. ``sentence_dedup`` (optional, ``sentence_dedup=True`` — round
+       12, VERDICT r11 #6): the CCNet within-corpus pass runs FIRST,
+       before any quality/LM filtering (Wenzek et al. 2020 order —
+       boilerplate sentences must not count against a doc's quality
+       score): each doc's text is rewritten to its sentence-deduped
+       form (:func:`duo_spark.operators.text.sentence_dedup`,
+       ``max_doc_freq=sentence_max_doc_freq``) and docs with zero
+       surviving sentences drop;
     1. ``quality``: heuristic 0-100 score >= ``min_quality``
        (:func:`duo_spark.operators.text.quality_score`);
     2. ``language``: marker-based lang-id in ``langs``
@@ -75,6 +85,32 @@ def curate_documents(
     localCheckpointed survivor table (so the near-dup stage never
     recomputes the predicate chain either).
     """
+    # --- optional stage 0: CCNet sentence dedup over the raw corpus,
+    # text rewritten to its deduped form; eager-checkpointed so the
+    # sentence-keyed aggregate (one shuffle) never re-executes under
+    # the downstream stage counts ---
+    lead_rows: list[tuple[str, int, int, int]] = []
+    if sentence_dedup:
+        n_pre = docs.count()
+        sd = _text.sentence_dedup(
+            docs, id_col, text_col, max_doc_freq=sentence_max_doc_freq
+        )
+        cols = [
+            F.col("text_dedup").alias(text_col) if c == text_col else F.col(c)
+            for c in docs.columns
+        ]
+        docs = (
+            docs.drop(text_col)
+            .join(
+                sd.filter(F.col("n_kept") > 0).select(id_col, "text_dedup"),
+                id_col,
+            )
+            .select(cols)
+            .localCheckpoint(eager=True)
+        )
+        n_post = docs.count()
+        lead_rows = [("sentence_dedup", n_pre, n_post, n_pre - n_post)]
+
     # --- per-document predicate stages: one annotated projection,
     # every flag a pure Column (no joins, rides the scan) ---
     q = _text.quality_score(docs, text_col)
@@ -127,7 +163,7 @@ def curate_documents(
     n5 = s5.count()
 
     n0, n1, n2, n3 = counts["n0"], counts["n1"], counts["n2"], counts["n3"]
-    funnel_rows = [
+    funnel_rows = lead_rows + [
         ("quality", n0, n1, n0 - n1),
         ("language", n1, n2, n1 - n2),
         ("blocklist", n2, n3, n2 - n3),

@@ -7070,6 +7070,91 @@ ORDER BY ord
 """
 
 
+def q_curation_funnel_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation ladder with the CCNet sentence-dedup stage ON
+    (pipelines.curate_documents(sentence_dedup=True), round 12 —
+    VERDICT r11 #6): sentence dedup runs FIRST (Wenzek 2020 order),
+    rewriting each doc to its deduped text before
+    quality/language/blocklist/exact/near-dedup. Runs over the dotted
+    corpus (the deterministic sentence boundaries the sentence gates
+    pin). The oracle is the composed SQL: the gated sentence_dedup
+    replay feeding the gated funnel closure over the rewritten
+    text."""
+    from duo_spark import pipelines
+
+    docs = _dotted_docs(spark, sf_dir)
+    out = pipelines.curate_documents(
+        docs,
+        blocklist=("vector", "warez"),
+        near_dup_threshold=0.7,
+        sentence_dedup=True,
+    )
+    return out["funnel"]
+
+
+#: sentence-dedup preamble for the composed funnel oracle: the same
+#: replay as SQL_SENTENCE_DEDUP (dotted boundaries, window-based
+#: first-occurrence + doc-frequency<=3 keep rule), reduced to the
+#: surviving (doc_id, rewritten text) table the ladder consumes
+_SQL_SD_DOCS = r"""m0 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '([.!?]+)', '\1' || chr(1), 'g') AS mt
+  FROM documents),
+sp0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(mt, chr(1)), p -> trim(p)),
+                     p -> p != '') AS pf
+  FROM m0),
+sent0 AS (
+  SELECT doc_id, generate_subscripts(pf, 1) - 1 AS idx, unnest(pf) AS sentence
+  FROM sp0),
+nrm0 AS (
+  SELECT doc_id, idx, sentence,
+         trim(regexp_replace(regexp_replace(lower(sentence), '[.!?]+$', ''),
+                             '\s+', ' ', 'g')) AS n
+  FROM sent0),
+fl0 AS (
+  SELECT doc_id, idx, sentence,
+         count(DISTINCT doc_id) OVER (PARTITION BY n) AS df,
+         row_number() OVER (PARTITION BY n ORDER BY doc_id, idx) AS rn
+  FROM nrm0),
+sdocs AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN df <= 3 AND rn = 1 THEN sentence END,
+                    ' ' ORDER BY idx) AS text
+  FROM fl0 GROUP BY doc_id
+  HAVING sum(CASE WHEN df <= 3 AND rn = 1 THEN 1 ELSE 0 END) > 0)"""
+
+#: composed from the gated pieces so the two funnels can never drift:
+#: SQL_CURATION_FUNNEL's ladder verbatim, re-rooted on the
+#: sentence-deduped text, plus the leading stage-0 funnel row
+SQL_CURATION_FUNNEL_SD = (
+    SQL_CURATION_FUNNEL
+    # re-root the ladder's base scan FIRST (before the preamble adds
+    # its own legitimate `FROM documents`)
+    .replace("  FROM documents)", "  FROM sdocs)", 1)
+    .replace(
+        "WITH RECURSIVE base AS (",
+        "WITH RECURSIVE " + _SQL_SD_DOCS + ",\nbase AS (",
+    )
+    .replace(
+        "  SELECT (SELECT count(*) FROM documents) AS n0,",
+        "  SELECT (SELECT count(*) FROM documents) AS npre,\n"
+        "         (SELECT count(*) FROM sdocs) AS n0,",
+    )
+    .replace(
+        "  SELECT 1 AS ord, 'quality' AS stage, n0 AS rows_in,"
+        " n1 AS rows_out FROM counts",
+        "  SELECT 0 AS ord, 'sentence_dedup' AS stage, npre AS rows_in,"
+        " n0 AS rows_out FROM counts\n"
+        "  UNION ALL SELECT 1, 'quality', n0, n1 FROM counts",
+    )
+)
+assert SQL_CURATION_FUNNEL_SD.count("sdocs") == 3, "SD oracle composition drifted"
+assert "'sentence_dedup'" in SQL_CURATION_FUNNEL_SD
+
+
 def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode e2e (operators/multimodal.py decode_png, round
     11; extended round 12 to ALL THREE 8-bit color types): per doc_id
@@ -7826,16 +7911,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
     "multimodal_decode_jpeg": (q_multimodal_decode_jpeg, SQL_MULTIMODAL_DECODE_JPEG),
     "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
+    "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
     # --- below the driver window: remaining r9-green entries (lead
     # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
@@ -7939,7 +8026,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_js_divergence": (q_token_js_divergence, SQL_TOKEN_JS_DIVERGENCE),
     "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
-    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
     "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),

@@ -113,6 +113,11 @@ def test_round12_window_holds_stale_debt_and_changes():
         "multimodal_decode_jpeg",
         # HLL-bounded distinct-n shuffle (VERDICT r11 #4)
         "ngram_diversity_approx",
+        # sentence-dedup stage composed into the curation ladder
+        # (VERDICT r11 #6); curate_documents changed, so the plain
+        # funnel gate re-enters under rule 2 as well
+        "curation_funnel_sd",
+        "curation_funnel",
     }
     for group in (r7_stale, r12_changed, r12_added):
         missing = group - set(window)

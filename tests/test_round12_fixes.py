@@ -382,3 +382,43 @@ def test_broadcast_matrix_byte_cap_trips_on_fat_dims(spark):
     # within both caps still works
     out = semantic_decontam(fat, fat, threshold=0.99)
     assert out.count() == 10  # every row matches itself at cos 1.0
+
+
+def test_curation_ladder_sentence_stage(spark):
+    """sentence_dedup=True prepends the CCNet pass: boilerplate
+    sentences vanish from surviving docs' text, all-boilerplate docs
+    drop, and the funnel gains a leading stage-0 row whose counts
+    chain into the quality stage."""
+    from duo_spark.pipelines import curate_documents
+
+    good = ("the quick brown fox jumps over a lazy dog and it "
+            "is of great renown in the old tales. ")
+    docs = spark.createDataFrame(
+        [
+            (1, good + "Accept cookies now."),
+            (2, good.replace("quick", "clever") + "Accept cookies now."),
+            (3, good.replace("quick", "sly") + "Accept cookies now."),
+            (4, good.replace("quick", "swift") + "Accept cookies now."),
+            (5, "Accept cookies now."),  # all boilerplate -> drops
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_documents(
+        docs, min_quality=0, langs=("en",), blocklist=(),
+        near_dup_threshold=0.99, sentence_dedup=True,
+        sentence_max_doc_freq=2,
+    )
+    funnel = {r.stage: r for r in out["funnel"].collect()}
+    assert funnel["sentence_dedup"].rows_in == 5
+    assert funnel["sentence_dedup"].rows_out == 4  # doc 5 dropped
+    assert funnel["quality"].rows_in == 4  # chains into stage 1
+    kept = {r.doc_id: r.text for r in out["kept"].collect()}
+    assert 5 not in kept
+    assert all("Accept cookies" not in t for t in kept.values())
+
+    # off by default: identical to the round-11 ladder (no stage row)
+    base = curate_documents(docs, min_quality=0, langs=("en",),
+                            blocklist=(), near_dup_threshold=0.99)
+    assert [r.stage for r in base["funnel"].collect()] == [
+        "quality", "language", "blocklist", "exact_dedup", "near_dedup",
+    ]
