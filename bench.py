@@ -309,12 +309,18 @@ def main() -> None:
     # pays Janino codegen for plan variants it has never seen (measured
     # ±40% on the LSH family). The second run is steady state — which
     # is what a long-lived engine's latency actually is.
+    # min-of-3 for sub-1.5 s queries (round 12, VERDICT r11 #2): the
+    # cross-round "drift" on hll_audience_overlap/column_mi/t_closeness
+    # was sub-second queries sampling GC/codegen noise that a min-of-2
+    # can't shed — a third run costs little exactly where it's needed.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
         best = None
-        for _ in range(2):
+        runs = 2
+        done = 0
+        while done < runs:
             t0 = time.perf_counter()
             try:
                 _force(fn(spark, sf_dir))
@@ -324,6 +330,9 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
                 print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
                 break
+            done += 1
+            if done == 2 and best < 1.5:
+                runs = 3
         if best is not None and name not in errors:
             timings[name] = round(best, 3)
 
@@ -342,6 +351,20 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["partial_total"] = total
+    # round-12 VERDICT #8: emit the committed quiet-window headline
+    # (BENCH.json, the builder's min-of-N warmed sf0.1 run) alongside
+    # this run's value, so a driver-run/quiet-run pair is
+    # machine-readable in every artifact and the cross-round trend
+    # doesn't need SCALING.md archaeology. Read BEFORE this run
+    # overwrites the artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH.json")) as f:
+            prev = json.load(f)
+        if prev.get("sf") == BASELINE_SF and prev.get("value") is not None:
+            out["quiet_ref"] = prev["value"]
+    except (OSError, ValueError):
+        pass
     # BENCH_r05/r06 postmortem: the driver tail-captures the last 2,000
     # characters of stdout; the full result line grew to 2,114 bytes in
     # round 6, so the capture decapitated the JSON at the front two
@@ -361,7 +384,6 @@ def main() -> None:
     # overwrite it (round 9 briefly committed an sf0.001 artifact,
     # masking scale regressions). Off-baseline runs persist to
     # .tmp/BENCH_local.json (gitignored) instead.
-    here = os.path.dirname(os.path.abspath(__file__))
     art = artifact_path(here, sf)
     if not art.endswith(os.path.join("", "BENCH.json")):
         print(
@@ -384,6 +406,7 @@ def main() -> None:
             "sf": out["sf"],
             "n_queries": len(timings),
             "n_errors": len(errors),
+            "quiet_ref": out.get("quiet_ref"),
             "detail": "BENCH.json",
         }
         line = json.dumps(short, separators=(",", ":"))
