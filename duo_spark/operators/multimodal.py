@@ -748,25 +748,31 @@ def synth_jpeg(media_id: int) -> bytes:
     - 1: YCbCr 4:4:4, 16x16 (interleaved 3-component MCUs)
     - 2: YCbCr 4:2:0, ``16*(1 + id%2) x 16`` px, DRI=1 (a restart
       marker and DC-predictor reset after EVERY MCU)
+    - 3: YCbCr 4:2:2, 16x16 (hmax=2, vmax=1 — the asymmetric
+      horizontal-only chroma upsample path)
 
     Per-block values: ``Y(bx,by) = (id*29 + bx*31 + by*37) % 256``;
     chroma ``Cb = (id*17 + bx*11 + by*41) % 256``,
     ``Cr = (id*23 + bx*13 + by*43) % 256`` (4:2:0 indexes chroma by
-    MCU). Huffman tables are the public T.81 Annex K luminance pair.
-    The gate's SQL oracle replays pixel = color-convert(128 + c) over
-    the (x, y) grid with the same floor(x+0.5) rounding."""
+    MCU; 4:2:2 by (x//16, y//8)). Huffman tables are the public T.81
+    Annex K luminance pair. The gate's SQL oracle replays
+    pixel = color-convert(128 + c) over the (x, y) grid with the same
+    floor(x+0.5) rounding."""
     import struct
 
-    variant = media_id % 3
+    variant = media_id % 4
     if variant == 0:
         width, height = 8 * (2 + media_id % 3), 8 * (2 + media_id % 2)
         comps = [(1, 1, 1)]
     elif variant == 1:
         width = height = 16
         comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
-    else:
+    elif variant == 2:
         width, height = 16 * (1 + media_id % 2), 16
         comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    else:
+        width = height = 16
+        comps = [(1, 2, 1), (2, 1, 1), (3, 1, 1)]
     restart = 1 if variant == 2 else 0
 
     def yval(bx: int, by: int) -> int:

@@ -7237,9 +7237,10 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized from closed-form DC-only blocks (synth_jpeg),
     entropy-decoded + dequantized + IDCT'd + color-converted in one
     mapInPandas pass, and reduced to exact per-channel sums.
-    doc_id % 3 picks the scan shape: 0 → grayscale, 1 → YCbCr 4:4:4,
+    doc_id % 4 picks the scan shape: 0 → grayscale, 1 → YCbCr 4:4:4,
     2 → YCbCr 4:2:0 with a restart marker (and DC-predictor reset)
-    after every MCU. The oracle replays
+    after every MCU, 3 → YCbCr 4:2:2 (the asymmetric horizontal-only
+    chroma upsample). The oracle replays
     pixel = clamp(floor(colorconvert(128 + dc) + 0.5)) over the
     (x, y) grid; a Huffman, predictor, restart, upsample or color
     bug lands on different sums."""
@@ -7265,28 +7266,24 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_DECODE_JPEG = """
 WITH d AS (
-  SELECT doc_id, doc_id % 3 AS variant,
-         CASE doc_id % 3
+  SELECT doc_id, doc_id % 4 AS variant,
+         CASE doc_id % 4
            WHEN 0 THEN 8 * (2 + doc_id % 3)
-           WHEN 1 THEN 16
-           ELSE 16 * (1 + doc_id % 2) END AS w,
-         CASE doc_id % 3
+           WHEN 2 THEN 16 * (1 + doc_id % 2)
+           ELSE 16 END AS w,
+         CASE doc_id % 4
            WHEN 0 THEN 8 * (2 + doc_id % 2)
-           ELSE 16 END AS h
+           ELSE 16 END AS h,
+         CASE doc_id % 4 WHEN 1 THEN 8 ELSE 16 END AS cdx,
+         CASE doc_id % 4 WHEN 2 THEN 16 ELSE 8 END AS cdy
   FROM documents),
 xs AS (SELECT * FROM d, unnest(range(0, w)) u(x)),
 xy AS (SELECT xs.*, y FROM xs, unnest(range(0, h)) v(y)),
 yc AS (
   SELECT doc_id, variant, w, h, x, y,
          (doc_id * 29 + (x // 8) * 31 + (y // 8) * 37) % 256 AS yv,
-         CASE variant
-           WHEN 1 THEN (doc_id * 17 + (x // 8) * 11 + (y // 8) * 41) % 256
-           ELSE (doc_id * 17 + (x // 16) * 11 + (y // 16) * 41) % 256
-         END - 128 AS cb,
-         CASE variant
-           WHEN 1 THEN (doc_id * 23 + (x // 8) * 13 + (y // 8) * 43) % 256
-           ELSE (doc_id * 23 + (x // 16) * 13 + (y // 16) * 43) % 256
-         END - 128 AS cr
+         (doc_id * 17 + (x // cdx) * 11 + (y // cdy) * 41) % 256 - 128 AS cb,
+         (doc_id * 23 + (x // cdx) * 13 + (y // cdy) * 43) % 256 - 128 AS cr
   FROM xy),
 px AS (
   SELECT doc_id, w, h,

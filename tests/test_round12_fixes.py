@@ -268,8 +268,8 @@ def test_jpeg_ac_runlength_decode_matches_reference_idct(spark):
 
 
 def test_jpeg_dc_only_variants_closed_form(spark):
-    """synth_jpeg's three scan shapes (gray / 4:4:4 / 4:2:0 + DRI)
-    decode to the closed-form pixels the SQL oracle replays."""
+    """synth_jpeg's four scan shapes (gray / 4:4:4 / 4:2:0 + DRI /
+    4:2:2) decode to the closed-form pixels the SQL oracle replays."""
     import numpy as np
 
     from duo_spark.operators.multimodal import (
@@ -283,13 +283,13 @@ def test_jpeg_dc_only_variants_closed_form(spark):
         return max(0, min(255, int(np.floor(x + 0.5))))
 
     for mid in (0, 1, 2, 3, 4, 5, 10, 11):
-        v = mid % 3
+        v = mid % 4
         if v == 0:
             w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
-        elif v == 1:
-            w = h = 16
-        else:
+        elif v == 2:
             w, h = 16 * (1 + mid % 2), 16
+        else:
+            w = h = 16
         dw, dh, px = _jpeg_reconstruct(synth_jpeg(mid))
         assert (dw, dh) == (w, h)
         for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
@@ -297,9 +297,10 @@ def test_jpeg_dc_only_variants_closed_form(spark):
             if v == 0:
                 exp = (yv, yv, yv)
             else:
-                d = 8 if v == 1 else 16
-                cb = (mid * 17 + (x // d) * 11 + (y // d) * 41) % 256 - 128
-                cr = (mid * 23 + (x // d) * 13 + (y // d) * 43) % 256 - 128
+                dx = 8 if v == 1 else 16
+                dy = 16 if v == 2 else 8
+                cb = (mid * 17 + (x // dx) * 11 + (y // dy) * 41) % 256 - 128
+                cr = (mid * 23 + (x // dx) * 13 + (y // dy) * 43) % 256 - 128
                 exp = (
                     clamp(yv + 1.402 * cr),
                     clamp(yv - 0.344136 * cb - 0.714136 * cr),
