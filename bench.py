@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "ngram_diversity_approx",
     "curation_funnel",
     "curation_funnel_sd",
+    "doremi_weights",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "dsir_select",

@@ -190,3 +190,102 @@ def dsir_select(
     )
     # TakeOrderedAndProject: per-partition k-heaps, driver merge of k.
     return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "loss",
+    ref_loss_col: str | None = None,
+    *,
+    eta: float = 1.0,
+    steps: int = 10,
+    smoothing: float = 1e-3,
+) -> DataFrame:
+    """Domain-mixture reweighting in the DoReMi shape (Xie et al.
+    2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): per-domain EXCESS loss (clipped at 0) drives
+    multiplicative-weights updates, and the released mixture is the
+    step-AVERAGED softmax blended with uniform — upweighting the
+    domains a proxy model finds reducible-but-unreduced.
+
+    This batch analog takes the per-document proxy loss as a COLUMN
+    (the paper trains a proxy LM online; here any scorer the repo
+    already gates works — the gate feeds ``bigram_lm``).
+    ``ref_loss_col`` supplies the per-document reference loss; when
+    None the reference is the corpus-wide mean loss, so excess_i =
+    max(0, mean_i − global_mean). With a static excess the DoReMi
+    trajectory is closed-form per step t — α_t = softmax(η·t·excess)
+    from a uniform α₀ — and the released weight is the average over
+    ``steps`` of those softmaxes, then ``(1−smoothing)·ᾱ +
+    smoothing/k`` (the paper's uniform smoothing).
+
+    Scale shape: ONE map-side-combined aggregate to |domains| rows;
+    the update trajectory is solved DRIVER-side over that bounded
+    table (same class as tune_lsh_bands' S-curve solver — never a
+    per-document iteration). NULL domains form their own group; docs
+    with NULL loss don't score (mean/count ignore them).
+
+    Returns ``(domain_col, n_docs, mean_loss, excess, weight)``
+    rounded to 6 dp, weights summing to ~1.
+    """
+    import math
+
+    excess_src = (
+        F.col(loss_col) - F.col(ref_loss_col)
+        if ref_loss_col
+        else F.col(loss_col)
+    )
+    per = (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(loss_col).alias("n_docs"),
+            F.avg(loss_col).alias("mean_loss"),
+            F.avg(excess_src).alias("_mean_excess_src"),
+        )
+        .collect()
+    )
+    if not per:
+        raise ValueError("doremi_weights: empty input")
+    if ref_loss_col:
+        base = {r[0]: float(r["_mean_excess_src"] or 0.0) for r in per}
+    else:
+        tot_n = sum(r["n_docs"] for r in per)
+        tot = sum(
+            (r["mean_loss"] or 0.0) * r["n_docs"] for r in per
+        )
+        gmean = tot / tot_n if tot_n else 0.0
+        base = {
+            r[0]: (float(r["mean_loss"]) - gmean)
+            if r["mean_loss"] is not None
+            else 0.0
+            for r in per
+        }
+    domains = [r[0] for r in per]
+    excess = {d: max(0.0, base[d]) for d in domains}
+    k = len(domains)
+    avg = {d: 0.0 for d in domains}
+    for t in range(1, steps + 1):
+        ex = [math.exp(eta * t * excess[d]) for d in domains]
+        z = sum(ex)
+        for d, e in zip(domains, ex):
+            avg[d] += e / z / steps
+    weight = {d: (1.0 - smoothing) * avg[d] + smoothing / k for d in domains}
+    rows = [
+        (
+            r[0],
+            int(r["n_docs"]),
+            round(float(r["mean_loss"]), 6) if r["mean_loss"] is not None else None,
+            round(excess[r[0]], 6),
+            round(weight[r[0]], 6),
+        )
+        for r in per
+    ]
+    schema = (
+        df.select(domain_col).schema[0].dataType.simpleString()
+    )
+    return df.sparkSession.createDataFrame(
+        rows,
+        f"{domain_col} {schema}, n_docs long, mean_loss double, "
+        "excess double, weight double",
+    )

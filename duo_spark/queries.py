@@ -7804,6 +7804,80 @@ FROM d2 LEFT JOIN th ON th.lang IS NOT DISTINCT FROM d2.lang
 """
 
 
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-mixture reweighting (operators/selection.py
+    doremi_weights, Xie et al. 2023, round 12): per-source excess
+    bigram-LM loss (clipped at 0, reference = corpus mean) drives
+    step-averaged multiplicative-weights softmax, blended with
+    uniform smoothing — the domains the proxy scorer finds hardest
+    get upweighted. One |domains|-row aggregate; the trajectory is
+    solved driver-side over that bounded table. The oracle replays
+    the full chain: bigram-LM replay -> per-domain means -> the
+    10-step softmax average in SQL."""
+    from duo_spark.operators.selection import doremi_weights
+    from duo_spark.operators.text import bigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source").join(
+        bigram_lm_score(docs, "doc_id", "text", 0.5).select(
+            "doc_id", "bigram_lm"
+        ),
+        "doc_id",
+        "left",
+    )
+    return doremi_weights(
+        scored, "source", "bigram_lm", eta=1.0, steps=10, smoothing=1e-3
+    )
+
+
+SQL_DOREMI_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+uni AS (
+  SELECT t AS w1, CAST(count(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) u(i)
+  WHERE len(ts) >= 2),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM pairs GROUP BY 1, 2),
+sc AS (
+  SELECT p.doc_id,
+         round(avg(ln((u.c1 + 0.5 * v.v) / (b.c2 + 0.5))), 6) AS bigram_lm
+  FROM pairs p
+  JOIN bi b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v
+  GROUP BY p.doc_id),
+d2 AS (
+  SELECT d.doc_id, d.source, sc.bigram_lm
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+per AS (
+  SELECT source, count(bigram_lm) AS n_docs, avg(bigram_lm) AS mean_loss
+  FROM d2 GROUP BY source),
+g AS (SELECT sum(mean_loss * n_docs) / sum(n_docs) AS gmean FROM per),
+e AS (
+  SELECT source, n_docs, mean_loss,
+         greatest(0.0, coalesce(mean_loss - (SELECT gmean FROM g), 0.0))
+           AS excess
+  FROM per),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM e),
+tr AS (
+  SELECT e.source, t, exp(1.0 * t * e.excess) AS ew
+  FROM e, unnest(generate_series(1, 10)) s(t)),
+z AS (SELECT t, sum(ew) AS z FROM tr GROUP BY t),
+a AS (
+  SELECT source, sum(ew / z.z) / 10 AS abar
+  FROM tr JOIN z USING (t) GROUP BY source)
+SELECT e.source, CAST(e.n_docs AS BIGINT) AS n_docs,
+       round(e.mean_loss, 6) AS mean_loss,
+       round(e.excess, 6) AS excess,
+       round((1 - 0.001) * a.abar + 0.001 / (SELECT k FROM kk), 6) AS weight
+FROM e JOIN a ON a.source IS NOT DISTINCT FROM e.source
+"""
+
+
 def q_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeat manifest (operators/sampling.py
     epoch_repeats): the epoch_allocation plan materialized —
@@ -7910,14 +7984,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
     "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     # --- below the driver window: remaining r9-green entries (lead
     # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),

@@ -118,6 +118,8 @@ def test_round12_window_holds_stale_debt_and_changes():
         # funnel gate re-enters under rule 2 as well
         "curation_funnel_sd",
         "curation_funnel",
+        # DoReMi domain-mixture reweighting (Xie 2023)
+        "doremi_weights",
     }
     for group in (r7_stale, r12_changed, r12_added):
         missing = group - set(window)

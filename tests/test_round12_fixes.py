@@ -423,3 +423,32 @@ def test_curation_ladder_sentence_stage(spark):
     assert [r.stage for r in base["funnel"].collect()] == [
         "quality", "language", "blocklist", "exact_dedup", "near_dedup",
     ]
+
+
+def test_doremi_weights_upweights_high_excess_domains(spark):
+    """DoReMi shape: domains above the corpus-mean loss get positive
+    excess and a larger-than-uniform weight; weights sum to ~1; NULL
+    domain and NULL loss survive the aggregate."""
+    from duo_spark.operators.selection import doremi_weights
+
+    df = spark.createDataFrame(
+        [("web", 2.0), ("web", 2.2), ("books", 1.1),
+         ("code", 3.5), ("code", 3.1), (None, 2.6), ("web", None)],
+        "source string, loss double",
+    )
+    out = {r.source: r for r in
+           doremi_weights(df, "source", "loss", eta=0.5, steps=5).collect()}
+    assert out["code"].excess > 0 and out["books"].excess == 0.0
+    assert out["code"].weight > 0.25 > out["books"].weight
+    assert out[None].n_docs == 1  # NULL domain is its own group
+    assert out["web"].n_docs == 2  # NULL loss not counted
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+
+    # closed form at steps=1: softmax(eta * excess) blended w/ uniform
+    import math
+    ex = {d: out[d].excess for d in out}
+    z = sum(math.exp(0.5 * e) for e in ex.values())
+    want = (1 - 1e-3) * math.exp(0.5 * ex["code"]) / z + 1e-3 / 4
+    got = {r.source: r for r in
+           doremi_weights(df, "source", "loss", eta=0.5, steps=1).collect()}
+    assert abs(got["code"].weight - want) < 2e-6
