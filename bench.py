@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "curation_funnel",
     "curation_funnel_sd",
     "doremi_weights",
+    "line_filter",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "dsir_select",

@@ -1342,3 +1342,63 @@ def ccnet_buckets(
     return scored.join(
         F.broadcast(th), F.col(lang_col).eqNullSafe(F.col("_lang_th")), "left"
     ).select(id_col, lang_col, "bigram_lm", bucket.alias("bucket"))
+
+
+def line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep_pattern: str = r"\n",
+    min_words: int = 3,
+    drop_no_letter: bool = True,
+    drop_bullet: bool = True,
+    require_terminal: bool = False,
+    join_sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 /
+    RefinedWeb line-wise corrections, round 12): split each document
+    into lines, keep only lines that pass the rules, and return the
+    rewritten document next to its attrition counts — nav chrome,
+    bullets, and numeric debris removed line-by-line instead of
+    dropping the whole doc.
+
+    Rules (each a flag parameter): at least ``min_words`` whitespace
+    words; contains at least one letter (``drop_no_letter`` — kills
+    timestamps/page numbers); does not start with a bullet glyph
+    (``drop_bullet``: ``- * •``); ends with terminal punctuation
+    (``require_terminal`` — C4's "terminal punctuation mark" rule,
+    off by default because it is aggressive outside web prose).
+
+    Returns ``(id_col, n_lines, n_kept, text_clean)`` — empty docs
+    keep a row with zeros, all-filtered docs get ``text_clean = ''``.
+
+    Scale shape: pure Column algebra — one split + array filter +
+    join riding the scan; no shuffle, no UDF, no per-line explode
+    (the per-doc array form keeps it one row in, one row out). All
+    single-parameter higher-order lambdas (the two-parameter form is
+    silently (element, index) in PySpark).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), sep_pattern), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+    def _keep(line):
+        words = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != ""))
+        cond = words >= F.lit(min_words)
+        if drop_no_letter:
+            cond = cond & line.rlike("[A-Za-z]")
+        if drop_bullet:
+            cond = cond & ~line.rlike("^[-*•]")
+        if require_terminal:
+            cond = cond & line.rlike("[.!?]$")
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, join_sep).alias("text_clean"),
+    )

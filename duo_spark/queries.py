@@ -6746,6 +6746,59 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/text.py line_filter,
+    Raffel 2020 §2.2, round 12): each doc split into sentinel-marked
+    sentence-lines (the dotted-corpus boundaries the sentence gates
+    pin), lines kept only if >= 3 words, containing a letter, not
+    bullet-led, and terminally punctuated; returns the rewritten doc
+    plus attrition counts. Pure Column split/filter/join riding the
+    scan — no shuffle, no explode."""
+    from duo_spark.operators import text
+
+    docs = _dotted_docs(spark, sf_dir)
+    marked = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"([.!?]+)", "$1").alias("text"),
+    )
+    return text.line_filter(
+        marked,
+        sep_pattern="",
+        min_words=3,
+        drop_no_letter=True,
+        drop_bullet=True,
+        require_terminal=True,
+        join_sep=" ",
+    )
+
+
+SQL_LINE_FILTER = r"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'table', 'table.', 'g'),
+                        '([.!?]+)', '\1' || chr(1), 'g') AS mt
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(mt, chr(1)), p -> trim(p)),
+                     p -> p != '') AS lines
+  FROM m),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, p ->
+             len(list_filter(string_split_regex(p, '\s+'), t -> t != '')) >= 3
+             AND regexp_matches(p, '[A-Za-z]')
+             AND NOT regexp_matches(p, '^[-*•]')
+             AND regexp_matches(p, '[.!?]$')) AS kept
+  FROM l)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       coalesce(array_to_string(kept, ' '), '') AS text_clean
+FROM k
+"""
+
+
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric-mechanism noisy count release (operators/validate.py
     dp_noisy_counts, Ghosh 2009): per-event-type counts with
@@ -7985,13 +8038,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
+    "line_filter": (q_line_filter, SQL_LINE_FILTER),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     # --- below the driver window: remaining r9-green entries (lead
     # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

@@ -120,6 +120,8 @@ def test_round12_window_holds_stale_debt_and_changes():
         "curation_funnel",
         # DoReMi domain-mixture reweighting (Xie 2023)
         "doremi_weights",
+        # C4-style line-level cleaning (Raffel 2020)
+        "line_filter",
     }
     for group in (r7_stale, r12_changed, r12_added):
         missing = group - set(window)

@@ -452,3 +452,26 @@ def test_doremi_weights_upweights_high_excess_domains(spark):
     got = {r.source: r for r in
            doremi_weights(df, "source", "loss", eta=0.5, steps=1).collect()}
     assert abs(got["code"].weight - want) < 2e-6
+
+
+def test_line_filter_rules(spark):
+    """C4 line rules: min-words, letter requirement, bullet drop,
+    terminal punctuation; counts + rewrite; empty docs keep a row."""
+    from duo_spark.operators.text import line_filter
+
+    df = spark.createDataFrame(
+        [(1, "A good long line here.\n- bullet line with words.\n"
+             "12345 67 89\nshort one\nAnother keeper line."),
+         (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           line_filter(df, require_terminal=True).collect()}
+    assert (out[1].n_lines, out[1].n_kept) == (5, 2)
+    assert out[1].text_clean == "A good long line here.\nAnother keeper line."
+    assert (out[2].n_lines, out[2].n_kept, out[2].text_clean) == (0, 0, "")
+    assert (out[3].n_lines, out[3].n_kept, out[3].text_clean) == (0, 0, "")
+    # terminal rule off: 'short one' still fails min_words, numeric
+    # line still fails the letter rule, bullet still drops
+    loose = {r.doc_id: r for r in line_filter(df).collect()}
+    assert loose[1].n_kept == 2
