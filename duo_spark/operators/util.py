@@ -190,6 +190,8 @@ def collect_vector_matrix(
     first = df.select(vec_col).limit(1).collect()
     if not first:
         raise ValueError(f"{what} is empty")
+    if first[0][0] is None:
+        raise ValueError(f"{what} has a NULL {vec_col} vector")
     dim = len(first[0][0])
     row_budget = max_bytes // max(dim * 8, 1)
     allowed = min(max_rows, row_budget)
