@@ -150,8 +150,9 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
     Handles BMP's 4-byte row padding and bottom-up row order (row
     order cannot change the sums, but the stride walk must be right
     or channels smear across columns). A leading PNG signature
-    dispatches to :func:`decode_png` (round 11) so one image hook
-    covers all three containers.
+    dispatches to :func:`decode_png` (round 11) and an SOI marker to
+    :func:`decode_jpeg` (round 12), so one image hook covers all
+    four containers.
 
     The pixel reduction is numpy-vectorized (VERDICT r10 #3): rows
     reshape as ``(height, stride)``, the pad columns slice off, and
@@ -178,7 +179,9 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
         width, height, px = _ppm_pixels(content)
         sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         return width, height, int(sums[0]), int(sums[1]), int(sums[2])
-    raise ValueError("unsupported image container (need BMP, P6 PPM, or PNG)")
+    raise ValueError(
+        "unsupported image container (need BMP, P6 PPM, PNG, or JPEG)"
+    )
 
 
 def _bmp_bgr_rows(content: bytes):
@@ -741,7 +744,7 @@ def synth_jpeg(media_id: int) -> bytes:
     closed-form decode: flat quant table (all 8s) and DC-only blocks,
     so the dequantized DC ``c*8`` IDCTs to the exact constant ``c``
     per block (orthonormal DC basis is 1/8) and the decoded pixel is
-    ``128 + c`` with zero rounding ambiguity. ``media_id % 3`` picks
+    ``128 + c`` with zero rounding ambiguity. ``media_id % 4`` picks
     the scan shape:
 
     - 0: grayscale, ``8*(2 + id%3) x 8*(2 + id%2)`` px

@@ -25,11 +25,19 @@ Everything is whole-stage-codegen Column math: hash → (bucket, rho)
 in the scan projection, then two hash aggregates (max per register,
 sum per group). No UDFs, no shuffle wider than group×m rows.
 
-Small-range bias correction (linear counting) is intentionally NOT
-applied: it needs ``ln``, whose last-ulp behavior differs across
-libms, and the gate compares bits. Production use would wrap the
-estimate in the standard correction; the register table is identical
-either way.
+Small-range bias correction (linear counting) is OFF by default for
+the reason the original design refused it: it needs ``ln``, whose
+last-ulp behavior can differ across libms, and the gates compare
+bits. The raw-estimate gates (hll_distinct, hll_rollup, hll_sliding,
+hll_audience_overlap) stay ln-free. Round 12 added an OPT-IN
+``small_correct=True`` (used by ngram_diversity_approx, whose tiny
+test-corpus cardinalities sit squarely in the raw formula's
+saturation zone): ``floor(m·ln(m/V))`` admits a cross-libm floor
+flip only when the true value lies within ~1 ulp of an integer —
+m·ln(m/V) is irrational for 0 < V < m (and exactly 0 at V=m, which
+both engines hit precisely), so over the ≤4095 possible V values the
+flip exposure is measure-~1e-9, accepted and documented rather than
+bit-perfect.
 """
 
 from __future__ import annotations
@@ -70,6 +78,7 @@ def hll_sketch(
     group_cols: list[str],
     value_col: str,
     m: int = 256,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-group HLL register table: one row per (group, bucket) with
     the max rho observed. Missing buckets mean register value 0.
@@ -77,17 +86,26 @@ def hll_sketch(
     Columns: ``*group_cols, bucket, register``. ONE hash aggregate —
     partials combine map-side with ``max``, so the shuffle carries at
     most ``groups x m`` rows however big the input is.
+
+    ``count_col`` (round 12) additionally carries the per-bucket
+    OCCURRENCE count through the same aggregate, so a caller needing
+    both a total and a distinct estimate (ngram_diversity approx)
+    gets them from ONE scan + ONE bounded shuffle instead of two
+    independent aggregates over the exploded input.
     """
     h = _hash31(F.col(value_col))
     w = F.floor(h / m).cast("long")
     rho = F.when(w == 0, F.lit(_FP)).otherwise(
         F.lit(_FP) - F.length(F.bin(w))
     )
+    aggs = [F.max("rho").alias("register")]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, (h % m).alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("register"))
+        .agg(*aggs)
     )
 
 

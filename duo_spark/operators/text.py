@@ -1101,7 +1101,7 @@ def ngram_diversity(
     that tolerates it; the estimate is bit-deterministic (integer
     registers, one float divide), so the same SQL oracle replays it.
     """
-    from duo_spark.operators.sketch import approx_distinct
+    from duo_spark.operators.sketch import hll_estimate, hll_sketch
 
     parts = []
     for n in ns:
@@ -1110,14 +1110,27 @@ def ngram_diversity(
         ).filter(F.col("_g") != "")
         if approx:
             gh = F.conv(F.substring(F.md5("_g"), 1, 13), 16, 10).cast("long")
-            est = approx_distinct(
+            # ONE scan + ONE register-bounded shuffle for BOTH numbers:
+            # the (register, count) table carries the occurrence total
+            # through the same aggregate, and the <= m-row result is
+            # lazily checkpointed so its two consumers (total sum,
+            # estimate) never re-run the explode (round-12 review fix —
+            # the first cut ran two independent aggregates over the
+            # exploded grams, doubling the scan on the exact hot path
+            # this mode exists to bound)
+            sk = hll_sketch(
                 grams.select(gh.alias("_gh")), [], "_gh", m,
-                small_correct=True,
+                count_col="_cnt",
+            ).localCheckpoint(eager=False)
+            est = hll_estimate(
+                sk.select("bucket", "register"), [], m, small_correct=True
             ).select(F.col("estimate").alias("distinct_ngrams"))
-            # two 1-row aggregates: the crossJoin is a broadcast of
-            # single rows, not a data-scale product
+            # two 1-row aggregates over the checkpointed m-row table:
+            # the crossJoin is a broadcast of single rows
             agg = (
-                grams.agg(F.count(F.lit(1)).alias("total_ngrams"))
+                sk.agg(
+                    F.coalesce(F.sum("_cnt"), F.lit(0)).alias("total_ngrams")
+                )
                 .crossJoin(F.broadcast(est))
             )
         else:
