@@ -303,9 +303,15 @@ def _png_reconstruct(content: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2, 3, 6):
+    if not (
+        bit_depth == 8
+        and color_type in (0, 2, 3, 6)
+        or bit_depth == 16
+        and color_type in (0, 2)
+    ):
         raise ValueError(
-            f"only 8-bit grayscale/RGB/palette/RGBA PNG supported "
+            f"only 8-bit grayscale/RGB/palette/RGBA and 16-bit "
+            f"grayscale/RGB PNG supported "
             f"(depth={bit_depth}, color type={color_type})"
         )
     if interlace != 0:
@@ -313,7 +319,11 @@ def _png_reconstruct(content: bytes):
     if color_type == 3 and (plte is None or len(plte) % 3 or not plte):
         raise ValueError("palette PNG missing a valid PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
-    stride = width * ch
+    # the filter predictor offset is BYTES-per-pixel (RFC 2083 §6.2's
+    # "bpp"), so at 16-bit depth the Sub/Average/Paeth lanes are the
+    # individual sample BYTES two apart — NOT the 16-bit samples
+    bpp = ch * (bit_depth // 8)
+    stride = width * bpp
     raw = zlib.decompress(b"".join(idat))
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG pixel data")
@@ -332,16 +342,16 @@ def _png_reconstruct(content: bytes):
         elif f == 2:  # Up
             cur = (row + prev) & 0xFF
         elif f == 1:  # Sub: per-lane prefix sum; mod folds at the end
-            cur = (row.reshape(width, ch).cumsum(axis=0) & 0xFF).reshape(-1)
+            cur = (row.reshape(width, bpp).cumsum(axis=0) & 0xFF).reshape(-1)
         elif f in (3, 4):  # Average / Paeth: sequential reconstruction
             cur = np.empty(stride, dtype=np.int64)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 if f == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = prev[x - ch] if x >= ch else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -350,6 +360,10 @@ def _png_reconstruct(content: bytes):
             raise ValueError(f"bad PNG filter type {f} on row {y}")
         out[y] = cur
         prev = cur
+    if bit_depth == 16:
+        # network-order 16-bit samples -> 8-bit by high byte (the
+        # standard display downsample; exact when samples are v*257)
+        out = out[:, 0::2]
     if color_type == 0:
         # grayscale (round 12): expand to RGB by channel broadcast so
         # every caller keeps the (h, w*3) contract
@@ -1552,11 +1566,14 @@ def _png_container(
     ch: int,
     raw_rows: list[bytes],
     plte: bytes | None = None,
+    bit_depth: int = 8,
 ) -> bytes:
     """Assemble a CRC-correct PNG from raw (unfiltered) scanlines,
     filtering row y with type ``y % 5`` so every RFC 2083 filter path
     runs — the shared encoder core of :func:`synth_png`,
-    :func:`synth_png_gray` and :func:`synth_png_palette`."""
+    :func:`synth_png_gray`, :func:`synth_png_palette` and
+    :func:`synth_png_gray16`. ``ch`` is the filter offset in BYTES
+    per pixel (so 2 for 16-bit grayscale)."""
     import struct
     import zlib
 
@@ -1593,7 +1610,9 @@ def _png_container(
             + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
         out += chunk(b"PLTE", plte)
@@ -1613,6 +1632,26 @@ def synth_png_gray(media_id: int) -> bytes:
         for y in range(height)
     ]
     return _png_container(width, height, 0, 1, raw_rows)
+
+
+def synth_png_gray16(media_id: int) -> bytes:
+    """Deterministic 16-bit grayscale (color type 0, depth 16) PNG —
+    same dimensions as :func:`synth_png`; 16-bit sample (x, y) =
+    ``((media_id*5 + x*11 + y*3) % 256) * 257`` (v*257 = both bytes
+    equal to v, so the decoder's high-byte downsample reproduces the
+    8-bit gray formula EXACTLY and the type-0 oracle closed form
+    carries over unchanged). Row y filtered with type ``y % 5`` at
+    the 2-byte filter offset."""
+    width = 8 + media_id % 9
+    height = 8 + media_id % 7
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (media_id * 5 + x * 11 + y * 3) % 256
+            row += bytes((v, v))  # v*257 big-endian == (v, v)
+        raw_rows.append(bytes(row))
+    return _png_container(width, height, 0, 2, raw_rows, bit_depth=16)
 
 
 def synth_png_palette(media_id: int) -> bytes:

@@ -7215,22 +7215,27 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered with type y % 5 so every RFC 2083 filter path
     (None/Sub/Up/Average/Paeth) runs — is synthesized from closed-form
     pixels, inflated + unfiltered in one mapInPandas pass, and reduced
-    to exact per-channel sums. doc_id % 3 picks the container variant:
+    to exact per-channel sums. doc_id % 4 picks the container variant:
     0 → grayscale (color type 0, channel broadcast), 1 → truecolor
-    (type 2), 2 → palette (type 3, PLTE indirection). The oracle
-    replays the pixel formula — including the palette composition —
-    over the (x, y) grid; a filter, predictor, broadcast or PLTE bug
-    reconstructs different bytes and mismatches."""
+    (type 2), 2 → palette (type 3, PLTE indirection), 3 → 16-bit
+    grayscale (depth 16, 2-byte filter offset, high-byte downsample —
+    samples are v*257 so the variant-0 closed form carries over
+    exactly). The oracle replays the pixel formula — including the
+    palette composition — over the (x, y) grid; a filter, predictor,
+    broadcast, PLTE or byte-order bug reconstructs different bytes
+    and mismatches."""
     from duo_spark.operators.multimodal import (
         image_stats,
         synth_png,
         synth_png_gray,
+        synth_png_gray16,
         synth_png_palette,
     )
 
     def _png(doc_id):
-        variants = (synth_png_gray, synth_png, synth_png_palette)
-        return doc_id.map(lambda d: variants[int(d) % 3](int(d)))
+        variants = (synth_png_gray, synth_png, synth_png_palette,
+                    synth_png_gray16)
+        return doc_id.map(lambda d: variants[int(d) % 4](int(d)))
 
     png_udf = F.pandas_udf(_png, "binary")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -7250,26 +7255,26 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_DECODE_PNG = """
 WITH d AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
-         doc_id % 3 AS variant, 16 + doc_id % 5 AS psize
+         doc_id % 4 AS variant, 16 + doc_id % 5 AS psize
   FROM documents),
 xs AS (SELECT * FROM d, unnest(range(0, w)) u(x)),
 xy AS (SELECT xs.*, y FROM xs, unnest(range(0, h)) v(y)),
 px AS (
   SELECT doc_id, w, h,
          CASE variant
-           WHEN 0 THEN (doc_id * 5 + x * 11 + y * 3) % 256
            WHEN 1 THEN (doc_id * 5 + x * 11 + y * 3) % 256
-           ELSE (doc_id * 7 + ((x + y * 3 + doc_id) % psize) * 31) % 256
+           WHEN 2 THEN (doc_id * 7 + ((x + y * 3 + doc_id) % psize) * 31) % 256
+           ELSE (doc_id * 5 + x * 11 + y * 3) % 256
          END AS r,
          CASE variant
-           WHEN 0 THEN (doc_id * 5 + x * 11 + y * 3) % 256
            WHEN 1 THEN (doc_id + x * 13 + y * 7) % 256
-           ELSE (doc_id * 11 + ((x + y * 3 + doc_id) % psize) * 17) % 256
+           WHEN 2 THEN (doc_id * 11 + ((x + y * 3 + doc_id) % psize) * 17) % 256
+           ELSE (doc_id * 5 + x * 11 + y * 3) % 256
          END AS g,
          CASE variant
-           WHEN 0 THEN (doc_id * 5 + x * 11 + y * 3) % 256
            WHEN 1 THEN (doc_id * 2 + x + y * 19) % 256
-           ELSE (doc_id * 3 + ((x + y * 3 + doc_id) % psize) * 53) % 256
+           WHEN 2 THEN (doc_id * 3 + ((x + y * 3 + doc_id) % psize) * 53) % 256
+           ELSE (doc_id * 5 + x * 11 + y * 3) % 256
          END AS b
   FROM xy)
 SELECT doc_id AS media_id,

@@ -475,3 +475,36 @@ def test_line_filter_rules(spark):
     # line still fails the letter rule, bullet still drops
     loose = {r.doc_id: r for r in line_filter(df).collect()}
     assert loose[1].n_kept == 2
+
+
+def test_png_16bit_gray_and_truecolor(spark):
+    """16-bit PNG (round 12): the filter predictor offset is BYTES per
+    pixel, samples downsample by high byte. v*257 samples reproduce
+    the 8-bit closed form exactly; asymmetric bytes prove the high
+    byte (not the low) wins."""
+    from duo_spark.operators.multimodal import (
+        _png_container,
+        decode_png,
+        decode_rgb,
+        synth_png_gray16,
+    )
+
+    for mid in (0, 9, 20):
+        w, h = 8 + mid % 9, 8 + mid % 7
+        gw, gh, r, g, b = decode_png(synth_png_gray16(mid))
+        exp = sum((mid * 5 + x * 11 + y * 3) % 256
+                  for x in range(w) for y in range(h))
+        assert (gw, gh, r, g, b) == (w, h, exp, exp, exp)
+
+    w, h = 4, 3
+    rows = []
+    for _y in range(h):
+        row = bytearray()
+        for x in range(w):
+            for c in range(3):
+                row += bytes(((x * 40 + c) % 256, 0x7F))
+        rows.append(bytes(row))
+    dw, dh, px = decode_rgb(_png_container(w, h, 2, 6, rows, bit_depth=16))
+    assert (dw, dh) == (w, h)
+    assert all(px[0, x, c] == (x * 40 + c) % 256
+               for x in range(w) for c in range(3))
