@@ -252,9 +252,11 @@ def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
 
     Supports 8-bit grayscale (color type 0, round 12 — expanded to
     RGB by channel broadcast), truecolor (type 2), palette (type 3,
-    round 12 — one vectorized PLTE ``take()`` after unfiltering) and
-    RGBA (type 6, alpha excluded from the sums); 16-bit and
-    interlaced (Adam7) still raise. Unfiltering is
+    round 12 — one vectorized PLTE ``take()`` after unfiltering),
+    RGBA (type 6, alpha excluded from the sums), 16-bit gray/RGB
+    (round 12 — byte-offset filtering, high-byte downsample) and
+    Adam7 interlacing (round 12 — seven independently-unfiltered
+    passes scattered onto the (dy, dx) grid). Unfiltering is
     numpy-vectorized where the recurrence allows: None copies, Up is
     one vector add, Sub is a per-channel-lane cumsum (mod distributes
     over the prefix sum); Average and Paeth genuinely depend on the
@@ -268,6 +270,61 @@ def decode_png(content: bytes) -> tuple[int, int, int, int, int]:
     px = out.reshape(height, width, ch)[:, :, :3]
     sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
     return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), RFC 2083 §2.6
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, height: int, stride: int, bpp: int):
+    """Undo the per-scanline filters over ``height`` rows of
+    ``stride`` bytes starting at ``pos`` in the inflated stream —
+    all five RFC 2083 filter types; None/Up/Sub vectorized,
+    Average/Paeth per-byte (their predictors need already-
+    reconstructed neighbors). Returns ``(next_pos, (height, stride)
+    uint8)`` so Adam7 passes can chain through one stream."""
+    import numpy as np
+
+    need = height * (stride + 1)
+    if len(raw) < pos + need:
+        raise ValueError("truncated PNG pixel data")
+    arr = np.frombuffer(raw, np.uint8, count=need, offset=pos).reshape(
+        height, stride + 1
+    )
+    filters = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = np.empty((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-lane prefix sum; mod folds at the end
+            cur = (row.reshape(stride // bpp, bpp).cumsum(axis=0) & 0xFF).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth: sequential reconstruction
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = cur
+        prev = cur
+    return pos + need, out
 
 
 def _png_reconstruct(content: bytes):
@@ -314,8 +371,8 @@ def _png_reconstruct(content: bytes):
             f"grayscale/RGB PNG supported "
             f"(depth={bit_depth}, color type={color_type})"
         )
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3 and (plte is None or len(plte) % 3 or not plte):
         raise ValueError("palette PNG missing a valid PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
@@ -323,43 +380,23 @@ def _png_reconstruct(content: bytes):
     # "bpp"), so at 16-bit depth the Sub/Average/Paeth lanes are the
     # individual sample BYTES two apart — NOT the 16-bit samples
     bpp = ch * (bit_depth // 8)
-    stride = width * bpp
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) < height * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    arr = np.frombuffer(raw, np.uint8, count=height * (stride + 1)).reshape(
-        height, stride + 1
-    )
-    filters = arr[:, 0]
-    rows = arr[:, 1:].astype(np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    out = np.empty((height, stride), dtype=np.uint8)
-    for y in range(height):
-        f = int(filters[y])
-        row = rows[y]
-        if f == 0:  # None
-            cur = row
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif f == 1:  # Sub: per-lane prefix sum; mod folds at the end
-            cur = (row.reshape(width, bpp).cumsum(axis=0) & 0xFF).reshape(-1)
-        elif f in (3, 4):  # Average / Paeth: sequential reconstruction
-            cur = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (row[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f} on row {y}")
-        out[y] = cur
-        prev = cur
+    if interlace == 0:
+        out = _png_unfilter(raw, 0, height, width * bpp, bpp)[1]
+    else:
+        # Adam7 (round 12): seven sub-images, each filtered as an
+        # independent mini-PNG (predictor state resets per pass),
+        # scattered onto the full (dy, dx) grid
+        out = np.zeros((height, width * bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            pos, sub = _png_unfilter(raw, pos, ph, pw * bpp, bpp)
+            px = sub.reshape(ph, pw, bpp)
+            out.reshape(height, width, bpp)[y0::dy, x0::dx] = px
     if bit_depth == 16:
         # network-order 16-bit samples -> 8-bit by high byte (the
         # standard display downsample; exact when samples are v*257)
@@ -1577,13 +1614,38 @@ def _png_container(
     import struct
     import zlib
 
+    scanlines = _png_filter_rows(raw_rows, ch)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(scanlines))) + chunk(b"IEND", b"")
+
+
+def _png_filter_rows(raw_rows: list[bytes], ch: int) -> bytearray:
+    """Filter raw scanlines with type ``y % 5`` (every RFC 2083 filter
+    path) — shared by :func:`_png_container` and the per-pass Adam7
+    encoder :func:`synth_png_adam7`."""
     scanlines = bytearray()
-    zero = bytes(width * ch)
+    if not raw_rows:
+        return scanlines
+    zero = bytes(len(raw_rows[0]))
     for y, cur in enumerate(raw_rows):
         f = y % 5
         up = raw_rows[y - 1] if y > 0 else zero
         scanlines.append(f)
-        for x in range(width * ch):
+        for x in range(len(cur)):
             a = cur[x - ch] if x >= ch else 0
             b = up[x]
             if f == 0:
@@ -1601,6 +1663,40 @@ def _png_container(
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 enc = (cur[x] - pred) % 256
             scanlines.append(enc)
+    return scanlines
+
+
+def synth_png_adam7(media_id: int) -> bytes:
+    """Deterministic Adam7-INTERLACED truecolor PNG — the same pixel
+    formula as :func:`synth_png`, re-serialized as RFC 2083's seven
+    sub-images (each filtered independently with type ``pass_y % 5``,
+    predictor state reset per pass). Decoding must de-interlace the
+    passes back onto the (dy, dx) grid to land on the variant-1
+    closed form; a pass-order, pass-geometry, or predictor-reset bug
+    scrambles the channel sums."""
+    import struct
+    import zlib
+
+    width = 8 + media_id % 9
+    height = 8 + media_id % 7
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return (
+            (media_id * 5 + x * 11 + y * 3) % 256,
+            (media_id + x * 13 + y * 7) % 256,
+            (media_id * 2 + x + y * 19) % 256,
+        )
+
+    scanlines = bytearray()
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        xs = range(x0, width, dx)
+        ys = range(y0, height, dy)
+        if not xs or not ys:
+            continue
+        raw_rows = [
+            bytes(v for x in xs for v in px(x, y)) for y in ys
+        ]
+        scanlines += _png_filter_rows(raw_rows, 3)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         body = typ + data
@@ -1610,13 +1706,13 @@ def _png_container(
             + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(
-        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
     )
-    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-    if plte is not None:
-        out += chunk(b"PLTE", plte)
-    return out + chunk(b"IDAT", zlib.compress(bytes(scanlines))) + chunk(b"IEND", b"")
 
 
 def synth_png_gray(media_id: int) -> bytes:

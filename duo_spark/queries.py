@@ -7215,18 +7215,21 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered with type y % 5 so every RFC 2083 filter path
     (None/Sub/Up/Average/Paeth) runs — is synthesized from closed-form
     pixels, inflated + unfiltered in one mapInPandas pass, and reduced
-    to exact per-channel sums. doc_id % 4 picks the container variant:
+    to exact per-channel sums. doc_id % 5 picks the container variant:
     0 → grayscale (color type 0, channel broadcast), 1 → truecolor
     (type 2), 2 → palette (type 3, PLTE indirection), 3 → 16-bit
     grayscale (depth 16, 2-byte filter offset, high-byte downsample —
     samples are v*257 so the variant-0 closed form carries over
-    exactly). The oracle replays the pixel formula — including the
-    palette composition — over the (x, y) grid; a filter, predictor,
-    broadcast, PLTE or byte-order bug reconstructs different bytes
-    and mismatches."""
+    exactly), 4 → Adam7-interlaced truecolor (seven independently
+    unfiltered passes de-interlaced onto the (dy, dx) grid — same
+    closed form as variant 1). The oracle replays the pixel formula —
+    including the palette composition — over the (x, y) grid; a
+    filter, predictor, broadcast, PLTE, byte-order or pass-geometry
+    bug reconstructs different bytes and mismatches."""
     from duo_spark.operators.multimodal import (
         image_stats,
         synth_png,
+        synth_png_adam7,
         synth_png_gray,
         synth_png_gray16,
         synth_png_palette,
@@ -7234,8 +7237,8 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _png(doc_id):
         variants = (synth_png_gray, synth_png, synth_png_palette,
-                    synth_png_gray16)
-        return doc_id.map(lambda d: variants[int(d) % 4](int(d)))
+                    synth_png_gray16, synth_png_adam7)
+        return doc_id.map(lambda d: variants[int(d) % 5](int(d)))
 
     png_udf = F.pandas_udf(_png, "binary")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -7255,7 +7258,8 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_DECODE_PNG = """
 WITH d AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
-         doc_id % 4 AS variant, 16 + doc_id % 5 AS psize
+         CASE WHEN doc_id % 5 = 4 THEN 1 ELSE doc_id % 5 END AS variant,
+         16 + doc_id % 5 AS psize
   FROM documents),
 xs AS (SELECT * FROM d, unnest(range(0, w)) u(x)),
 xy AS (SELECT xs.*, y FROM xs, unnest(range(0, h)) v(y)),

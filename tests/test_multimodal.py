@@ -402,13 +402,13 @@ def test_decode_png_dispatch_and_rejects():
     bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(bad)
-    # 16-bit depth still rejected
-    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    # 16-bit palette is not a legal PNG combination — still rejected
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
     with pytest.raises(ValueError, match="depth"):
         decode_png(bad)
-    # interlaced
-    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-    with pytest.raises(ValueError, match="Adam7"):
+    # unknown interlace method (Adam7 itself is SUPPORTED since r12)
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7))
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(bad)
     # truncated IDAT
     bad = (

@@ -508,3 +508,22 @@ def test_png_16bit_gray_and_truecolor(spark):
     assert (dw, dh) == (w, h)
     assert all(px[0, x, c] == (x * 40 + c) % 256
                for x in range(w) for c in range(3))
+
+
+def test_png_adam7_deinterlaces_to_progressive_pixels(spark):
+    """Adam7 (round 12): seven independently-filtered passes must
+    de-interlace to EXACTLY the progressive-scan image's pixels."""
+    import numpy as np
+
+    from duo_spark.operators.multimodal import (
+        decode_png,
+        decode_rgb,
+        synth_png,
+        synth_png_adam7,
+    )
+
+    for mid in (0, 5, 17, 23):
+        assert decode_png(synth_png_adam7(mid)) == decode_png(synth_png(mid))
+        _w, _h, p1 = decode_rgb(synth_png_adam7(mid))
+        _w2, _h2, p2 = decode_rgb(synth_png(mid))
+        assert np.array_equal(p1, p2)
