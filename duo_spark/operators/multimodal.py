@@ -537,14 +537,17 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v
 
 
-def _jpeg_scan_segments(content: bytes, pos: int) -> list[bytes]:
+def _jpeg_scan_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
     """Unstuff the entropy-coded scan starting at ``pos`` into one
     bytes segment per restart interval (FF00 -> FF, FFD0-D7 split,
     FFD9/other marker ends the scan). find()-driven, so the copy work
-    is memchr-speed, not a per-byte Python loop."""
+    is memchr-speed, not a per-byte Python loop. Returns the segments
+    AND the position of the terminating marker, so a progressive
+    decoder can keep parsing the next scan."""
     segs: list[bytes] = []
     cur = bytearray()
     i, n = pos, len(content)
+    end = n
     while i < n:
         j = content.find(b"\xff", i)
         if j < 0:
@@ -562,9 +565,111 @@ def _jpeg_scan_segments(content: bytes, pos: int) -> list[bytes]:
         elif m == 0xFF:  # fill byte
             i = j + 1
         else:  # EOI or next marker
+            end = j
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, end
+
+
+def _jpeg_decode_block(
+    bits, blk, dc_lut, ac_lut, pred_ref, ss, se, ah, al, eobrun
+):
+    """Decode one block's contribution for the current scan — the
+    unified T.81 path: baseline is the degenerate progressive scan
+    (ss=0, se=63, ah=al=0). Returns (new_pred, new_eobrun).
+
+    - DC first (ss=0, ah=0): Huffman category + diff, point transform
+      ``<< al``; DC refinement (ah>0): one raw bit ORed in at al.
+    - AC first (ah=0): run/size with ZRL and EOBn (r>0,s=0 is an EOB
+      RUN of (1<<r)+bits blocks — degenerates to the baseline EOB at
+      r=0); AC refinement (ah>0): libjpeg's correction-bit walk
+      (T.81 G.1.2.3).
+    """
+    pred = pred_ref
+    if ss == 0:
+        if ah == 0:
+            p16 = bits.peek16()
+            s, ln = int(dc_lut[0][p16]), int(dc_lut[1][p16])
+            if ln == 0:
+                raise ValueError("bad DC Huffman code")
+            bits.drop(ln)
+            pred += _jpeg_extend(bits.get(s), s)
+            blk[0] = pred << al
+        else:
+            if bits.get(1):
+                blk[0] |= 1 << al
+        if se == 0:
+            return pred, eobrun
+    k = max(ss, 1)
+    if ah == 0:
+        # AC first scan (or baseline AC)
+        if eobrun > 0:
+            return pred, eobrun - 1
+        while k <= se:
+            p16 = bits.peek16()
+            rs, ln = int(ac_lut[0][p16]), int(ac_lut[1][p16])
+            if ln == 0:
+                raise ValueError("bad AC Huffman code")
+            bits.drop(ln)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.get(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _jpeg_extend(bits.get(s), s) << al
+            k += 1
+        return pred, eobrun
+    # AC refinement scan
+    p1, m1 = 1 << al, -1 << al
+    if eobrun == 0:
+        while k <= se:
+            p16 = bits.peek16()
+            rs, ln = int(ac_lut[0][p16]), int(ac_lut[1][p16])
+            if ln == 0:
+                raise ValueError("bad AC Huffman code")
+            bits.drop(ln)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.get(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement size")
+                val = p1 if bits.get(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if bits.get(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            if blk[k] != 0:
+                if bits.get(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return pred, eobrun
 
 
 def _jpeg_reconstruct(content: bytes):
@@ -587,13 +692,16 @@ def _jpeg_reconstruct(content: bytes):
     comps: list[dict] = []
     width = height = None
     restart = 0
+    mcux = mcuy = 0
     pos = 2
     n = len(content)
-    scan_pos = None
+    saw_scan = False
     while pos + 4 <= n:
         if content[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -618,92 +726,107 @@ def _jpeg_reconstruct(content: bytes):
                 syms = data[i + 17 : i + 17 + nsym]
                 (dc_tabs if tc == 0 else ac_tabs)[th] = (counts, syms)
                 i += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             _prec, height, width, nc = struct.unpack_from(">BHHB", data, 0)
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if len(comps) not in (1, 3):
+                raise ValueError(
+                    f"unsupported component count {len(comps)}"
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                # non-interleaved (single-component scan) block grid:
+                # ceil over the COMPONENT's own pixel dims (T.81 A.2.2)
+                comp_w = -(-width * c["h"] // hmax)
+                comp_h = -(-height * c["v"] // vmax)
+                c["nbw"] = -(-comp_w // 8)
+                c["nbh"] = -(-comp_h // 8)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline sequential JPEG (SOF0) supported, "
-                f"got SOF marker 0x{marker:02X}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"supported, got SOF marker 0x{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", data, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan inline
+            if width is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = data[0]
-            sel = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 15)
-            for comp in comps:
-                comp["td"], comp["ta"] = sel[comp["id"]]
-            scan_pos = pos + 2 + seglen
-            break
+                comp = next(x for x in comps if x["id"] == cs)
+                comp["td"], comp["ta"] = tt >> 4, tt & 15
+                scan_comps.append(comp)
+            ss, se, a = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            segs, end = _jpeg_scan_segments(content, pos + 2 + seglen)
+            # T.81: a scan is interleaved iff it holds >1 component;
+            # a single-component scan (baseline OR progressive) walks
+            # the component's own non-interleaved block grid
+            interleaved = ns > 1
+            if interleaved:
+                n_units = mcux * mcuy
+            else:
+                c0 = scan_comps[0]
+                n_units = c0["nbw"] * c0["nbh"]
+            per_seg = restart if restart else n_units
+            unit = 0
+            for seg in segs:
+                if unit >= n_units:
+                    break
+                bits = _JpegBits(seg)
+                pred = {c["id"]: 0 for c in comps}
+                eobrun = 0
+                for _ in range(min(per_seg, n_units - unit)):
+                    if interleaved:
+                        my, mx = divmod(unit, mcux)
+                        for c in scan_comps:
+                            dlut = _jpeg_huff_lut(*dc_tabs[c["td"]]) \
+                                if ss == 0 and ah == 0 else (None, None)
+                            alut = _jpeg_huff_lut(*ac_tabs[c["ta"]]) \
+                                if se > 0 else (None, None)
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    row = my * c["v"] + by
+                                    col = mx * c["h"] + bx
+                                    blk = c["coef"][row * c["bw"] + col]
+                                    pred[c["id"]], eobrun = _jpeg_decode_block(
+                                        bits, blk, dlut, alut,
+                                        pred[c["id"]], ss, se, ah, al,
+                                        eobrun,
+                                    )
+                    else:
+                        c = scan_comps[0]
+                        row, col = divmod(unit, c["nbw"])
+                        blk = c["coef"][row * c["bw"] + col]
+                        dlut = _jpeg_huff_lut(*dc_tabs[c["td"]]) \
+                            if ss == 0 and ah == 0 else (None, None)
+                        alut = _jpeg_huff_lut(*ac_tabs[c["ta"]]) \
+                            if se > 0 else (None, None)
+                        pred[c["id"]], eobrun = _jpeg_decode_block(
+                            bits, blk, dlut, alut, pred[c["id"]],
+                            ss, se, ah, al, eobrun,
+                        )
+                    unit += 1
+            saw_scan = True
+            pos = end
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if width is None or scan_pos is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    if len(comps) not in (1, 3):
-        raise ValueError(f"unsupported component count {len(comps)}")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-
-    segs = _jpeg_scan_segments(content, scan_pos)
-    n_mcus = mcux * mcuy
-    per_seg = restart if restart else n_mcus
-    mcu = 0
-    for seg in segs:
-        if mcu >= n_mcus:
-            break
-        bits = _JpegBits(seg)
-        pred = {c["id"]: 0 for c in comps}
-        for _ in range(min(per_seg, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
-                dlut_s, dlut_l = _jpeg_huff_lut(*dc_tabs[c["td"]])
-                alut_s, alut_l = _jpeg_huff_lut(*ac_tabs[c["ta"]])
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        blk = c["coef"][row * c["bw"] + col]
-                        p16 = bits.peek16()
-                        s, ln = int(dlut_s[p16]), int(dlut_l[p16])
-                        if ln == 0:
-                            raise ValueError("bad DC Huffman code")
-                        bits.drop(ln)
-                        pred[c["id"]] += _jpeg_extend(bits.get(s), s)
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            p16 = bits.peek16()
-                            rs, ln = int(alut_s[p16]), int(alut_l[p16])
-                            if ln == 0:
-                                raise ValueError("bad AC Huffman code")
-                            bits.drop(ln)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _jpeg_extend(bits.get(s), s)
-                            k += 1
-            mcu += 1
+    if width is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
 
     # dequant (zigzag domain) -> de-zigzag -> batched IDCT
     u = np.arange(8)
@@ -894,6 +1017,125 @@ def synth_jpeg(media_id: int) -> bytes:
     w.align()
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: tiny AC table for progressive scans: EOBn symbols 0x00-0x60 (EOB
+#: runs up to 2^7-1 blocks) — the Annex K baseline table carries no
+#: EOBn codes beyond plain EOB. Canonical counts [0,2,3,2]: len-2
+#: codes 0x00/0x10, len-3 0x20/0x30/0x40, len-4 0x50/0x60.
+_JPEG_PROG_AC = (
+    bytes([0, 2, 3, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]),
+    bytes([0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60]),
+)
+
+
+def synth_jpeg_progressive(media_id: int) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) JPEG with the same closed-form
+    DC-only decode as :func:`synth_jpeg`: flat quant 8s, per-block
+    value ``128 + dc``. ``media_id % 2`` picks the shape — 0:
+    grayscale ``8*(2+id%3) x 8*(2+id%2)``; 1: YCbCr 4:4:4 16x16.
+
+    The scan script exercises every progressive path the spec's
+    successive-approximation model has for DC plus the AC-first/EOBRUN
+    machinery: scan 1 codes DC diffs of the point-transformed
+    ``dc >> 1`` (Al=1, interleaved for color); per-component AC-first
+    scans (Ss=1..63, all-zero bands) cover whole block grids with
+    EOBn runs from a custom DHT (the Annex K table has no EOBn
+    codes); the final DC refinement scan (Ah=1, Al=0) appends each
+    block's low bit raw. Per-block values reuse synth_jpeg's Y/Cb/Cr
+    formulas, so the gate's closed-form oracle carries over."""
+    import struct
+
+    variant = media_id % 2
+    if variant == 0:
+        width, height = 8 * (2 + media_id % 3), 8 * (2 + media_id % 2)
+        comps = [(1, 1, 1)]
+    else:
+        width = height = 16
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+
+    def yval(bx: int, by: int) -> int:
+        return (media_id * 29 + bx * 31 + by * 37) % 256
+
+    def cbval(bx: int, by: int) -> int:
+        return (media_id * 17 + bx * 11 + by * 41) % 256
+
+    def crval(bx: int, by: int) -> int:
+        return (media_id * 23 + bx * 13 + by * 43) % 256
+
+    vals = (yval, cbval, crval)
+    bw, bh = width // 8, height // 8
+    dc_codes = _jpeg_canonical(*_JPEG_STD_DC)
+    prog_ac = _jpeg_canonical(*_JPEG_PROG_AC)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, h, v in comps:
+        sof += struct.pack(">BBB", cid, (h << 4) | v, 0)
+    out += seg(0xC2, sof)  # SOF2 progressive
+    out += seg(0xC4, bytes([0x00]) + _JPEG_STD_DC[0] + _JPEG_STD_DC[1])
+    out += seg(0xC4, bytes([0x10]) + _JPEG_PROG_AC[0] + _JPEG_PROG_AC[1])
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_of(ci: int, bx: int, by: int) -> int:
+        return vals[ci](bx, by) - 128
+
+    # scan 1: DC first, Al=1 (interleaved over all components)
+    out += sos([cid for cid, _h, _v in comps], 0, 0, 0, 1)
+    w = _JpegBitWriter()
+    pred = {cid: 0 for cid, _h, _v in comps}
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, _h, _v) in enumerate(comps):
+                hi = dc_of(ci, bx, by) >> 1  # arithmetic point transform
+                diff = hi - pred[cid]
+                pred[cid] = hi
+                s = abs(diff).bit_length()
+                code, ln = dc_codes[s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.align()
+    out += w.out
+
+    # per-component AC first scans: all-zero bands via EOBn runs
+    for cid, _h, _v in comps:
+        out += sos([cid], 1, 63, 0, 0)
+        w = _JpegBitWriter()
+        remaining = bw * bh
+        while remaining > 0:
+            r = min(6, remaining.bit_length() - 1)
+            run = min(remaining, (1 << (r + 1)) - 1)
+            code, ln = prog_ac[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(run - (1 << r), r)
+            remaining -= run
+        w.align()
+        out += w.out
+
+    # final scan: DC refinement, Ah=1, Al=0 — raw low bits
+    out += sos([cid for cid, _h, _v in comps], 0, 0, 1, 0)
+    w = _JpegBitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, _h, _v) in enumerate(comps):
+                w.put(dc_of(ci, bx, by) & 1, 1)
+    w.align()
+    out += w.out
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -7299,17 +7299,32 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized from closed-form DC-only blocks (synth_jpeg),
     entropy-decoded + dequantized + IDCT'd + color-converted in one
     mapInPandas pass, and reduced to exact per-channel sums.
-    doc_id % 4 picks the scan shape: 0 → grayscale, 1 → YCbCr 4:4:4,
+    doc_id % 6 picks the scan shape: 0 → grayscale, 1 → YCbCr 4:4:4,
     2 → YCbCr 4:2:0 with a restart marker (and DC-predictor reset)
     after every MCU, 3 → YCbCr 4:2:2 (the asymmetric horizontal-only
-    chroma upsample). The oracle replays
+    chroma upsample), 4 → PROGRESSIVE (SOF2) grayscale and 5 →
+    progressive YCbCr 4:4:4 (round 12 second pass: DC-first at Al=1,
+    per-component AC EOBn scans, DC-refinement — the
+    successive-approximation scan script). The oracle replays
     pixel = clamp(floor(colorconvert(128 + dc) + 0.5)) over the
     (x, y) grid; a Huffman, predictor, restart, upsample or color
     bug lands on different sums."""
-    from duo_spark.operators.multimodal import image_stats, synth_jpeg
+    from duo_spark.operators.multimodal import (
+        image_stats,
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
 
     def _jpg(doc_id):
-        return doc_id.map(lambda d: synth_jpeg(int(d)))
+        # doc_id % 6 >= 4 -> progressive container (its internal shape
+        # keys off doc_id % 2: gray / 4:4:4); otherwise the baseline
+        # container (shape keys off doc_id % 4). The oracle replays
+        # exactly this two-level residue mapping.
+        return doc_id.map(
+            lambda d: synth_jpeg_progressive(int(d))
+            if int(d) % 6 >= 4
+            else synth_jpeg(int(d))
+        )
 
     jpg_udf = F.pandas_udf(_jpg, "binary")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -7327,18 +7342,23 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL_DECODE_JPEG = """
-WITH d AS (
-  SELECT doc_id, doc_id % 4 AS variant,
-         CASE doc_id % 4
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 >= 4 THEN doc_id % 2
+              ELSE doc_id % 4 END AS variant
+  FROM documents),
+d AS (
+  SELECT doc_id, variant,
+         CASE variant
            WHEN 0 THEN 8 * (2 + doc_id % 3)
            WHEN 2 THEN 16 * (1 + doc_id % 2)
            ELSE 16 END AS w,
-         CASE doc_id % 4
+         CASE variant
            WHEN 0 THEN 8 * (2 + doc_id % 2)
            ELSE 16 END AS h,
-         CASE doc_id % 4 WHEN 1 THEN 8 ELSE 16 END AS cdx,
-         CASE doc_id % 4 WHEN 2 THEN 16 ELSE 8 END AS cdy
-  FROM documents),
+         CASE variant WHEN 1 THEN 8 ELSE 16 END AS cdx,
+         CASE variant WHEN 2 THEN 16 ELSE 8 END AS cdy
+  FROM d0),
 xs AS (SELECT * FROM d, unnest(range(0, w)) u(x)),
 xy AS (SELECT xs.*, y FROM xs, unnest(range(0, h)) v(y)),
 yc AS (

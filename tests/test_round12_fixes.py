@@ -320,11 +320,13 @@ def test_jpeg_rejects_progressive_and_garbage(spark):
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    sof2 = (b"\xff\xd8"
-            + struct.pack(">BBH", 0xFF, 0xC2, 11)
+    # SOF2 progressive is SUPPORTED since round 12; extended
+    # sequential (SOF1) and lossless (SOF3) still reject loud
+    sof1 = (b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC1, 11)
             + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
     with _pytest.raises(ValueError, match="SOF0"):
-        decode_jpeg(sof2)
+        decode_jpeg(sof1)
 
 
 def test_ngram_diversity_approx_tracks_exact(spark):
@@ -527,3 +529,216 @@ def test_png_adam7_deinterlaces_to_progressive_pixels(spark):
         _w, _h, p1 = decode_rgb(synth_png_adam7(mid))
         _w2, _h2, p2 = decode_rgb(synth_png(mid))
         assert np.array_equal(p1, p2)
+
+
+def test_jpeg_progressive_dc_only_matches_baseline(spark):
+    """synth_jpeg_progressive's scan script (DC-first Al=1 ->
+    per-component AC EOBn scans -> DC refinement) must reconstruct
+    exactly the closed-form pixels of the equivalent baseline
+    container."""
+    import numpy as np
+
+    from duo_spark.operators.multimodal import (
+        _jpeg_reconstruct,
+        synth_jpeg_progressive,
+    )
+
+    for mid in (0, 1, 4, 7, 9):
+        v = mid % 2
+        if v == 0:
+            w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+        else:
+            w = h = 16
+        dw, dh, px = _jpeg_reconstruct(synth_jpeg_progressive(mid))
+        assert (dw, dh) == (w, h)
+
+        def clamp(x):
+            return max(0, min(255, int(np.floor(x + 0.5))))
+
+        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 2)):
+            yv = (mid * 29 + (x // 8) * 31 + (y // 8) * 37) % 256
+            if v == 0:
+                exp = (yv, yv, yv)
+            else:
+                cb = (mid * 17 + (x // 8) * 11 + (y // 8) * 41) % 256 - 128
+                cr = (mid * 23 + (x // 8) * 13 + (y // 8) * 43) % 256 - 128
+                exp = (
+                    clamp(yv + 1.402 * cr),
+                    clamp(yv - 0.344136 * cb - 0.714136 * cr),
+                    clamp(yv + 1.772 * cb),
+                )
+            assert tuple(int(c) for c in px[y, x]) == exp, (mid, x, y)
+
+
+def _encode_gray_progressive_ac(width, height, coef_blocks, qtab):
+    """Test-local PROGRESSIVE encoder: DC-first (Al=0), then AC-first
+    at Al=1 (sign-magnitude point transform), then the AC refinement
+    scan with correction bits (T.81 G.1.2.2-3 / libjpeg
+    encode_mcu_AC_refine) — exercises the decoder's successive-
+    approximation AC paths with real nonzero coefficients."""
+    import struct
+
+    from duo_spark.operators.multimodal import (
+        _JPEG_STD_AC,
+        _JPEG_STD_DC,
+        _JPEG_ZIGZAG,
+        _jpeg_canonical,
+        _JpegBitWriter,
+    )
+
+    # refine-scan table: (r<<4)|1 for r=0..15, ZRL, EOB — 18 symbols
+    # all at code length 5 (canonical, kraft 18/32)
+    ref_counts = bytes([0, 0, 0, 0, 18, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+    ref_syms = bytes([(r << 4) | 1 for r in range(16)] + [0xF0, 0x00])
+    dc_codes = _jpeg_canonical(*_JPEG_STD_DC)
+    ac_codes = _jpeg_canonical(*_JPEG_STD_AC)
+    ref_codes = _jpeg_canonical(ref_counts, ref_syms)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtab))
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
+               + struct.pack(">BBB", 1, 0x11, 0))
+    out += seg(0xC4, bytes([0x00]) + _JPEG_STD_DC[0] + _JPEG_STD_DC[1])
+    out += seg(0xC4, bytes([0x10]) + _JPEG_STD_AC[0] + _JPEG_STD_AC[1])
+    out += seg(0xC4, bytes([0x11]) + ref_counts + ref_syms)
+
+    def sos(td_ta, ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, td_ta, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, full precision (Al=0)
+    out += sos(0x00, 0, 0, 0, 0)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in coef_blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.align()
+    out += w.out
+
+    # scan 2: AC first at Al=1 — sign-magnitude point transform
+    out += sos(0x00, 1, 63, 0, 1)
+    w = _JpegBitWriter()
+    for blk in coef_blocks:
+        run = 0
+        last = max((k for k in range(1, 64)
+                    if abs(blk[k]) >> 1 != 0), default=0)
+        for k in range(1, last + 1):
+            v = blk[k]
+            t = abs(v) >> 1
+            if t == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = t.bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            w.put(code, ln)
+            mag = t if v >= 0 else -t
+            w.put(mag if mag >= 0 else mag + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]
+            w.put(code, ln)
+    w.align()
+    out += w.out
+
+    # scan 3: AC refinement at Al=0 (correction bits + new coefs)
+    out += sos(0x01, 1, 63, 1, 0)
+    w = _JpegBitWriter()
+    for blk in coef_blocks:
+        run = 0
+        br = []
+        for k in range(1, 64):
+            t = abs(blk[k])
+            if t == 0:
+                run += 1
+                continue
+            # ZRL flush must happen at ANY nonzero position (libjpeg
+            # encode_mcu_AC_refine order) so buffered correction bits
+            # never span past the 16-zero window the decoder walks
+            while run >= 16:
+                code, ln = ref_codes[0xF0]
+                w.put(code, ln)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                run -= 16
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # newly significant (|coef| == 1)
+            code, ln = ref_codes[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if blk[k] > 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            run = 0
+        code, ln = ref_codes[0x00]  # EOB run of 1
+        w.put(code, ln)
+        for b in br:
+            w.put(b, 1)
+    w.align()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_ac_refinement_matches_reference(spark):
+    """Random coefficients through the successive-approximation AC
+    scans (first at Al=1, refinement correction bits at Al=0) must
+    reconstruct the SAME pixels as the direct IDCT of the full
+    coefficients — validating EOBRUN, ZRL-with-corrections, newly-
+    significant insertion, and history correction bits."""
+    import numpy as np
+
+    from duo_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_reconstruct
+
+    rng = np.random.RandomState(7)
+    qtab = [(i % 8) + 1 for i in range(64)]
+    blocks = []
+    for _ in range(4):  # 16x16 grayscale
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-200, 200))
+        for _k in range(rng.randint(4, 16)):
+            # include magnitude-1 coefs (newly significant in refine)
+            blk[int(rng.randint(1, 64))] = int(rng.choice(
+                [1, -1, *rng.randint(-255, 256, size=4).tolist()]))
+        blocks.append(blk)
+    blob = _encode_gray_progressive_ac(16, 16, blocks, qtab)
+    w, h, got = _jpeg_reconstruct(blob)
+    assert (w, h) == (16, 16)
+
+    def ref_block(blk):
+        C = np.zeros((8, 8))
+        for i, pos in enumerate(_JPEG_ZIGZAG):
+            C[pos // 8, pos % 8] = blk[i] * qtab[i]
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv / 4.0 * C[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[x, y] = s
+        return np.clip(np.floor(out + 128.0 + 0.5), 0, 255)
+
+    want = np.zeros((16, 16))
+    for bi, blk in enumerate(blocks):
+        by, bx = divmod(bi, 2)
+        want[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = ref_block(blk)
+    assert np.array_equal(got[:, :, 0].astype(float), want)
