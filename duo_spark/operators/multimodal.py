@@ -419,8 +419,9 @@ def _png_reconstruct(content: bytes):
 # A real crawl corpus is mostly JPEG; implemented stdlib+numpy from the
 # public ITU-T T.81 spec: marker parse, canonical-Huffman entropy
 # decode (16-bit LUT), dequant, batched IDCT, 4:2:0/4:4:4 chroma
-# upsample, JFIF YCbCr->RGB. Baseline sequential (SOF0) only —
-# progressive (SOF2) raises loud.
+# upsample, JFIF YCbCr->RGB. Baseline sequential (SOF0) AND
+# progressive (SOF2, successive approximation) decode; other SOF
+# types raise loud.
 
 #: zigzag index i -> raster position in the 8x8 block (T.81 fig. 5)
 _JPEG_ZIGZAG = [
@@ -673,12 +674,13 @@ def _jpeg_decode_block(
 
 
 def _jpeg_reconstruct(content: bytes):
-    """Full baseline JPEG decode to ``(width, height, (h, w, 3) uint8)``
-    top-down RGB — marker parse, Huffman entropy decode, dequant,
-    batched IDCT (two 8x8 matmuls over ALL blocks at once), chroma
-    upsample by pixel replication, JFIF YCbCr->RGB with deterministic
-    half-up rounding (floor(x + 0.5) — replayable in SQL, unlike
-    banker's). Baseline sequential DCT only: progressive/extended
+    """Full JPEG decode to ``(width, height, (h, w, 3) uint8)``
+    top-down RGB — marker parse, Huffman entropy decode (baseline
+    SOF0 and progressive SOF2 successive-approximation scan scripts),
+    dequant, batched IDCT (two 8x8 matmuls over ALL blocks at once),
+    chroma upsample by pixel replication, JFIF YCbCr->RGB with
+    deterministic half-up rounding (floor(x + 0.5) — replayable in
+    SQL, unlike banker's). Extended-sequential/lossless/arithmetic
     SOF markers raise."""
     import struct
 
@@ -766,11 +768,27 @@ def _jpeg_reconstruct(content: bytes):
             scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG SOS references undeclared component {cs}"
+                    )
                 comp["td"], comp["ta"] = tt >> 4, tt & 15
                 scan_comps.append(comp)
             ss, se, a = data[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 15
+            # resolve the scan's Huffman LUTs ONCE — td/ta are fixed
+            # for the whole scan, and the lru_cache lookup is pure
+            # overhead inside the per-block hot loop
+            for c in scan_comps:
+                c["_dlut"] = (
+                    _jpeg_huff_lut(*dc_tabs[c["td"]])
+                    if ss == 0 and ah == 0 else (None, None)
+                )
+                c["_alut"] = (
+                    _jpeg_huff_lut(*ac_tabs[c["ta"]])
+                    if se > 0 else (None, None)
+                )
             segs, end = _jpeg_scan_segments(content, pos + 2 + seglen)
             # T.81: a scan is interleaved iff it holds >1 component;
             # a single-component scan (baseline OR progressive) walks
@@ -793,17 +811,13 @@ def _jpeg_reconstruct(content: bytes):
                     if interleaved:
                         my, mx = divmod(unit, mcux)
                         for c in scan_comps:
-                            dlut = _jpeg_huff_lut(*dc_tabs[c["td"]]) \
-                                if ss == 0 and ah == 0 else (None, None)
-                            alut = _jpeg_huff_lut(*ac_tabs[c["ta"]]) \
-                                if se > 0 else (None, None)
                             for by in range(c["v"]):
                                 for bx in range(c["h"]):
                                     row = my * c["v"] + by
                                     col = mx * c["h"] + bx
                                     blk = c["coef"][row * c["bw"] + col]
                                     pred[c["id"]], eobrun = _jpeg_decode_block(
-                                        bits, blk, dlut, alut,
+                                        bits, blk, c["_dlut"], c["_alut"],
                                         pred[c["id"]], ss, se, ah, al,
                                         eobrun,
                                     )
@@ -811,13 +825,9 @@ def _jpeg_reconstruct(content: bytes):
                         c = scan_comps[0]
                         row, col = divmod(unit, c["nbw"])
                         blk = c["coef"][row * c["bw"] + col]
-                        dlut = _jpeg_huff_lut(*dc_tabs[c["td"]]) \
-                            if ss == 0 and ah == 0 else (None, None)
-                        alut = _jpeg_huff_lut(*ac_tabs[c["ta"]]) \
-                            if se > 0 else (None, None)
                         pred[c["id"]], eobrun = _jpeg_decode_block(
-                            bits, blk, dlut, alut, pred[c["id"]],
-                            ss, se, ah, al, eobrun,
+                            bits, blk, c["_dlut"], c["_alut"],
+                            pred[c["id"]], ss, se, ah, al, eobrun,
                         )
                     unit += 1
             saw_scan = True
@@ -876,8 +886,9 @@ def _jpeg_reconstruct(content: bytes):
 
 
 def decode_jpeg(content: bytes) -> tuple[int, int, int, int, int]:
-    """REAL baseline JPEG decode (round 12): full ITU-T T.81 baseline
-    path — Huffman entropy decode, dequantization, IDCT, chroma
+    """REAL JPEG decode (round 12): the full ITU-T T.81 path for
+    baseline (SOF0) and progressive (SOF2) scans — Huffman entropy
+    decode, dequantization, IDCT, chroma
     upsample, JFIF color convert — reduced to exact integers
     ``(width, height, sum_r, sum_g, sum_b)``, the same contract as
     :func:`decode_png` / :func:`decode_bmp`."""
@@ -890,7 +901,8 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, int, int]:
 
 class _JpegBitWriter:
     """MSB-first bit writer with 0xFF byte stuffing (encoder side of
-    :class:`_JpegBits`; only :func:`synth_jpeg` uses it)."""
+    :class:`_JpegBits`; used by :func:`synth_jpeg` and
+    :func:`synth_jpeg_progressive`)."""
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -1141,7 +1153,7 @@ def synth_jpeg_progressive(media_id: int) -> bytes:
 
 def decode_image(content: bytes | None, dim: int = 8) -> list[float]:
     """Image codec hook for :func:`extract_features`, REAL for
-    BMP/PPM/PNG/baseline-JPEG: ``[width, height, mean_r, mean_g,
+    BMP/PPM/PNG/JPEG: ``[width, height, mean_r, mean_g,
     mean_b]`` padded to ``dim`` (means are exact-integer-sum /
     pixel-count divisions)."""
     if content is None:
@@ -1387,7 +1399,7 @@ def image_stats(media: DataFrame) -> DataFrame:
 
 def decode_rgb(content: bytes):
     """REAL pixel-level image decode: any supported container (BMP /
-    P6 PPM / PNG / baseline JPEG) to ``(width, height, (height,
+    P6 PPM / PNG / JPEG) to ``(width, height, (height,
     width, 3) uint8)`` in top-down RGB order — the input every
     perceptual operator
     (:func:`image_dhash`) works from. Shares the container cores with
