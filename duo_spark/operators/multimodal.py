@@ -122,11 +122,90 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int, int]:
     view of the PCM block; the widening cast to int64 BEFORE ``abs``
     matters (|-32768| overflows int16) and keeps the sum exact.
     """
+    import numpy as np
+
+    nch, rate, samples = _wav_samples(content)
+    if samples.size == 0:
+        return nch, rate, 0, 0, 0
+    a = np.abs(samples)
+    return nch, rate, int(samples.size), int(a.sum()), int(a.max())
+
+
+@functools.lru_cache(maxsize=4)
+def _g711_table(law: str):
+    """256-entry G.711 expand table (byte -> 16-bit linear), built
+    from the published ITU formulas (same integer arithmetic the SQL
+    oracle replays):
+
+    - µ-law: ``u = 255 - b``; ``t = (((u & 15) << 3) + 132) <<
+      ((u & 112) >> 4)``; value ``132 - t`` when bit 7 of u is set
+      else ``t - 132`` (max magnitude 32124).
+    - A-law: ``a = b ^ 0x55``; seg/mantissa expansion with the
+      +8 / +0x108 segment offsets; positive when bit 7 of a is set
+      (max magnitude 32256).
+    """
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int64)
+    for b in range(256):
+        if law == "ulaw":
+            u = 255 - b
+            t = (((u & 15) << 3) + 132) << ((u & 112) >> 4)
+            out[b] = (132 - t) if (u & 0x80) else (t - 132)
+        else:  # alaw
+            a = b ^ 0x55
+            seg = (a & 0x70) >> 4
+            t = (a & 0xF) << 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[b] = t if (a & 0x80) else -t
+    return out
+
+
+def _wav_samples(content: bytes):
+    """Decode a WAV container to ``(n_channels, rate, int64 samples)``
+    (flat, interleaved). PCM16 (format 1) goes through the stdlib
+    ``wave`` reader as before; G.711 µ-law/A-law (formats 7/6 — the
+    telephony formats the stdlib reader rejects, round 12) parse the
+    RIFF chunks manually and expand through the ITU tables."""
     import io
+    import struct
     import wave
 
     import numpy as np
 
+    fmt_code = None
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        p = 12
+        while p + 8 <= len(content):
+            cid = content[p : p + 4]
+            (clen,) = struct.unpack_from("<I", content, p + 4)
+            if cid == b"fmt ":
+                fmt_code = struct.unpack_from("<H", content, p + 8)[0]
+                break
+            p += 8 + clen + (clen & 1)
+    if fmt_code in (6, 7):  # A-law / µ-law
+        p = 12
+        nch = rate = None
+        data = None
+        while p + 8 <= len(content):
+            cid = content[p : p + 4]
+            (clen,) = struct.unpack_from("<I", content, p + 4)
+            body = content[p + 8 : p + 8 + clen]
+            if cid == b"fmt ":
+                _f, nch, rate = struct.unpack_from("<HHI", body, 0)
+            elif cid == b"data":
+                data = body
+            p += 8 + clen + (clen & 1)
+        if nch is None or data is None:
+            raise ValueError("G.711 WAV missing fmt/data chunk")
+        table = _g711_table("alaw" if fmt_code == 6 else "ulaw")
+        idx = np.frombuffer(data, dtype=np.uint8)
+        return nch, rate, table[idx]
     with wave.open(io.BytesIO(content), "rb") as w:
         nch = w.getnchannels()
         rate = w.getframerate()
@@ -137,10 +216,7 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int, int]:
             )
         raw = w.readframes(nframes)
     n = len(raw) // 2
-    if n == 0:
-        return nch, rate, 0, 0, 0
-    a = np.abs(np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64))
-    return nch, rate, n, int(a.sum()), int(a.max())
+    return nch, rate, np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
 
 
 def decode_bmp(content: bytes) -> tuple[int, int, int, int, int]:
@@ -1598,22 +1674,12 @@ def dhash_near_dup(
 
 
 def _pcm16_mono(content: bytes):
-    """Decode a PCM16 WAV to one int64 mono sample vector (channels
-    summed per frame, exact) — the shared front end of
+    """Decode a WAV (PCM16 or G.711) to one int64 mono sample vector
+    (channels summed per frame, exact) — the shared front end of
     :func:`audio_envelope_hash` and :func:`spectrum_stats`."""
-    import io
-    import wave
-
-    import numpy as np
-
-    with wave.open(io.BytesIO(content), "rb") as w:
-        nch = w.getnchannels()
-        if w.getsampwidth() != 2:
-            raise ValueError("only PCM16 wav supported")
-        raw = w.readframes(w.getnframes())
-    n = len(raw) // 2
-    s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
+    nch, _rate, s = _wav_samples(content)
     if nch > 1:
+        n = s.size
         s = s[: (n // nch) * nch].reshape(-1, nch).sum(axis=1)
     return s
 
@@ -1752,6 +1818,26 @@ def synth_wav(media_id: int) -> bytes:
         w.setframerate(8000)
         w.writeframes(struct.pack(f"<{n}h", *samples))
     return buf.getvalue()
+
+
+def synth_wav_g711(media_id: int, law: str = "ulaw") -> bytes:
+    """Deterministic G.711 mono WAV (format code 7 µ-law / 6 A-law,
+    round 12): 8 kHz, ``64 + media_id % 64`` bytes, byte i =
+    ``(media_id*31 + i*7) % 256``. Hand-built RIFF (the stdlib wave
+    writer only emits PCM); the gate's SQL oracle replays the ITU
+    expand formula over the byte closed form."""
+    import struct
+
+    n = 64 + media_id % 64
+    data = bytes((media_id * 31 + i * 7) % 256 for i in range(n))
+    code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n) + data + (b"\x00" if n & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synth_square_wav(media_id: int) -> bytes:

@@ -1209,16 +1209,29 @@ FROM documents GROUP BY 1
 
 def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode e2e (operators/multimodal.py decode_wav /
-    audio_stats, round 10): per doc_id a genuine RIFF/PCM16 WAV is
-    synthesized from a closed-form sample sequence (synth_wav), parsed
-    back by the stdlib wave reader inside one mapInPandas pass, and
-    reduced to exact integer stats. The oracle never sees the bytes —
-    it replays the closed form over generate_series, so any container
-    /stride/sign bug in the decoder hash-mismatches."""
-    from duo_spark.operators.multimodal import audio_stats, synth_wav
+    audio_stats, round 10; extended round 12 to the G.711 telephony
+    formats): per doc_id a genuine RIFF WAV — doc_id % 3 picks PCM16
+    (stdlib reader path), µ-law (format 7) or A-law (format 6, both
+    through the manual RIFF parse + ITU expand tables the stdlib
+    reader rejects) — is synthesized from a closed-form sequence,
+    decoded in one mapInPandas pass, and reduced to exact integer
+    stats. The oracle never sees the bytes — it replays the closed
+    form (including the G.711 bit-expansion formulas) over
+    generate_series, so any container/stride/sign/companding bug in
+    the decoder hash-mismatches."""
+    from duo_spark.operators.multimodal import (
+        audio_stats,
+        synth_wav,
+        synth_wav_g711,
+    )
 
     def _wav(doc_id):
-        return doc_id.map(lambda d: synth_wav(int(d)))
+        def one(d: int) -> bytes:
+            v = d % 3
+            if v == 0:
+                return synth_wav(d)
+            return synth_wav_g711(d, "ulaw" if v == 1 else "alaw")
+        return doc_id.map(lambda d: one(int(d)))
 
     wav_udf = F.pandas_udf(_wav, "binary")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -1236,9 +1249,32 @@ def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_DECODE_AUDIO = """
 WITH s AS (
-  SELECT doc_id, unnest(range(0, 64 + doc_id % 64)) AS i FROM documents),
+  SELECT doc_id, doc_id % 3 AS variant,
+         unnest(range(0, 64 + doc_id % 64)) AS i
+  FROM documents),
+b AS (
+  SELECT doc_id, variant, (doc_id * 31 + i * 7) % 256 AS byte,
+         (doc_id * 7919 + i * 104729) % 65536 - 32768 AS pcm
+  FROM s),
+u AS (SELECT *, 255 - byte AS mu, xor(byte, 85) AS aa FROM b),
+x AS (
+  SELECT *,
+         (((mu & 15) << 3) + 132) << ((mu & 112) >> 4) AS mt,
+         CASE (aa & 112) >> 4
+           WHEN 0 THEN ((aa & 15) << 4) + 8
+           WHEN 1 THEN ((aa & 15) << 4) + 264
+           ELSE (((aa & 15) << 4) + 264) << (((aa & 112) >> 4) - 1)
+         END AS at
+  FROM u),
 v AS (
-  SELECT doc_id, (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v FROM s)
+  SELECT doc_id,
+         CASE variant
+           WHEN 0 THEN pcm
+           WHEN 1 THEN CASE WHEN (mu & 128) != 0
+                            THEN 132 - mt ELSE mt - 132 END
+           ELSE CASE WHEN (aa & 128) != 0 THEN at ELSE -at END
+         END AS v
+  FROM x)
 SELECT doc_id AS media_id,
        CAST(1 AS INT) AS n_channels,
        CAST(8000 AS INT) AS sample_rate,
@@ -8068,12 +8104,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
     "line_filter": (q_line_filter, SQL_LINE_FILTER),
+    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     # --- below the driver window: remaining r9-green entries (lead
     # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
@@ -8190,7 +8227,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "epoch_repeats": (q_epoch_repeats, SQL_EPOCH_REPEATS),
     "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "column_mi": (q_column_mi, SQL_COLUMN_MI),
-    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),

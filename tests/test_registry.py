@@ -107,6 +107,9 @@ def test_round12_window_holds_stale_debt_and_changes():
         # PNG decoder extended to color types 0/3 (gate now mixes all
         # three 8-bit variants)
         "multimodal_decode_png",
+        # WAV decoder extended to G.711 mu-law/A-law (gate mixes the
+        # three formats)
+        "multimodal_decode_audio",
     }
     r12_added = {
         # baseline JPEG decoder (rule 1: new operator -> window)

@@ -742,3 +742,35 @@ def test_jpeg_progressive_ac_refinement_matches_reference(spark):
         by, bx = divmod(bi, 2)
         want[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = ref_block(blk)
     assert np.array_equal(got[:, :, 0].astype(float), want)
+
+
+def test_g711_wav_decode(spark):
+    """G.711 µ-law/A-law WAVs (format codes 7/6 — the stdlib wave
+    reader rejects them) decode through the manual RIFF path with the
+    ITU expand tables; known codec values pin the bit formulas."""
+    from duo_spark.operators.multimodal import (
+        _g711_table,
+        _pcm16_mono,
+        decode_wav,
+        synth_wav_g711,
+    )
+
+    # published G.711 anchor points
+    ul, al = _g711_table("ulaw"), _g711_table("alaw")
+    assert int(ul[0xFF]) == 0 and int(ul[0x7F]) == 0      # +0 / -0
+    assert int(ul[0x00]) == -32124 and int(ul[0x80]) == 32124
+    assert int(al[0x55]) == -8 and int(al[0xD5]) == 8
+    assert int(al[0x2A]) == -32256 and int(al[0xAA]) == 32256
+
+    for law in ("ulaw", "alaw"):
+        for mid in (0, 5, 63):
+            blob = synth_wav_g711(mid, law)
+            nch, rate, n, sa, pk = decode_wav(blob)
+            tb = _g711_table(law)
+            vals = [int(tb[(mid * 31 + i * 7) % 256])
+                    for i in range(64 + mid % 64)]
+            assert (nch, rate, n) == (1, 8000, len(vals))
+            assert sa == sum(abs(v) for v in vals)
+            assert pk == max(abs(v) for v in vals)
+            # the envelope/FFT front end routes through the same path
+            assert list(_pcm16_mono(blob)) == vals
