@@ -857,6 +857,16 @@ def _jpeg_reconstruct(content: bytes):
             # for the whole scan, and the lru_cache lookup is pure
             # overhead inside the per-block hot loop
             for c in scan_comps:
+                if ss == 0 and ah == 0 and c["td"] not in dc_tabs:
+                    raise ValueError(
+                        f"JPEG SOS references undefined DHT id "
+                        f"{c['td']} (DC, component {c['id']})"
+                    )
+                if se > 0 and c["ta"] not in ac_tabs:
+                    raise ValueError(
+                        f"JPEG SOS references undefined DHT id "
+                        f"{c['ta']} (AC, component {c['id']})"
+                    )
                 c["_dlut"] = (
                     _jpeg_huff_lut(*dc_tabs[c["td"]])
                     if ss == 0 and ah == 0 else (None, None)
@@ -921,6 +931,11 @@ def _jpeg_reconstruct(content: bytes):
     zig = np.array(_JPEG_ZIGZAG)
     planes = []
     for c in comps:
+        if c["tq"] not in qtabs:
+            raise ValueError(
+                f"JPEG SOF references undefined DQT id {c['tq']} "
+                f"(component {c['id']})"
+            )
         deq = c["coef"] * qtabs[c["tq"]][np.newaxis, :].astype(np.int32)
         blocks = np.zeros((deq.shape[0], 64))
         blocks[:, zig] = deq

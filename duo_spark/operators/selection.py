@@ -264,28 +264,44 @@ def doremi_weights(
     domains = [r[0] for r in per]
     excess = {d: max(0.0, base[d]) for d in domains}
     k = len(domains)
-    avg = {d: 0.0 for d in domains}
+    # Match the SQL-oracle operation order exactly: per domain, SUM the
+    # per-step softmax shares first, then divide by ``steps`` ONCE
+    # (sum(ew/z)/steps), instead of accumulating e/z/steps per step —
+    # the different float summation order could flip a last-ulp 6-dp
+    # comparison (round-12 ADVICE).
+    share_sum = {d: 0.0 for d in domains}
     for t in range(1, steps + 1):
         ex = [math.exp(eta * t * excess[d]) for d in domains]
         z = sum(ex)
         for d, e in zip(domains, ex):
-            avg[d] += e / z / steps
+            share_sum[d] += e / z
+    avg = {d: share_sum[d] / steps for d in domains}
     weight = {d: (1.0 - smoothing) * avg[d] + smoothing / k for d in domains}
     rows = [
         (
             r[0],
             int(r["n_docs"]),
-            round(float(r["mean_loss"]), 6) if r["mean_loss"] is not None else None,
-            round(excess[r[0]], 6),
-            round(weight[r[0]], 6),
+            float(r["mean_loss"]) if r["mean_loss"] is not None else None,
+            excess[r[0]],
+            weight[r[0]],
         )
         for r in per
     ]
     schema = (
         df.select(domain_col).schema[0].dataType.simpleString()
     )
-    return df.sparkSession.createDataFrame(
+    out = df.sparkSession.createDataFrame(
         rows,
         f"{domain_col} {schema}, n_docs long, mean_loss double, "
         "excess double, weight double",
+    )
+    # Engine-side HALF_UP rounding (ties away from zero), the same tie
+    # rule DuckDB's round() uses — Python round() is banker's and can
+    # disagree on exact .5 ties (round-12 ADVICE).
+    return out.select(
+        domain_col,
+        "n_docs",
+        F.round("mean_loss", 6).alias("mean_loss"),
+        F.round("excess", 6).alias("excess"),
+        F.round("weight", 6).alias("weight"),
     )

@@ -1132,6 +1132,10 @@ def ngram_diversity(
                     F.coalesce(F.sum("_cnt"), F.lit(0)).alias("total_ngrams")
                 )
                 .crossJoin(F.broadcast(est))
+                # inner-join semantics with the SQL oracle: an n level
+                # with ZERO grams drops entirely on both sides instead
+                # of surfacing a (0, NULL) row only here (r12 ADVICE)
+                .filter(F.col("total_ngrams") > 0)
             )
         else:
             agg = grams.agg(

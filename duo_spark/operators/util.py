@@ -204,5 +204,21 @@ def collect_vector_matrix(
             f"{what} or raise the caps explicitly"
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # Validate EVERY row against the probed dimensionality while
+    # building the matrix: a NULL or ragged vector past row 1 must hit
+    # the same loud ValueError contract, not fall through as an
+    # object-dtype matrix or an opaque TypeError (r12 ADVICE).
+    mat = np.empty((len(rows), dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        v = r[1]
+        if v is None:
+            raise ValueError(
+                f"{what} has a NULL {vec_col} vector (id={r[0]})"
+            )
+        if len(v) != dim:
+            raise ValueError(
+                f"{what} has ragged {vec_col} dims: id={r[0]} has "
+                f"dim={len(v)}, expected dim={dim} from the first row"
+            )
+        mat[i, :] = v
     return ids, mat
