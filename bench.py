@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "line_filter",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "multimodal_decode_video",
     "dsir_select",
     "multimodal_spectrogram",
     "tokenizer_fertility",

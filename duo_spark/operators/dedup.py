@@ -202,7 +202,11 @@ def _band_rows(
 
 
 def _banded_set_candidates(
-    sh: DataFrame, num_hashes: int, bands: int, size_ratio: float | None = None
+    sh: DataFrame,
+    num_hashes: int,
+    bands: int,
+    size_ratio: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-minhash candidate pairs over (_id, _hs) rows —
     the candidate core shared by doc-level and set-level callers.
@@ -225,8 +229,55 @@ def _banded_set_candidates(
     and the ``bands``-long arrays riding through the join cost more
     than the distinct's map-side-combined 16-byte-pair exchange ever
     does. Interleaved min-of-3 A/B, round 4.
+
+    ``max_bucket_size`` (round 13, VERDICT r12 #3) is the hot-bucket
+    guard: identical-set collapse upstream removes exact-duplicate
+    skew, but a near-identical boilerplate family can still land B
+    distinct representatives in one (band, bucket) and emit B²/2 join
+    rows into a single partition. With the cap set, (band, bucket)
+    groups larger than the cap leave the quadratic self-join and
+    instead emit an id-sorted CHAIN of adjacent candidate pairs (B-1
+    rows from a per-bucket window): linear work, and — because the
+    downstream consumer of near-dup pairs is connected-components
+    clustering — a verified chain through a j≈1 family yields the
+    SAME clusters, canonical picks, and drop set as the full clique
+    would; only raw pair enumeration shrinks. Detection costs one
+    map-side-combined count per (band, bucket) — an exchange of
+    distinct-bucket cardinality, not row cardinality — and the hot-key
+    list broadcasts (few by construction). Cross-family recall is
+    untouched: a true pair at Jaccard j agrees per band with
+    p = j^rows_per_band independently across ``bands`` bands, and a
+    pair can only lose a band to the guard when that band's bucket
+    holds >cap members — in which case the chain still connects them
+    transitively. SCALING.md probe 40 measures the join-row collapse
+    and the cluster-level recall on a synthetic boilerplate family.
     """
     banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None)
+    chain = None
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter(F.col("_bc") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        hot_rows = banded.join(F.broadcast(hot), ["band", "bucket"], "semi")
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        w = Window.partitionBy("band", "bucket").orderBy("_id")
+        nxt = [F.lead("_id").over(w).alias("_nid")]
+        if size_ratio is not None:
+            nxt.append(F.lead("_n").over(w).alias("_nn"))
+        chain = hot_rows.select("_id", *(["_n"] if size_ratio is not None else []), *nxt).filter(
+            F.col("_nid").isNotNull()
+        )
+        if size_ratio is not None:
+            chain = chain.filter(
+                F.least("_n", "_nn")
+                >= F.lit(float(size_ratio)) * F.greatest("_n", "_nn")
+            )
+        chain = chain.select(
+            F.col("_id").alias("id_a"), F.col("_nid").alias("id_b")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     cond = (
@@ -239,11 +290,12 @@ def _banded_set_candidates(
             F.least("l._n", "r._n")
             >= F.lit(float(size_ratio)) * F.greatest("l._n", "r._n")
         )
-    return (
-        left.join(right, cond)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    pairs = left.join(right, cond).select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
     )
+    if chain is not None:
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()
 
 
 def minhash_lsh_candidates(
@@ -253,6 +305,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -263,7 +316,9 @@ def minhash_lsh_candidates(
     similarity on the (small) candidate set.
     """
     sh = _hashed_shingles(df, id_col, text_col, shingle_n)
-    return _banded_set_candidates(sh, num_hashes, bands)
+    return _banded_set_candidates(
+        sh, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
 
 
 def minhash_near_duplicates(
@@ -274,9 +329,13 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard, with
-    identical-set collapse.
+    identical-set collapse and a hot-bucket cap (``max_bucket_size``,
+    see :func:`_banded_set_candidates` — default 4096 bounds the worst
+    (band, bucket) self-join partition at ~8.4M rows at 100 TB while
+    being inert at any tested sf; None disables).
 
     Documents are first grouped by their EXACT hashed-shingle set (one
     groupBy on the sorted hash array — i.e. exact dedup runs before
@@ -323,7 +382,10 @@ def minhash_near_duplicates(
     # The set table exits a tiny AQE-coalesced shuffle — re-widen it or
     # the signature kernel and the banded self-join run single-core.
     reps = ensure_parallelism(grp.select(F.col("_rid").alias("_id"), "_hs"))
-    cands = _banded_set_candidates(reps, num_hashes, bands, size_ratio=threshold)
+    cands = _banded_set_candidates(
+        reps, num_hashes, bands, size_ratio=threshold,
+        max_bucket_size=max_bucket_size,
+    )
     a = reps.withColumnRenamed("_id", "_vid").alias("a")
     b = reps.withColumnRenamed("_id", "_vid").alias("b")
     verified = (
@@ -390,6 +452,7 @@ def incremental_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs INVOLVING a new batch: new↔corpus and
     new↔new, verified with exact shingle-set Jaccard — the
@@ -452,7 +515,10 @@ def incremental_near_duplicates(
             ).alias("jaccard"),
         )
     )
-    cand_nn = _banded_set_candidates(new_sh, num_hashes, bands, size_ratio=threshold)
+    cand_nn = _banded_set_candidates(
+        new_sh, num_hashes, bands, size_ratio=threshold,
+        max_bucket_size=max_bucket_size,
+    )
     va = new_sets.withColumnRenamed("_id", "_vid").alias("va")
     vb = new_sets.withColumnRenamed("_id", "_vid").alias("vb")
     verified_nn = (

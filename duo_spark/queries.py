@@ -1285,6 +1285,54 @@ FROM v GROUP BY doc_id
 """
 
 
+def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-AVI video decode e2e (operators/multimodal.py
+    decode_avi_mjpeg / video_stats, round 13 — VERDICT r12 #4: video
+    at zero new codec work): per doc_id a genuine RIFF/AVI container
+    (LIST hdrl avih + 'vids'/'MJPG' strl, LIST movi of '00dc' chunks)
+    holding ``4 + doc_id%3`` grayscale baseline JPEG frames of
+    ``8*(2+id%3) x 8*(2+id%2)`` px, every 2nd frame entropy-decoded
+    through the probe-39 T.81 path and reduced to exact per-frame
+    channel sums. Frame f's block value is
+    ``(id*29 + f*19 + bx*31 + by*37) % 256`` (synth_jpeg's
+    zero-rounding DC-only construction), so the oracle replays the
+    sampled frames' sums in closed form — a container-walk, frame
+    indexing, sampling stride, Huffman or predictor bug all land on
+    different rows."""
+    from duo_spark.operators.multimodal import synth_avi_mjpeg, video_stats
+
+    def _avi(doc_id):
+        return doc_id.map(lambda d: synth_avi_mjpeg(int(d)))
+
+    avi_udf = F.pandas_udf(_avi, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", avi_udf("media_id").alias("content"))
+    return video_stats(media, every=2)
+
+
+SQL_MULTIMODAL_DECODE_VIDEO = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 3 AS n_frames,
+         8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h
+  FROM documents),
+f AS (
+  SELECT d.*, fi FROM d, unnest(range(0, n_frames, 2)) u(fi)),
+blocks AS (
+  SELECT doc_id, n_frames, w, h, fi, bx, by,
+         (doc_id * 29 + fi * 19 + bx * 31 + by * 37) % 256 AS yv
+  FROM f, unnest(range(0, w // 8)) bu(bx), unnest(range(0, h // 8)) bv(by))
+SELECT doc_id AS media_id,
+       CAST(max(n_frames) AS INT) AS n_frames,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(sum(64 * yv) AS BIGINT) AS sum_r,
+       CAST(sum(64 * yv) AS BIGINT) AS sum_g,
+       CAST(sum(64 * yv) AS BIGINT) AS sum_b
+FROM blocks GROUP BY doc_id, fi
+"""
+
+
 def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode e2e (operators/multimodal.py decode_bmp /
     image_stats, round 10): per doc_id a genuine 24-bit BI_RGB BMP —
@@ -8105,6 +8153,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
     "line_filter": (q_line_filter, SQL_LINE_FILTER),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
+    "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),

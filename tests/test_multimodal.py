@@ -456,3 +456,59 @@ if HAVE_HYP2:
         assert sr == sum(p[0] for p in px.values())
         assert sg == sum(p[1] for p in px.values())
         assert sb == sum(p[2] for p in px.values())
+
+
+def test_avi_mjpeg_roundtrip_closed_form():
+    """synth_avi_mjpeg -> decode_avi_mjpeg: the container walk finds
+    every frame, the sampling stride holds, and each sampled frame's
+    channel sums match the closed-form DC-only construction."""
+    from duo_spark.operators.multimodal import decode_avi_mjpeg, synth_avi_mjpeg
+
+    for mid in (0, 1, 2, 7, 11):
+        avi = synth_avi_mjpeg(mid)
+        w, h, n, frames = decode_avi_mjpeg(avi, every=2)
+        assert (w, h) == (8 * (2 + mid % 3), 8 * (2 + mid % 2))
+        assert n == 4 + mid % 3
+        assert [f[0] for f in frames] == list(range(0, n, 2))
+        for fidx, fw, fh, sr, sg, sb in frames:
+            exp = sum(
+                64 * ((mid * 29 + fidx * 19 + bx * 31 + by * 37) % 256)
+                for bx in range(fw // 8)
+                for by in range(fh // 8)
+            )
+            assert (fw, fh) == (w, h)
+            assert sr == sg == sb == exp
+        # every=1 yields all frames; the declared count matches
+        assert len(decode_avi_mjpeg(avi, every=1)[3]) == n
+
+
+def test_avi_mjpeg_bad_magic_and_every():
+    import pytest as _pytest
+
+    from duo_spark.operators.multimodal import decode_avi_mjpeg, synth_avi_mjpeg
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"RIFX" + b"\x00" * 64)
+    with _pytest.raises(ValueError, match="every"):
+        decode_avi_mjpeg(synth_avi_mjpeg(0), every=0)
+
+
+def test_video_stats_operator(spark):
+    """video_stats: one row per sampled frame, payload dropped at the
+    task boundary, exact integer sums."""
+    from duo_spark.operators.multimodal import synth_avi_mjpeg, video_stats
+
+    media = spark.createDataFrame(
+        [(i, bytearray(synth_avi_mjpeg(i))) for i in range(4)] + [(99, None)],
+        "media_id long, content binary",
+    )
+    rows = video_stats(media, every=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {0, 1, 2, 3}  # NULL content skipped
+    for mid, rs in by_media.items():
+        n = 4 + mid % 3
+        assert all(r.n_frames == n for r in rs)
+        assert sorted(r.frame_idx for r in rs) == list(range(0, n, 2))
+        assert all(r.sum_r == r.sum_g == r.sum_b for r in rs)
