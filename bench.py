@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "multimodal_decode_video",
+    "message_extract",
+    "process_registry",
     "dsir_select",
     "multimodal_spectrogram",
     "tokenizer_fertility",

@@ -626,6 +626,107 @@ GROUP BY p.service_name
 """
 
 
+def q_message_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 message extraction, gated directly (round 13, VERDICT r12
+    #6): a per-event fields map — with the ``message`` key present
+    only on even event_ids — splits through
+    functions/codec.py message_from_fields into the message column
+    (try_element_at: absent key → NULL, never an ANSI error) and the
+    residual map (map_filter). The residual is emitted as a sorted
+    ``k=v`` join so the map's unordered representation canonicalizes
+    identically on both engines."""
+    from duo_spark.functions.codec import message_from_fields
+
+    ev = _t(spark, sf_dir, "events")
+    with_msg = F.create_map(
+        F.lit("message"), F.col("props"),
+        F.lit("event"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    without_msg = F.create_map(
+        F.lit("event"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    fields = F.when(F.col("event_id") % 2 == 0, with_msg).otherwise(
+        without_msg
+    )
+    msg, rest = message_from_fields(fields)
+    return ev.select(
+        F.col("event_id"),
+        msg.alias("message"),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(rest),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                )
+            ),
+            ",",
+        ).alias("residual"),
+    )
+
+
+SQL_MESSAGE_EXTRACT = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN props END AS message,
+       'event=' || event_type || ',uid=' || CAST(user_id AS VARCHAR)
+         AS residual
+FROM events
+"""
+
+
+def q_process_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 JSON side-file roundtrip, gated directly (round 13, VERDICT
+    r12 #6): the process registry — the same tiny JSON the reference
+    persists next to its parquet (duo/src/web/mod.rs process map) —
+    aggregates from the logs (BOUNDED driver collect: distinct
+    process_ids = |event types| x 3 by construction, the registry is
+    small by the same contract as the reference's), writes through
+    PartitionedStore.write_json, reads back via read_json, and
+    re-enters Spark as a table. The oracle recomputes the registry
+    from events — a write/read/serialization bug lands on different
+    rows."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch
+
+    logs = events_as_logs(spark, sf_dir)
+    reg_rows = (
+        logs.groupBy("process_id")
+        .agg(F.count(F.lit(1)).alias("n_logs"))
+        .collect()
+    )
+    payload = {
+        r["process_id"]: {
+            "service_name": r["process_id"].rsplit("-", 1)[0],
+            "n_logs": r["n_logs"],
+        }
+        for r in reg_rows
+    }
+    store = PartitionedStore(
+        spark, _scratch("gate-procreg", _uuid.uuid4().hex)
+    )
+    store.write_json("process.json", payload)
+    back = store.read_json("process.json")
+    return spark.createDataFrame(
+        [
+            (pid, v["service_name"], int(v["n_logs"]))
+            for pid, v in back.items()
+        ],
+        "process_id string, service_name string, n_logs long",
+    )
+
+
+SQL_PROCESS_REGISTRY = f"""
+WITH {LOGS_CTE}
+SELECT process_id,
+       regexp_replace(process_id, '-[^-]*$', '') AS service_name,
+       CAST(count(*) AS BIGINT) AS n_logs
+FROM logs GROUP BY process_id
+"""
+
+
 # ---------------------------------------------------------------------
 # analytic queries (joins / aggregations / windows on the star schema)
 # ---------------------------------------------------------------------
@@ -8154,6 +8255,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "line_filter": (q_line_filter, SQL_LINE_FILTER),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
     "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
+    "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
+    "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
     # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
     # r13; the rest of the r9 block sits first below the cutoff) ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
