@@ -308,38 +308,37 @@ def main() -> None:
     # the whole round's perf signal — record the error, keep going, and
     # ALWAYS emit the summary JSON line.
     #
-    # min of TWO measured runs per query (since round 4): the sf0.001
-    # warmup compiles the sf0.001-shaped plan, but AQE picks different
-    # join strategies at sf0.1, so the first sf0.1 run of a query still
-    # pays Janino codegen for plan variants it has never seen (measured
-    # ±40% on the LSH family). The second run is steady state — which
-    # is what a long-lived engine's latency actually is.
-    # min-of-3 for sub-1.5 s queries (round 12, VERDICT r11 #2): the
-    # cross-round "drift" on hll_audience_overlap/column_mi/t_closeness
-    # was sub-second queries sampling GC/codegen noise that a min-of-2
-    # can't shed — a third run costs little exactly where it's needed.
+    # MEDIAN of THREE measured runs per query (round 13, VERDICT r12
+    # #5 — the headline convention switch, DEVIATIONS #20). History:
+    # min-of-2 since round 4 (the first sf0.1 run pays Janino codegen
+    # for plan variants the sf0.001 warmup never compiled — measured
+    # ±40% on the LSH family), min-of-3 under 1.5 s since round 12
+    # (sub-second queries sample GC noise). But a MIN can also sample
+    # a lucky quiet window — the round-12 ledger's driver-run/quiet-run
+    # pair inverted because two mins from different sessions aren't
+    # comparable. Median-of-3 sheds BOTH tails: the codegen-outlier
+    # high AND the lucky low. ``queries`` carries the medians (and
+    # sums to ``value``); ``queries_min``/``value_min`` keep the
+    # steady-state floor visible; ``runs_per_query`` pins the protocol.
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     errors: dict[str, str] = {}
+    RUNS = 3
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
-        best = None
-        runs = 2
-        done = 0
-        while done < runs:
+        samples: list[float] = []
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             try:
                 _force(fn(spark, sf_dir))
-                el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
+                samples.append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
                 print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
                 break
-            done += 1
-            if done == 2 and best < 1.5:
-                runs = 3
-        if best is not None and name not in errors:
-            timings[name] = round(best, 3)
+        if samples and name not in errors:
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+            mins[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -351,17 +350,21 @@ def main() -> None:
         "ok": not errors,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "value_min": None if errors else round(sum(mins.values()), 3),
+        "runs_per_query": RUNS,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
         out["partial_total"] = total
-    # round-12 VERDICT #8: emit the committed quiet-window headline
-    # (BENCH.json, the builder's min-of-N warmed sf0.1 run) alongside
-    # this run's value, so a driver-run/quiet-run pair is
-    # machine-readable in every artifact and the cross-round trend
-    # doesn't need SCALING.md archaeology. Read BEFORE this run
-    # overwrites the artifact.
+    # round-12 VERDICT #8 / round-13 #5: emit the committed
+    # quiet-window headline (BENCH.json — defined since round 13 as
+    # the MEDIAN of the day's quiet-window full runs on the final
+    # tree, per-query median-of-3) alongside this run's value, so a
+    # driver-run/quiet-run pair is machine-readable in every artifact
+    # and the pair can't invert on sampling luck. Read BEFORE this
+    # run overwrites the artifact.
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH.json")) as f:
@@ -406,6 +409,8 @@ def main() -> None:
         short = {
             "metric": out["metric"],
             "value": out["value"],
+            "value_min": out["value_min"],
+            "runs_per_query": RUNS,
             "unit": out["unit"],
             "ok": out["ok"],
             "sf": out["sf"],
