@@ -8196,10 +8196,80 @@ FROM documents d JOIN plan p ON p.stratum IS NOT DISTINCT FROM d.source
 
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-
-    # --- ROUND-12 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # 1-37: ALL thirty-seven r7-green rows — rule 3 lapsed for them
-    # at r12 (5 rounds stale; VERDICT r11 #1 leads with exactly this set) ---
+    # --- ROUND-13 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
+    # 1-3: round-13 NEW gates (rule 1): MJPEG-AVI video decode, C6
+    # message extraction, K3 process-registry JSON roundtrip ---
+    "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
+    "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
+    "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
+    # --- 4-12: round-13 operator changes (rule 2): the vectorized
+    # JPEG entropy decode; the four ADVICE fixes (doremi summation
+    # order, ngram_diversity_approx degenerate-level join semantics,
+    # collect_vector_matrix per-row validation -> margin_mine +
+    # semantic_decontam); and the four non-r9 consumers of the
+    # hot-bucket chain guard in the banded LSH self-join ---
+    "multimodal_decode_jpeg": (q_multimodal_decode_jpeg, SQL_MULTIMODAL_DECODE_JPEG),
+    "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
+    "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
+    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
+    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
+    # --- 13-50: thirty-eight of the forty-six r9-green rows whose
+    # rule-3 bound lands at r13 (VERDICT r12 #1); the eight
+    # displaced by the twelve rule-1/2 slots above sit FIRST below
+    # the cutoff and lead round 14 (DEVIATIONS #20) ---
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "bm25": (q_bm25, SQL_BM25),
+    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
+    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
+    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    # --- below the driver window: the eight displaced r9 rows lead
+    # round 14 (all sf0.01 local-parity green this round) ---
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    # --- then the r10/r11/r12-green blocks (freshest, refresh last) ---
     "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
     "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
     "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
@@ -8219,8 +8289,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
     "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
@@ -8237,77 +8305,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    # --- 38-41: round-12 operator changes so far (rule 2): the four
-    # ADVICE fixes — ANSI try_divide in tokenizer_fertility and
-    # margin_mine, the dhash uniform-length contract made loud, and
-    # ccnet_buckets' null-safe lang terciles (more r12 additions are
-    # inserted here as they land, displacing the r9 tail below) ---
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
-    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
     "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    "multimodal_decode_jpeg": (q_multimodal_decode_jpeg, SQL_MULTIMODAL_DECODE_JPEG),
-    "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
-    "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
-    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
-    "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
     "line_filter": (q_line_filter, SQL_LINE_FILTER),
     "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
-    "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
-    "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
-    "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
-    # --- 42-50: the oldest r9-green rows (their rule-3 bound lands at
-    # r13; the rest of the r9 block sits first below the cutoff) ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    # --- below the driver window: remaining r9-green entries (lead
-    # round 13), then the r10/r11-green blocks (freshest, refresh last) ---
-    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
-    "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
-    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
-    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
-    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
-    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
-    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
-    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "bm25": (q_bm25, SQL_BM25),
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
-    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
-    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
-    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
-    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
-    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
-    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
-    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
     "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
@@ -8372,7 +8376,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
-    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
     "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),

@@ -79,56 +79,54 @@ def test_bench_artifact_sf_guard(tmp_path):
     assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
 
 
-def test_round12_window_holds_stale_debt_and_changes():
-    """Round-12 rotation lock (VERDICT r11 #1): ALL thirty-seven
-    r7-green entries (rule 3 lapsed at r12) plus every query whose
-    operator changed this round (rule 2) must sit inside the first-50
-    driver window. Locks the ordering against accidental refactors."""
-    window = list(_registry())[:50]
-    r7_stale = {
-        "logs_keyword", "logs_pagination", "span_log_correlation",
-        "trace_logs", "process_enrich", "distinct_operations",
-        "union_drift", "level_codec", "value_histogram",
-        "field_stats_level", "field_stats_trace", "fingerprint",
-        "token_shards", "compaction_roundtrip", "embedding_near_dup",
-        "events_props_rollup", "ivf_assign", "lang_id",
-        "multimodal_stats", "ngram_jaccard", "ngram_jaccard_strong",
-        "orders_with_returns", "quality_score", "service_deps",
-        "store_retention", "topk_batch", "drift_psi", "funnel_latency",
-        "winnowing", "fuzzy_name_pairs", "streaming_funnel", "funnel",
-        "containment_dedup", "triangle_count", "anomaly_zscore",
-        "collocation_lift", "event_transitions",
+def test_round13_window_holds_stale_debt_and_changes():
+    """Round-13 rotation lock (VERDICT r12 #1): thirty-eight of the
+    forty-six r9-green rows (rule 3 lands at r13) plus every round-13
+    addition (rule 1) and operator change (rule 2) must sit inside the
+    first-50 driver window; the eight displaced r9 rows (DEVIATIONS
+    #20) must sit FIRST below the cutoff. Locks the ordering against
+    accidental refactors."""
+    reg = list(_registry())
+    window = reg[:50]
+    r13_added = {
+        "multimodal_decode_video",  # MJPEG-AVI decode (VERDICT r12 #4)
+        "message_extract",          # C6 gated directly (VERDICT r12 #6)
+        "process_registry",         # K3 gated directly (VERDICT r12 #6)
     }
-    r12_changed = {
-        # the four ADVICE fixes (ANSI try_divide, dhash length
-        # contract, null-safe lang terciles)
-        "tokenizer_fertility", "margin_mine", "dhash_near_dup",
-        "ccnet_buckets",
-        # PNG decoder extended to color types 0/3 (gate now mixes all
-        # three 8-bit variants)
-        "multimodal_decode_png",
-        # WAV decoder extended to G.711 mu-law/A-law (gate mixes the
-        # three formats)
-        "multimodal_decode_audio",
-    }
-    r12_added = {
-        # baseline JPEG decoder (rule 1: new operator -> window)
+    r13_changed = {
+        # vectorized JPEG entropy decode (probe 39)
         "multimodal_decode_jpeg",
-        # HLL-bounded distinct-n shuffle (VERDICT r11 #4)
-        "ngram_diversity_approx",
-        # sentence-dedup stage composed into the curation ladder
-        # (VERDICT r11 #6); curate_documents changed, so the plain
-        # funnel gate re-enters under rule 2 as well
-        "curation_funnel_sd",
-        "curation_funnel",
-        # DoReMi domain-mixture reweighting (Xie 2023)
-        "doremi_weights",
-        # C4-style line-level cleaning (Raffel 2020)
-        "line_filter",
+        # ADVICE fixes: summation order / degenerate-level semantics
+        "doremi_weights", "ngram_diversity_approx",
+        # collect_vector_matrix per-row validation consumers
+        "margin_mine", "semantic_decontam",
+        # hot-bucket chain guard consumers not already in the r9 set
+        "ngram_jaccard", "ngram_jaccard_strong",
+        "curation_funnel", "curation_funnel_sd",
     }
-    for group in (r7_stale, r12_changed, r12_added):
+    r9_stale_in_window = {
+        "ann_cosine", "ann_lsh", "ann_quantized", "asof_span_log",
+        "bigram_lm", "bm25", "boilerplate_segments", "canonical_docs",
+        "char_entropy", "dedup_clusters", "dedup_exact",
+        "embedding_centroids", "equidepth_hist", "gopher_rules",
+        "hotcold_search", "hybrid_rrf", "incremental_dedup",
+        "ivf_search", "k_core_parts", "kmeans", "l_diversity",
+        "label_propagation", "leakage_split", "logs_search",
+        "minhash_lsh", "pii_scrub", "pipeline_e2e", "semantic_dedup",
+        "service_paths", "simhash", "streaming_cms_topk",
+        "streaming_rollup", "streaming_sessionize", "substring_dedup",
+        "temperature_mixture", "tfidf_top_terms", "trace_assembly",
+        "zorder_layout",
+    }
+    for group in (r13_added, r13_changed, r9_stale_in_window):
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
+    displaced = [
+        "rolling_features", "events_pivot", "latency_percentiles",
+        "top_ngrams", "lm_score", "cohort_retention", "profile_orders",
+        "events_cube",
+    ]
+    assert reg[50:58] == displaced, "displaced r9 rows must lead round 14"
 
 
 #: Public operator functions with NO transitive path from a registered
