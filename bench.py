@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "multimodal_decode_video",
+    "video_frame_dhash",
     "message_extract",
     "process_registry",
     "dsir_select",

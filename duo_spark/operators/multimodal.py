@@ -1799,6 +1799,71 @@ def video_stats(media: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+
+VIDEO_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("dhash", T.StringType(), False),
+    ]
+)
+
+
+def video_frame_dhash(
+    media: DataFrame, every: int = 2, *, grid_w: int = 9, grid_h: int = 8
+) -> DataFrame:
+    """Perceptual dHash per SAMPLED video frame over REAL MJPEG-AVI
+    decoding (round 13): :func:`decode_avi_mjpeg` walks the container,
+    every ``every``-th frame decodes through the T.81 path, and the
+    exact :func:`_dhash_bits` kernel (shared bit-for-bit with
+    :func:`image_dhash`) fingerprints each frame — the input to
+    cross-asset frame dedup: ``groupBy(dhash)`` finds repeated scenes
+    across a video corpus with NO pair join, and
+    :func:`dhash_near_dup`'s banded Hamming join runs on the same
+    column for near-misses.
+
+    Scale shape: one mapInPandas pass; binary payload dropped at the
+    task boundary, only (media_id, frame_idx, dims, 64-bit hash
+    string) rows cross any shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                buf = bytes(content)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                    raise ValueError("not an AVI (missing RIFF/'AVI ' magic)")
+                import struct
+
+                (riff_size,) = struct.unpack_from("<I", buf, 4)
+                end = min(len(buf), 8 + riff_size)
+                fidx = 0
+                for fcc, body, size in _avi_chunks(buf, 12, end):
+                    if fcc != b"LIST" or buf[body : body + 4] != b"movi":
+                        continue
+                    for f2, b2, s2 in _avi_chunks(buf, body + 4, body + size):
+                        if f2[2:4] in (b"dc", b"db"):
+                            if fidx % every == 0:
+                                w, h, px = _jpeg_reconstruct(buf[b2 : b2 + s2])
+                                rows.append(
+                                    (mid, fidx, w, h,
+                                     _dhash_bits(w, h, px, grid_w, grid_h))
+                                )
+                            fidx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "dhash"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, VIDEO_DHASH_SCHEMA
+    )
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Payload-free rollup: per kind, count/bytes percentiles. The
     binary column is projected away BEFORE the shuffle."""
@@ -2044,6 +2109,35 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _dhash_bits(w: int, h: int, px, grid_w: int, grid_h: int) -> str:
+    """The exact integer dHash kernel shared by :func:`image_dhash`
+    and :func:`video_frame_dhash` — average-pool to a grid_w x grid_h
+    grid of integer luma (r+g+b) sums, one bit per horizontally
+    adjacent cell pair via the cross-multiplied comparison
+    ``sum_l*n_r > sum_r*n_l`` (no float ever enters the hash)."""
+    import numpy as np
+
+    if w < grid_w or h < grid_h:
+        raise ValueError(
+            f"image {w}x{h} smaller than dhash grid {grid_w}x{grid_h}"
+        )
+    # sum with an int64 accumulator directly on the uint8 view —
+    # astype-then-sum copies 8x the bytes first (measured 4x slower
+    # at 1 MP)
+    luma = px.sum(axis=2, dtype=np.int64)
+    xb = np.searchsorted(np.arange(w) * grid_w // w, np.arange(grid_w))
+    yb = np.searchsorted(np.arange(h) * grid_h // h, np.arange(grid_h))
+    cells = np.add.reduceat(np.add.reduceat(luma, yb, axis=0), xb, axis=1)
+    xs = np.diff(np.append(xb, w))
+    ys = np.diff(np.append(yb, h))
+    counts = np.outer(ys, xs)
+    left = cells[:, :-1] * counts[:, 1:]
+    right = cells[:, 1:] * counts[:, :-1]
+    return "".join(
+        "1" if b else "0" for b in (left > right).reshape(-1)
+    )
+
+
 def image_dhash(media: DataFrame, *, grid_w: int = 9,
                 grid_h: int = 8, decoder=None) -> DataFrame:
     """Perceptual difference-hash over REAL decoded pixels (round 11):
@@ -2083,31 +2177,7 @@ def image_dhash(media: DataFrame, *, grid_w: int = 9,
                 if content is None:
                     continue
                 w, h, px = dec(content)
-                if w < grid_w or h < grid_h:
-                    raise ValueError(
-                        f"image {w}x{h} smaller than dhash grid "
-                        f"{grid_w}x{grid_h}"
-                    )
-                # sum with an int64 accumulator directly on the uint8
-                # view — astype-then-sum copies 8x the bytes first
-                # (measured 4x slower at 1 MP)
-                luma = px.sum(axis=2, dtype=np.int64)
-                xb = np.searchsorted(np.arange(w) * grid_w // w,
-                                     np.arange(grid_w))
-                yb = np.searchsorted(np.arange(h) * grid_h // h,
-                                     np.arange(grid_h))
-                cells = np.add.reduceat(
-                    np.add.reduceat(luma, yb, axis=0), xb, axis=1
-                )
-                xs = np.diff(np.append(xb, w))
-                ys = np.diff(np.append(yb, h))
-                counts = np.outer(ys, xs)
-                left = cells[:, :-1] * counts[:, 1:]
-                right = cells[:, 1:] * counts[:, :-1]
-                bits = (left > right).astype(np.uint8)
-                dhash = "".join(
-                    "1" if b else "0" for b in bits.reshape(-1)
-                )
+                dhash = _dhash_bits(w, h, px, grid_w, grid_h)
                 rows.append((mid, w, h, dhash))
         yield pd.DataFrame(
             rows, columns=["media_id", "width", "height", "dhash"]

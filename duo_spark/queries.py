@@ -1434,6 +1434,60 @@ FROM blocks GROUP BY doc_id, fi
 """
 
 
+def q_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual dHash over REAL MJPEG-AVI video
+    (operators/multimodal.py video_frame_dhash, round 13): the
+    synth_avi_mjpeg containers from the decode gate, every 2nd frame
+    JPEG-decoded and fingerprinted with the exact integer dHash
+    kernel image_dhash shares bit-for-bit — the cross-asset
+    frame-dedup input (groupBy(dhash) = repeated-scene dedup with no
+    pair join). The oracle REPLAYS THE HASH ITSELF: closed-form
+    pixels -> grid-pooled integer luma cells -> cross-multiplied
+    adjacent-cell comparisons -> the 64-char bit string, so a pooling
+    boundary, comparison, or bit-order bug lands on different
+    strings."""
+    from duo_spark.operators.multimodal import synth_avi_mjpeg, video_frame_dhash
+
+    def _avi(doc_id):
+        return doc_id.map(lambda d: synth_avi_mjpeg(int(d)))
+
+    avi_udf = F.pandas_udf(_avi, "binary")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = docs.select("media_id", avi_udf("media_id").alias("content"))
+    return video_frame_dhash(media, every=2)
+
+
+SQL_VIDEO_FRAME_DHASH = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 3 AS n_frames,
+         8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h
+  FROM documents),
+f AS (
+  SELECT d.*, fi FROM d, unnest(range(0, n_frames, 2)) u(fi)),
+px AS (
+  SELECT doc_id, fi, w, h,
+         3 * ((doc_id * 29 + fi * 19 + (x // 8) * 31 + (y // 8) * 37)
+              % 256) AS luma,
+         x * 9 // w AS gc, y * 8 // h AS gr
+  FROM f, unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+cells AS (
+  SELECT doc_id, fi, w, h, gr, gc, sum(luma) AS s, count(*) AS n
+  FROM px GROUP BY doc_id, fi, w, h, gr, gc),
+bits AS (
+  SELECT l.doc_id, l.fi, l.w, l.h, l.gr, l.gc,
+         CASE WHEN l.s * r.n > r.s * l.n THEN '1' ELSE '0' END AS b
+  FROM cells l JOIN cells r
+    ON r.doc_id = l.doc_id AND r.fi = l.fi
+   AND r.gr = l.gr AND r.gc = l.gc + 1),
+h AS (
+  SELECT doc_id, fi, w, h, string_agg(b, '' ORDER BY gr, gc) AS dhash
+  FROM bits GROUP BY doc_id, fi, w, h)
+SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height, dhash
+FROM h
+"""
+
+
 def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode e2e (operators/multimodal.py decode_bmp /
     image_stats, round 10): per doc_id a genuine 24-bit BI_RGB BMP —
@@ -8197,12 +8251,14 @@ FROM documents d JOIN plan p ON p.stratum IS NOT DISTINCT FROM d.source
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- ROUND-13 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # 1-3: round-13 NEW gates (rule 1): MJPEG-AVI video decode, C6
-    # message extraction, K3 process-registry JSON roundtrip ---
+    # 1-4: round-13 NEW gates (rule 1): MJPEG-AVI video decode, C6
+    # message extraction, K3 process-registry JSON roundtrip, and the
+    # per-frame perceptual dHash over real video frames ---
     "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
     "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
     "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
-    # --- 4-12: round-13 operator changes (rule 2): the vectorized
+    "video_frame_dhash": (q_video_frame_dhash, SQL_VIDEO_FRAME_DHASH),
+    # --- 5-13: round-13 operator changes (rule 2): the vectorized
     # JPEG entropy decode; the four ADVICE fixes (doremi summation
     # order, ngram_diversity_approx degenerate-level join semantics,
     # collect_vector_matrix per-row validation -> margin_mine +
@@ -8217,9 +8273,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
-    # --- 13-50: thirty-eight of the forty-six r9-green rows whose
-    # rule-3 bound lands at r13 (VERDICT r12 #1); the eight
-    # displaced by the twelve rule-1/2 slots above sit FIRST below
+    # --- 14-50: thirty-seven of the forty-six r9-green rows whose
+    # rule-3 bound lands at r13 (VERDICT r12 #1); the nine
+    # displaced by the thirteen rule-1/2 slots above sit FIRST below
     # the cutoff and lead round 14 (DEVIATIONS #20) ---
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
@@ -8233,7 +8289,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
@@ -8259,8 +8314,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    # --- below the driver window: the eight displaced r9 rows lead
+    # --- below the driver window: the nine displaced r9 rows lead
     # round 14 (all sf0.01 local-parity green this round) ---
+    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),

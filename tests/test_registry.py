@@ -83,13 +83,14 @@ def test_round13_window_holds_stale_debt_and_changes():
     """Round-13 rotation lock (VERDICT r12 #1): thirty-eight of the
     forty-six r9-green rows (rule 3 lands at r13) plus every round-13
     addition (rule 1) and operator change (rule 2) must sit inside the
-    first-50 driver window; the eight displaced r9 rows (DEVIATIONS
+    first-50 driver window; the nine displaced r9 rows (DEVIATIONS
     #20) must sit FIRST below the cutoff. Locks the ordering against
     accidental refactors."""
     reg = list(_registry())
     window = reg[:50]
     r13_added = {
         "multimodal_decode_video",  # MJPEG-AVI decode (VERDICT r12 #4)
+        "video_frame_dhash",        # per-frame perceptual hash
         "message_extract",          # C6 gated directly (VERDICT r12 #6)
         "process_registry",         # K3 gated directly (VERDICT r12 #6)
     }
@@ -108,7 +109,7 @@ def test_round13_window_holds_stale_debt_and_changes():
         "ann_cosine", "ann_lsh", "ann_quantized", "asof_span_log",
         "bigram_lm", "bm25", "boilerplate_segments", "canonical_docs",
         "char_entropy", "dedup_clusters", "dedup_exact",
-        "embedding_centroids", "equidepth_hist", "gopher_rules",
+        "embedding_centroids", "gopher_rules",
         "hotcold_search", "hybrid_rrf", "incremental_dedup",
         "ivf_search", "k_core_parts", "kmeans", "l_diversity",
         "label_propagation", "leakage_split", "logs_search",
@@ -122,11 +123,11 @@ def test_round13_window_holds_stale_debt_and_changes():
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
     displaced = [
-        "rolling_features", "events_pivot", "latency_percentiles",
-        "top_ngrams", "lm_score", "cohort_retention", "profile_orders",
-        "events_cube",
+        "equidepth_hist", "rolling_features", "events_pivot",
+        "latency_percentiles", "top_ngrams", "lm_score",
+        "cohort_retention", "profile_orders", "events_cube",
     ]
-    assert reg[50:58] == displaced, "displaced r9 rows must lead round 14"
+    assert reg[50:59] == displaced, "displaced r9 rows must lead round 14"
 
 
 #: Public operator functions with NO transitive path from a registered
