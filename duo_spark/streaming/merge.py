@@ -184,12 +184,28 @@ def fast_merge_processor(
             from duo_spark.sources.store import with_partition_cols
 
             done = with_partition_cols(done, "start", "minute")
+        # stage under hidden .tmp dirs, then atomically rename: a
+        # concurrent reader can never list a half-written version
+        # (round-13 soak, probe 41)
         done.write.mode("overwrite").parquet(
-            f"{out_dir}/completed/v={batch_id}"
+            f"{out_dir}/completed/.tmp-{batch_id}"
         )
-        still_open.write.mode("overwrite").parquet(f"{out_dir}/open/v={batch_id}")
+        _publish_dir(
+            spark,
+            f"{out_dir}/completed/.tmp-{batch_id}",
+            f"{out_dir}/completed/v={batch_id}",
+        )
+        still_open.write.mode("overwrite").parquet(
+            f"{out_dir}/open/.tmp-{batch_id}"
+        )
         if wm is not None:
-            _write_wm(spark, out_dir, batch_id, wm)
+            _write_wm(spark, out_dir, batch_id, wm,
+                      at=f"{out_dir}/open/.tmp-{batch_id}")
+        _publish_dir(
+            spark,
+            f"{out_dir}/open/.tmp-{batch_id}",
+            f"{out_dir}/open/v={batch_id}",
+        )
         keep = (batch_id,) if prev_id is None else (batch_id, prev_id)
         _prune_versions(spark, f"{out_dir}/open", keep=keep)
         if on_batch is not None:
@@ -227,13 +243,36 @@ def streaming_span_merge_fast(
     )
 
 
-def _write_wm(spark, out_dir: str, batch_id: int, wm: int) -> None:
-    """Persist the event-time high-water mark INSIDE the open version
-    dir (underscore-prefixed: parquet readers skip it; version pruning
-    removes it with its version)."""
+def _publish_dir(spark, tmp: str, dest: str) -> None:
+    """Atomically publish a version directory: rename the hidden
+    ``.tmp-*`` staging dir (invisible to _version_ids and to Spark
+    listings) onto ``dest``. Round-13 soak fix (probe 41): writing
+    ``v=N`` in place let a concurrent read_open/read_completed list a
+    half-written version and fail mid-scan. A pre-existing dest is a
+    REPLAYED batch overwriting its own version (exactly-once contract)
+    — deleted first; that narrow replay window is the crash-recovery
+    path, not steady state."""
     from duo_spark.streaming.rollup import _fs
 
-    fs, p = _fs(spark, f"{out_dir}/open/v={batch_id}/_wm.json")
+    fs, tmp_p = _fs(spark, tmp)
+    dest_p = _fs(spark, dest)[1]
+    if fs.exists(dest_p):
+        fs.delete(dest_p, True)
+    if not fs.rename(tmp_p, dest_p):
+        fs.delete(tmp_p, True)
+        raise RuntimeError(f"atomic publish {tmp} -> {dest} failed")
+
+
+def _write_wm(spark, out_dir: str, batch_id: int, wm: int, *,
+              at: str | None = None) -> None:
+    """Persist the event-time high-water mark INSIDE the open version
+    dir (underscore-prefixed: parquet readers skip it; version pruning
+    removes it with its version). ``at`` overrides the target dir so
+    the sidecar can land in the staging dir BEFORE the atomic rename
+    publishes the version."""
+    from duo_spark.streaming.rollup import _fs
+
+    fs, p = _fs(spark, f"{at or f'{out_dir}/open/v={batch_id}'}/_wm.json")
     stream = fs.create(p, True)
     try:
         stream.write(bytearray(str(int(wm)).encode("utf-8")))
@@ -338,6 +377,18 @@ def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None
     deltas, or the new snapshot (+ not-yet-deleted deltas it
     supersedes, which read_completed ignores by version).
 
+    Reader grace (round-13 soak fix, probe 41): a concurrent
+    read_completed holds a LAZY plan over versions it listed — an
+    immediate delete of the just-superseded state made that plan fail
+    at action time mid-soak. Deletion is therefore DEFERRED one
+    compaction cycle: this call deletes only state the PREVIOUS
+    snapshot already superseded (old deltas <= prev snapshot id, and
+    snapshots older than the previous one), so any in-flight reader
+    that listed within the last full compaction cycle scans files
+    that still exist. A reader must out-live TWO compaction cycles
+    to fail — and never sees wrong data either way (read_completed
+    ignores superseded versions by id).
+
     Returns the new snapshot's version id, or None if there was
     nothing to compact."""
     from duo_spark.streaming.rollup import _fs
@@ -349,6 +400,18 @@ def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None
     )
     fold = deltas[:-retain_latest] if retain_latest > 0 else deltas
     if not fold:
+        # nothing new to fold — but still execute the DEFERRED
+        # deletion from the previous cycle (state the current
+        # snapshot already supersedes has now had its full reader
+        # grace): old deltas <= cvid and snapshots older than cvid
+        if cvid is not None:
+            fs0 = _fs(spark, out_dir)[0]
+            for v in _version_ids(spark, f"{out_dir}/completed"):
+                if v <= cvid:
+                    fs0.delete(
+                        _fs(spark, f"{out_dir}/completed/v={v}")[1], True
+                    )
+            _prune_versions(spark, f"{out_dir}/compacted", keep=(cvid,))
         return None
     upto = fold[-1]
     parts: list[tuple[DataFrame, int]] = []
@@ -389,10 +452,15 @@ def compact_completed(spark, out_dir: str, retain_latest: int = 2) -> int | None
             f"compact_completed: rename {tmp} -> v={upto} failed; "
             "no versions were deleted (racing compaction?)"
         )
-    # now safe to drop superseded state
-    _prune_versions(spark, f"{out_dir}/compacted", keep=(upto,))
-    for v in fold:
-        fs.delete(_fs(spark, f"{out_dir}/completed/v={v}")[1], True)
+    # deferred deletion (reader grace, one full compaction cycle):
+    # keep the previous snapshot and the deltas it did NOT supersede;
+    # drop only state the PREVIOUS snapshot already covered
+    keep = (upto,) if cvid is None else (upto, cvid)
+    _prune_versions(spark, f"{out_dir}/compacted", keep=keep)
+    if cvid is not None:
+        for v in _version_ids(spark, f"{out_dir}/completed"):
+            if v <= cvid:
+                fs.delete(_fs(spark, f"{out_dir}/completed/v={v}")[1], True)
     return upto
 
 

@@ -679,11 +679,19 @@ def test_fast_merge_compaction_preserves_results(spark, sf_dir, scratch):
     assert upto is not None
     after = {(r.id, r.end, r.tags) for r in read_completed(spark, out).collect()}
     assert after == before
+    # reader grace (round 13): the FIRST compaction defers deletion a
+    # full cycle — folded deltas stay on disk (read_completed ignores
+    # them by version id), and only the NEXT compaction drops state
+    # the previous snapshot already superseded
     kept = _version_ids(spark, f"{out}/completed")
-    assert len(kept) == 2 and all(v > upto for v in kept)
+    assert all(v <= upto for v in kept[:-2]) and len(kept) == n_deltas
     assert _version_ids(spark, f"{out}/compacted") == [upto]
-    # idempotent: nothing new below the retain window
+    # nothing new below the retain window: the fold is a no-op, but
+    # the second call executes the DEFERRED deletion — the folded
+    # deltas drop now that their reader grace has elapsed
     assert compact_completed(spark, out, retain_latest=2) is None
+    kept2 = _version_ids(spark, f"{out}/completed")
+    assert len(kept2) == 2 and all(v > upto for v in kept2)
     assert {(r.id, r.end, r.tags)
             for r in read_completed(spark, out).collect()} == before
 
@@ -1079,6 +1087,9 @@ def test_engine_compact_folds_fast_span_deltas(spark, scratch):
     before = {(r.id, r.end) for r in eng.spans().collect()}
     eng.compact(retain_latest=1)
     assert os.path.isdir(os.path.join(span_root, "compacted"))
+    # round-13 reader grace: the first compact folds but DEFERS the
+    # delta deletion one cycle; the second executes it
+    eng.compact(retain_latest=1)
     n_after = len([d for d in os.listdir(os.path.join(span_root, "completed"))
                    if d.startswith("v=")])
     assert n_after < n_before
