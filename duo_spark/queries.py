@@ -8273,19 +8273,23 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
-    # --- 14-50: thirty-seven of the forty-six r9-green rows whose
-    # rule-3 bound lands at r13 (VERDICT r12 #1); the nine
-    # displaced by the thirteen rule-1/2 slots above sit FIRST below
+    # --- 14-17: the round-13 streaming publish-path change (rule 2):
+    # atomic version publish + deferred compaction deletion touch the
+    # fast merge, its sink, and the compaction roundtrip ---
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
+    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
+    # --- 18-50: thirty-three of the forty-six r9-green rows whose
+    # rule-3 bound lands at r13 (VERDICT r12 #1); the thirteen
+    # displaced by the seventeen rule-1/2 slots above sit FIRST below
     # the cutoff and lead round 14 (DEVIATIONS #20) ---
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
-    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "bm25": (q_bm25, SQL_BM25),
-    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
@@ -8296,7 +8300,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
     "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
     "kmeans": (q_kmeans, SQL_KMEANS),
-    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
@@ -8314,9 +8317,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    # --- below the driver window: the nine displaced r9 rows lead
+    # --- below the driver window: the thirteen displaced r9 rows lead
     # round 14 (all sf0.01 local-parity green this round) ---
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "latency_percentiles": (q_latency_percentiles, SQL_LATENCY_PERCENTILES),
@@ -8339,7 +8346,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
-    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
@@ -8387,9 +8393,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "span_merge": (q_span_merge, SQL_SPAN_MERGE),
-    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
-    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
-    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),

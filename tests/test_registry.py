@@ -83,7 +83,7 @@ def test_round13_window_holds_stale_debt_and_changes():
     """Round-13 rotation lock (VERDICT r12 #1): thirty-eight of the
     forty-six r9-green rows (rule 3 lands at r13) plus every round-13
     addition (rule 1) and operator change (rule 2) must sit inside the
-    first-50 driver window; the nine displaced r9 rows (DEVIATIONS
+    first-50 driver window; the thirteen displaced r9 rows (DEVIATIONS
     #20) must sit FIRST below the cutoff. Locks the ordering against
     accidental refactors."""
     reg = list(_registry())
@@ -104,14 +104,17 @@ def test_round13_window_holds_stale_debt_and_changes():
         # hot-bucket chain guard consumers not already in the r9 set
         "ngram_jaccard", "ngram_jaccard_strong",
         "curation_funnel", "curation_funnel_sd",
+        # streaming publish-path change (atomic version publish +
+        # deferred compaction deletion)
+        "compaction_roundtrip", "streaming_span_merge",
+        "streaming_span_merge_fast", "streaming_parquet_sink",
     }
     r9_stale_in_window = {
         "ann_cosine", "ann_lsh", "ann_quantized", "asof_span_log",
-        "bigram_lm", "bm25", "boilerplate_segments", "canonical_docs",
-        "char_entropy", "dedup_clusters", "dedup_exact",
+        "bm25", "canonical_docs", "dedup_clusters", "dedup_exact",
         "embedding_centroids", "gopher_rules",
         "hotcold_search", "hybrid_rrf", "incremental_dedup",
-        "ivf_search", "k_core_parts", "kmeans", "l_diversity",
+        "ivf_search", "k_core_parts", "kmeans",
         "label_propagation", "leakage_split", "logs_search",
         "minhash_lsh", "pii_scrub", "pipeline_e2e", "semantic_dedup",
         "service_paths", "simhash", "streaming_cms_topk",
@@ -123,11 +126,13 @@ def test_round13_window_holds_stale_debt_and_changes():
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
     displaced = [
-        "equidepth_hist", "rolling_features", "events_pivot",
-        "latency_percentiles", "top_ngrams", "lm_score",
-        "cohort_retention", "profile_orders", "events_cube",
+        "equidepth_hist", "l_diversity", "boilerplate_segments",
+        "bigram_lm", "char_entropy", "rolling_features",
+        "events_pivot", "latency_percentiles", "top_ngrams",
+        "lm_score", "cohort_retention", "profile_orders",
+        "events_cube",
     ]
-    assert reg[50:59] == displaced, "displaced r9 rows must lead round 14"
+    assert reg[50:63] == displaced, "displaced r9 rows must lead round 14"
 
 
 #: Public operator functions with NO transitive path from a registered
