@@ -255,6 +255,16 @@ def _banded_set_candidates(
     banded = _band_rows(sh, num_hashes, bands, with_n=size_ratio is not None)
     chain = None
     if max_bucket_size is not None:
+        # materialize the band rows ONCE: the guard adds three more
+        # consumers of this subtree (the count, the hot semi-join, the
+        # cold anti-join) on top of the self-join's two sides, and each
+        # would otherwise re-run the shingle+signature Pandas-UDF
+        # kernel — measured 1.8x the whole query at sf0.1 without this
+        # (round-13 bench A/B). The checkpointed table is exactly the
+        # rows the self-join shuffles anyway (id[, n], band, bucket
+        # longs), so the storage footprint is the join input, not the
+        # corpus.
+        banded = banded.localCheckpoint(eager=True)
         hot = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bc"))
