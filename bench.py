@@ -231,6 +231,7 @@ BASELINE_SF = 0.1
 #: registry entries intentionally NOT benched — each reason above.
 BENCH_EXCLUDED = {
     "ngram_jaccard",
+    "checkpoint_recovery",
     "streaming_span_merge",
     "streaming_span_merge_fast",
     "streaming_parquet_sink",

@@ -408,6 +408,52 @@ def _span_merge_records(spark: SparkSession, sf_dir: str, modulo: int | None = N
     return opens.unionByName(closes)
 
 
+def q_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+K2 gated directly (round 13, the reference's WAL
+    write/recovery lifecycle — duo writes Arrow-IPC WAL every 10 s and
+    reconstructs open-span state from it on restart;
+    here the durable layer is the Structured Streaming checkpoint +
+    the versioned open/ state, per DEVIATIONS #6): the span records
+    split across TWO SEPARATE STREAMING QUERY LIFETIMES against ONE
+    checkpoint. Lifetime 1 drains only the OPEN records and stops —
+    its open-span state persists in out/open/v=N and its source
+    offsets in the checkpoint commit log. Lifetime 2 (a brand-new
+    query object on the same checkpoint) drains the CLOSE records
+    staged after the first stop. Every completed span therefore
+    requires state RECOVERED across a full stop/start cycle — a
+    checkpoint-resume, offset-replay, or open-state-reload bug yields
+    missing or duplicate completions against the batch oracle (the
+    same SQL as span_merge: streaming restart must be semantically
+    invisible)."""
+    import uuid as _uuid
+
+    from duo_spark.schemas import SPAN_SCHEMA
+    from duo_spark.streaming.merge import read_completed, streaming_span_merge_fast
+    from duo_spark.streaming.pipeline import _scratch
+
+    records = _span_merge_records(spark, sf_dir)
+    run = _scratch("ckrec", _uuid.uuid4().hex)
+    src = f"{run}/in"
+    records.filter(F.col("end").isNull()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # lifetime 1: drain the opens, stop
+    stream1 = spark.readStream.schema(SPAN_SCHEMA).parquet(src)
+    q1 = streaming_span_merge_fast(stream1, f"{run}/out", f"{run}/ckpt")
+    q1.awaitTermination()
+    # stage the closes AFTER the stop; lifetime 2 resumes from the
+    # same checkpoint and must merge them into the recovered state
+    records.filter(F.col("end").isNotNull()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(SPAN_SCHEMA).parquet(src)
+    q2 = streaming_span_merge_fast(stream2, f"{run}/out", f"{run}/ckpt")
+    q2.awaitTermination()
+    return read_completed(spark, f"{run}/out").select(
+        "id", "parent_id", "trace_id", "name", "process_id", "start", "end"
+    )
+
+
 def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 span upsert-merge: open+close records -> completed spans."""
     merged = merge_span_records(_span_merge_records(spark, sf_dir))
@@ -8258,6 +8304,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
     "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
     "video_frame_dhash": (q_video_frame_dhash, SQL_VIDEO_FRAME_DHASH),
+    "checkpoint_recovery": (q_checkpoint_recovery, SQL_SPAN_MERGE),
     # --- 5-13: round-13 operator changes (rule 2): the vectorized
     # JPEG entropy decode; the four ADVICE fixes (doremi summation
     # order, ngram_diversity_approx degenerate-level join semantics,
@@ -8292,7 +8339,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
@@ -8320,6 +8366,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # --- below the driver window: the thirteen displaced r9 rows lead
     # round 14 (all sf0.01 local-parity green this round) ---
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),

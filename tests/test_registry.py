@@ -83,7 +83,7 @@ def test_round13_window_holds_stale_debt_and_changes():
     """Round-13 rotation lock (VERDICT r12 #1): thirty-eight of the
     forty-six r9-green rows (rule 3 lands at r13) plus every round-13
     addition (rule 1) and operator change (rule 2) must sit inside the
-    first-50 driver window; the thirteen displaced r9 rows (DEVIATIONS
+    first-50 driver window; the fourteen displaced r9 rows (DEVIATIONS
     #20) must sit FIRST below the cutoff. Locks the ordering against
     accidental refactors."""
     reg = list(_registry())
@@ -93,6 +93,7 @@ def test_round13_window_holds_stale_debt_and_changes():
         "video_frame_dhash",        # per-frame perceptual hash
         "message_extract",          # C6 gated directly (VERDICT r12 #6)
         "process_registry",         # K3 gated directly (VERDICT r12 #6)
+        "checkpoint_recovery",      # S5+K2 gated directly
     }
     r13_changed = {
         # vectorized JPEG entropy decode (probe 39)
@@ -112,7 +113,7 @@ def test_round13_window_holds_stale_debt_and_changes():
     r9_stale_in_window = {
         "ann_cosine", "ann_lsh", "ann_quantized", "asof_span_log",
         "bm25", "canonical_docs", "dedup_clusters", "dedup_exact",
-        "embedding_centroids", "gopher_rules",
+        "gopher_rules",
         "hotcold_search", "hybrid_rrf", "incremental_dedup",
         "ivf_search", "k_core_parts", "kmeans",
         "label_propagation", "leakage_split", "logs_search",
@@ -126,13 +127,13 @@ def test_round13_window_holds_stale_debt_and_changes():
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
     displaced = [
-        "equidepth_hist", "l_diversity", "boilerplate_segments",
-        "bigram_lm", "char_entropy", "rolling_features",
-        "events_pivot", "latency_percentiles", "top_ngrams",
-        "lm_score", "cohort_retention", "profile_orders",
-        "events_cube",
+        "equidepth_hist", "embedding_centroids", "l_diversity",
+        "boilerplate_segments", "bigram_lm", "char_entropy",
+        "rolling_features", "events_pivot", "latency_percentiles",
+        "top_ngrams", "lm_score", "cohort_retention",
+        "profile_orders", "events_cube",
     ]
-    assert reg[50:63] == displaced, "displaced r9 rows must lead round 14"
+    assert reg[50:64] == displaced, "displaced r9 rows must lead round 14"
 
 
 #: Public operator functions with NO transitive path from a registered
