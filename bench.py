@@ -232,6 +232,7 @@ BASELINE_SF = 0.1
 BENCH_EXCLUDED = {
     "ngram_jaccard",
     "checkpoint_recovery",
+    "object_store_roundtrip",
     "streaming_span_merge",
     "streaming_span_merge_fast",
     "streaming_parquet_sink",

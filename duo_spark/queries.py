@@ -454,6 +454,44 @@ def q_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 gated directly (round 13, the reference's object-store
+    abstraction — duo/src via opendal: the same store code serves
+    fs/s3/gcs roots): the ENTIRE store lifecycle through an EXPLICIT
+    ``file://`` URI root rather than a bare path, so every operation
+    resolves its filesystem through the Hadoop scheme registry —
+    exactly the seam where an s3a:// or gs:// root plugs in at
+    production (only the scheme string changes). Exercises write
+    (partitioned + bloom), exists, JSON side files, and read through
+    the URI; the oracle is the plain logs aggregate — the storage
+    scheme must be semantically invisible."""
+    import uuid as _uuid
+
+    from duo_spark.sources.store import PartitionedStore
+    from duo_spark.streaming.pipeline import _scratch
+
+    logs = events_as_logs(spark, sf_dir)
+    root = "file://" + _scratch("gate-k4", _uuid.uuid4().hex)
+    store = PartitionedStore(spark, root, granularity="hour")
+    store.write(logs, "log", time_col="time")
+    assert store.exists("log") and not store.exists("nope")
+    store.write_json("meta.json", {"tables": ["log"]})
+    assert store.read_json("meta.json") == {"tables": ["log"]}
+    return store.read("log").groupBy("process_id", "level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    )
+
+
+SQL_OBJECT_STORE_ROUNDTRIP = f"""
+WITH {LOGS_CTE}
+SELECT process_id, level, CAST(count(*) AS BIGINT) AS n,
+       MIN("time") AS min_time, MAX("time") AS max_time
+FROM logs GROUP BY process_id, level
+"""
+
+
 def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 span upsert-merge: open+close records -> completed spans."""
     merged = merge_span_records(_span_merge_records(spark, sf_dir))
@@ -8305,6 +8343,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
     "video_frame_dhash": (q_video_frame_dhash, SQL_VIDEO_FRAME_DHASH),
     "checkpoint_recovery": (q_checkpoint_recovery, SQL_SPAN_MERGE),
+    "object_store_roundtrip": (q_object_store_roundtrip, SQL_OBJECT_STORE_ROUNDTRIP),
     # --- 5-13: round-13 operator changes (rule 2): the vectorized
     # JPEG entropy decode; the four ADVICE fixes (doremi summation
     # order, ngram_diversity_approx degenerate-level join semantics,
@@ -8360,12 +8399,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     # --- below the driver window: the thirteen displaced r9 rows lead
     # round 14 (all sf0.01 local-parity green this round) ---
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "boilerplate_segments": (q_boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),

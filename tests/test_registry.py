@@ -83,7 +83,7 @@ def test_round13_window_holds_stale_debt_and_changes():
     """Round-13 rotation lock (VERDICT r12 #1): thirty-eight of the
     forty-six r9-green rows (rule 3 lands at r13) plus every round-13
     addition (rule 1) and operator change (rule 2) must sit inside the
-    first-50 driver window; the fourteen displaced r9 rows (DEVIATIONS
+    first-50 driver window; the fifteen displaced r9 rows (DEVIATIONS
     #20) must sit FIRST below the cutoff. Locks the ordering against
     accidental refactors."""
     reg = list(_registry())
@@ -94,6 +94,7 @@ def test_round13_window_holds_stale_debt_and_changes():
         "message_extract",          # C6 gated directly (VERDICT r12 #6)
         "process_registry",         # K3 gated directly (VERDICT r12 #6)
         "checkpoint_recovery",      # S5+K2 gated directly
+        "object_store_roundtrip",   # K4 gated directly
     }
     r13_changed = {
         # vectorized JPEG entropy decode (probe 39)
@@ -120,20 +121,20 @@ def test_round13_window_holds_stale_debt_and_changes():
         "minhash_lsh", "pii_scrub", "pipeline_e2e", "semantic_dedup",
         "service_paths", "simhash", "streaming_cms_topk",
         "streaming_rollup", "streaming_sessionize", "substring_dedup",
-        "temperature_mixture", "tfidf_top_terms", "trace_assembly",
+        "temperature_mixture", "trace_assembly",
         "zorder_layout",
     }
     for group in (r13_added, r13_changed, r9_stale_in_window):
         missing = group - set(window)
         assert not missing, f"fell out of the driver window: {sorted(missing)}"
     displaced = [
-        "equidepth_hist", "embedding_centroids", "l_diversity",
-        "boilerplate_segments", "bigram_lm", "char_entropy",
-        "rolling_features", "events_pivot", "latency_percentiles",
-        "top_ngrams", "lm_score", "cohort_retention",
-        "profile_orders", "events_cube",
+        "equidepth_hist", "tfidf_top_terms", "embedding_centroids",
+        "l_diversity", "boilerplate_segments", "bigram_lm",
+        "char_entropy", "rolling_features", "events_pivot",
+        "latency_percentiles", "top_ngrams", "lm_score",
+        "cohort_retention", "profile_orders", "events_cube",
     ]
-    assert reg[50:64] == displaced, "displaced r9 rows must lead round 14"
+    assert reg[50:65] == displaced, "displaced r9 rows must lead round 14"
 
 
 #: Public operator functions with NO transitive path from a registered
