@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "margin_mine",
     "ccnet_buckets",
     "epoch_repeats",
+    # round-14 additions
+    "field_stats_ref_quirk",
 ]
 
 #: the scale factor the committed BENCH.json headline is pinned to
@@ -227,6 +229,30 @@ BENCH_QUERIES = [
 #: .tmp/BENCH_local.json so they can never replace the baseline
 #: artifact (ADVICE r9).
 BASELINE_SF = 0.1
+
+#: machine-load canaries (round 14, VERDICT r13 #3): four frozen,
+#: plan-stable queries spanning the main execution shapes
+#: (filter+sort+limit, hash aggregate, groupBy merge, codec
+#: expressions) whose code and plan have been stable for 4+ rounds.
+#: CONTROL_BASELINE pins their quiet-window sf0.1 median-of-3 on the
+#: round-14 tree (calibration run recorded in DEVIATIONS #24). Every
+#: baseline-sf artifact reports the run's measured control medians,
+#: per-control ratios vs this baseline, their MEDIAN as
+#: ``control_factor``, and ``value_normalized = value /
+#: control_factor`` — so a driver artifact inflated by ambient host
+#: contention (controls inflated by the same factor) is
+#: distinguishable from a real regression (controls flat) without a
+#: judge-side re-run. The r13 driver/quiet inversion (320 s vs 250 s,
+#: all noise) is the motivating incident.
+CONTROL_QUERIES = ("logs_search", "pricing_summary", "span_merge", "timing_codec")
+CONTROL_BASELINE = {
+    # placeholder until the round-14 quiet calibration run lands; a
+    # None baseline disables normalization (raw numbers unaffected)
+    "logs_search": None,
+    "pricing_summary": None,
+    "span_merge": None,
+    "timing_codec": None,
+}
 
 #: registry entries intentionally NOT benched — each reason above.
 BENCH_EXCLUDED = {
@@ -361,6 +387,27 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["partial_total"] = total
+    # noise-legibility block (round 14, VERDICT r13 #3): controls +
+    # normalized numbers, only at the baseline sf the control
+    # baselines were calibrated at
+    if sf == BASELINE_SF and all(CONTROL_BASELINE.get(n) for n in CONTROL_QUERIES):
+        ratios = {
+            n: round(timings[n] / CONTROL_BASELINE[n], 3)
+            for n in CONTROL_QUERIES
+            if n in timings
+        }
+        if ratios:
+            factor = sorted(ratios.values())[len(ratios) // 2]
+            out["controls"] = {n: timings[n] for n in CONTROL_QUERIES if n in timings}
+            out["control_baseline"] = {n: CONTROL_BASELINE[n] for n in CONTROL_QUERIES}
+            out["control_ratios"] = ratios
+            out["control_factor"] = factor
+            if factor > 0:
+                out["queries_normalized"] = {
+                    n: round(t / factor, 3) for n, t in timings.items()
+                }
+                if out["value"] is not None:
+                    out["value_normalized"] = round(out["value"] / factor, 3)
     # round-12 VERDICT #8 / round-13 #5: emit the committed
     # quiet-window headline (BENCH.json — defined since round 13 as
     # the MEDIAN of the day's quiet-window full runs on the final
@@ -420,6 +467,8 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": len(errors),
             "quiet_ref": out.get("quiet_ref"),
+            "control_factor": out.get("control_factor"),
+            "value_normalized": out.get("value_normalized"),
             "detail": "BENCH.json",
         }
         line = json.dumps(short, separators=(",", ":"))

@@ -93,3 +93,44 @@ def field_stats(
         .offset(skip)
         .limit(limit)
     )
+
+
+def field_stats_ref_quirk(
+    logs: DataFrame,
+    fld: str,
+    scan_order: list,
+    input_skip: int = 0,
+    input_limit: int = DEFAULT_STATS_LIMIT,
+) -> DataFrame:
+    """The reference's LITERAL field-stats semantics
+    (duo/src/query.rs:139-151 + duo/src/web/logs.rs:64-98): in
+    ``AggregateQuery::collect`` the ``limit(skip, limit)`` lives
+    inside ``RawQuery::df()`` and therefore caps the INPUT ROWS
+    SCANNED before the aggregate runs; the count-desc sort applies
+    after aggregation to however many groups the capped input
+    produced, and null-value rows drop from the result Rust-side
+    (logs.rs:93-96 — equivalent to filtering nulls after the cap,
+    since ``count(col)`` never counts them).
+
+    :func:`field_stats` deliberately deviates (DEVIATIONS #2: sort +
+    limit push AFTER the aggregate — the semantics the UI wants).
+    This formulation pins the reference's quirk so BOTH behaviors are
+    regression-gated (VERDICT r13 #8). The reference's input order is
+    its scan order (memtable insertion then parquet file order) —
+    unreproducible in any distributed engine (same class as
+    DEVIATIONS #1's hash order), so ``scan_order`` supplies the
+    deterministic stand-in; the cap itself stays a bounded
+    TakeOrderedAndProject, never a global collect.
+    """
+    if fld not in logs.columns:
+        raise KeyError(f"field {fld!r} not in log schema")
+    capped = logs.orderBy(*scan_order)
+    if input_skip:
+        capped = capped.offset(input_skip)
+    capped = capped.limit(input_limit)
+    return (
+        capped.filter(F.col(fld).isNotNull())
+        .groupBy(F.col(fld).alias("value"))
+        .agg(F.count(fld).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("value").asc())
+    )

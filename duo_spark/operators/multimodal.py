@@ -1606,6 +1606,19 @@ def _avi_chunks(data: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
+def _movi_frame_chunks(data: bytes, pos: int, end: int):
+    """Yield ``(fourcc, body, size)`` for every frame chunk under a
+    ``movi`` list, RECURSING into standard ``LIST rec `` interleave
+    groups (round-14 fix, ADVICE r13: interleaved AVIs nest their
+    frame chunks one level down; the round-13 walker silently skipped
+    them, yielding wrong frame counts instead of an error)."""
+    for fcc, body, size in _avi_chunks(data, pos, end):
+        if fcc == b"LIST" and data[body : body + 4] == b"rec ":
+            yield from _movi_frame_chunks(data, body + 4, body + size)
+        elif fcc[2:4] in (b"dc", b"db"):
+            yield fcc, body, size
+
+
 def decode_avi_mjpeg(
     content: bytes, every: int = 1
 ) -> tuple[int, int, int, list[tuple[int, int, int, int, int, int]]]:
@@ -1616,6 +1629,14 @@ def decode_avi_mjpeg(
     ``every``-th frame through :func:`_jpeg_reconstruct` (the same
     T.81 path the image gates verify). Zero new codec work: MJPEG is
     by definition one baseline JPEG per frame.
+
+    Round-14 hardening (ADVICE r13): frame chunks nested inside
+    standard ``LIST rec `` interleave groups are walked recursively,
+    frame chunks are restricted to THE video stream (the ``strl``
+    whose ``strh`` type is ``vids``; stream 00 when no stream list is
+    present), and unsupported layouts — a second video stream, or a
+    compressed-frame chunk on an unexpected stream — raise instead of
+    silently producing wrong frame counts/indices.
 
     Returns ``(declared_width, declared_height, n_frames, frames)``
     with one ``(frame_idx, width, height, sum_r, sum_g, sum_b)``
@@ -1633,6 +1654,7 @@ def decode_avi_mjpeg(
     (riff_size,) = struct.unpack_from("<I", content, 4)
     end = min(len(content), 8 + riff_size)
     width = height = total = None
+    vid_stream: int | None = None
     frames: list[tuple[int, int, int, int, int, int]] = []
     fidx = 0
     for fcc, body, size in _avi_chunks(content, 12, end):
@@ -1640,25 +1662,38 @@ def decode_avi_mjpeg(
             continue
         ltype = content[body : body + 4]
         if ltype == b"hdrl":
-            for f2, b2, _s2 in _avi_chunks(content, body + 4, body + size):
+            sidx = 0
+            for f2, b2, s2 in _avi_chunks(content, body + 4, body + size):
                 if f2 == b"avih":
                     hdr = struct.unpack_from("<10I", content, b2)
                     total, width, height = hdr[4], hdr[8], hdr[9]
+                elif f2 == b"LIST" and content[b2 : b2 + 4] == b"strl":
+                    for f3, b3, _s3 in _avi_chunks(content, b2 + 4, b2 + s2):
+                        if f3 == b"strh" and content[b3 : b3 + 4] == b"vids":
+                            if vid_stream is not None:
+                                raise ValueError(
+                                    "multiple video streams unsupported "
+                                    f"(streams {vid_stream:02d} and {sidx:02d})"
+                                )
+                            vid_stream = sidx
+                    sidx += 1
         elif ltype == b"movi":
-            for f2, b2, s2 in _avi_chunks(content, body + 4, body + size):
-                if f2[2:4] in (b"dc", b"db"):
-                    if fidx % every == 0:
-                        w, h, px = _jpeg_reconstruct(
-                            content[b2 : b2 + s2]
-                        )
-                        sums = px.reshape(-1, 3).sum(
-                            axis=0, dtype=np.int64
-                        )
-                        frames.append(
-                            (fidx, w, h, int(sums[0]), int(sums[1]),
-                             int(sums[2]))
-                        )
-                    fidx += 1
+            want = vid_stream if vid_stream is not None else 0
+            for f2, b2, s2 in _movi_frame_chunks(content, body + 4, body + size):
+                if not f2[:2].isdigit():
+                    raise ValueError(f"malformed movi frame chunk id {f2!r}")
+                if int(f2[:2]) != want:
+                    raise ValueError(
+                        f"compressed-frame chunk {f2!r} on unexpected stream "
+                        f"(video stream is {want:02d}) — second video stream?"
+                    )
+                if fidx % every == 0:
+                    w, h, px = _jpeg_reconstruct(content[b2 : b2 + s2])
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    frames.append(
+                        (fidx, w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                    )
+                fidx += 1
     if width is None:
         raise ValueError("AVI missing avih main header")
     return width, height, (total if total else fidx), frames

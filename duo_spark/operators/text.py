@@ -1138,10 +1138,15 @@ def ngram_diversity(
                 .filter(F.col("total_ngrams") > 0)
             )
         else:
+            # same empty-level drop as the approx branch (round-14 fix,
+            # ADVICE r13: the r12 degenerate-level fix landed only on
+            # approx, so the two modes disagreed on corpora where an n
+            # level has zero grams — exact emitted a (0, 0, 0.0) row,
+            # approx dropped the level)
             agg = grams.agg(
                 F.count(F.lit(1)).alias("total_ngrams"),
                 F.count_distinct(F.col("_g")).alias("distinct_ngrams"),
-            )
+            ).filter(F.col("total_ngrams") > 0)
         parts.append(
             agg.select(
                 F.lit(n).alias("n"),

@@ -264,6 +264,33 @@ def q_field_stats_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return field_stats(logs, "trace_id")
 
 
+def q_field_stats_ref_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal limit-BEFORE-aggregate field stats
+    (duo/src/query.rs:139-151; SURVEY §3.3; DEVIATIONS #2): the limit
+    caps input rows scanned, not output groups. Pinned alongside the
+    fixed semantics (q_field_stats_level) so both behaviors are
+    driver-gated (VERDICT r13 #8). Scan order is the deterministic
+    (time, span_id) stand-in for the reference's memtable order."""
+    from duo_spark.operators.logs import field_stats_ref_quirk
+
+    logs = events_as_logs(spark, sf_dir)
+    return field_stats_ref_quirk(
+        logs, "level",
+        scan_order=[F.col("time").asc(), F.col("span_id").asc()],
+        input_limit=500,
+    )
+
+
+SQL_FIELD_STATS_REF_QUIRK = f"""
+WITH {LOGS_CTE},
+capped AS (
+  SELECT level FROM logs ORDER BY "time" ASC, span_id ASC LIMIT 500)
+SELECT level AS "value", CAST(count(level) AS BIGINT) AS count
+FROM capped WHERE level IS NOT NULL
+GROUP BY level ORDER BY count DESC, "value" ASC
+"""
+
+
 SQL_FIELD_STATS_TRACE = f"""
 WITH {LOGS_CTE}
 SELECT trace_id AS "value", CAST(count(trace_id) AS BIGINT) AS count
@@ -8334,75 +8361,12 @@ FROM documents d JOIN plan p ON p.stratum IS NOT DISTINCT FROM d.source
 
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- ROUND-13 WINDOW (slots 1-50; OPERATORS.md rotation policy) ---
-    # 1-4: round-13 NEW gates (rule 1): MJPEG-AVI video decode, C6
-    # message extraction, K3 process-registry JSON roundtrip, and the
-    # per-frame perceptual dHash over real video frames ---
-    "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
-    "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
-    "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
-    "video_frame_dhash": (q_video_frame_dhash, SQL_VIDEO_FRAME_DHASH),
-    "checkpoint_recovery": (q_checkpoint_recovery, SQL_SPAN_MERGE),
-    "object_store_roundtrip": (q_object_store_roundtrip, SQL_OBJECT_STORE_ROUNDTRIP),
-    # --- 5-13: round-13 operator changes (rule 2): the vectorized
-    # JPEG entropy decode; the four ADVICE fixes (doremi summation
-    # order, ngram_diversity_approx degenerate-level join semantics,
-    # collect_vector_matrix per-row validation -> margin_mine +
-    # semantic_decontam); and the four non-r9 consumers of the
-    # hot-bucket chain guard in the banded LSH self-join ---
-    "multimodal_decode_jpeg": (q_multimodal_decode_jpeg, SQL_MULTIMODAL_DECODE_JPEG),
-    "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
-    "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
-    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
-    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
-    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
-    "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
-    # --- 14-17: the round-13 streaming publish-path change (rule 2):
-    # atomic version publish + deferred compaction deletion touch the
-    # fast merge, its sink, and the compaction roundtrip ---
-    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
-    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
-    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
-    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
-    # --- 18-50: thirty-three of the forty-six r9-green rows whose
-    # rule-3 bound lands at r13 (VERDICT r12 #1); the thirteen
-    # displaced by the seventeen rule-1/2 slots above sit FIRST below
-    # the cutoff and lead round 14 (DEVIATIONS #20) ---
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
-    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
-    "bm25": (q_bm25, SQL_BM25),
-    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
-    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
-    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
-    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
-    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
-    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
-    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
-    # --- below the driver window: the thirteen displaced r9 rows lead
-    # round 14 (all sf0.01 local-parity green this round) ---
+    # --- ROUND-14 WINDOW (slots 1-50; OPERATORS.md rotation policy,
+    # DEVIATIONS #21; the fixed 4-cohort refresh schedule for rounds
+    # 15-18 is DEVIATIONS #22) ---
+    # 1-15: the fifteen r9-stale rows (VERDICT r13 #1 — rule-3
+    # staleness hits 5 rounds; displaced twice by rules 1-2, they
+    # lead this window unconditionally) ---
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
@@ -8418,132 +8382,205 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
-    # --- then the r10/r11/r12-green blocks (freshest, refresh last) ---
-    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
-    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
-    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
-    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
-    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
-    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
-    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
-    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
-    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
-    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
-    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
-    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
-    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
-    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
-    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
-    "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
-    "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
-    "winnowing": (q_winnowing, SQL_WINNOWING),
-    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
-    "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
-    "funnel": (q_funnel, SQL_FUNNEL),
-    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
-    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
-    "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
-    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
-    "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
-    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
-    "line_filter": (q_line_filter, SQL_LINE_FILTER),
-    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
-    "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
-    "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
-    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
+    # 16: image_dhash — changed in r13 (pluggable decoder= seam)
+    # without a window slot (VERDICT r13 #4) ---
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
+    # 17: round-14 NEW gate (rule 1): the reference's literal
+    # limit-before-aggregate field stats (VERDICT r13 #8,
+    # DEVIATIONS #2 pins both semantics now) ---
+    "field_stats_ref_quirk": (q_field_stats_ref_quirk, SQL_FIELD_STATS_REF_QUIRK),
+    # 18-20: round-14 operator changes (rule 2): decode_avi_mjpeg
+    # LIST-rec recursion + single-video-stream enforcement (ADVICE
+    # r13), and ngram_diversity's exact-mode empty-level drop ---
+    "multimodal_decode_video": (q_multimodal_decode_video, SQL_MULTIMODAL_DECODE_VIDEO),
+    "video_frame_dhash": (q_video_frame_dhash, SQL_VIDEO_FRAME_DHASH),
+    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
+    # 21-29: rule 2 — every gate routed through the banded-LSH
+    # hot-bucket guard, whose chain became a LADDER (adjacent +
+    # stride-2 links, eager trigger check + warning log; ADVICE r13
+    # medium) ---
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_strong": (q_ngram_jaccard_strong, SQL_NGRAM_JACCARD_STRONG),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "curation_funnel_sd": (q_curation_funnel_sd, SQL_CURATION_FUNNEL_SD),
+    # 30-35: rule 2 — every gate through _publish_dir, whose replay
+    # path became rename-aside instead of delete-then-rename
+    # (ADVICE r13) ---
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "streaming_span_merge": (q_streaming_span_merge, SQL_STREAMING_SPAN_MERGE),
+    "streaming_span_merge_fast": (q_streaming_span_merge_fast, SQL_SPAN_MERGE),
+    "streaming_parquet_sink": (q_streaming_parquet_sink, SQL_STREAMING_PARQUET_SINK),
+    "checkpoint_recovery": (q_checkpoint_recovery, SQL_SPAN_MERGE),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    # 36-50: fifteen of the forty-three r10-green rows (rule 3,
+    # alphabetical — the deterministic order DEVIATIONS #22 fixes);
+    # the twenty-eight that do not fit sit FIRST below the cutoff
+    # and are cohort A's head (round 15) ---
     "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
-    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
-    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
-    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
-    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
-    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
-    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
-    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
-    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
-    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
-    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
-    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "cms_sliding": (q_cms_sliding, SQL_CMS_SLIDING),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
-    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
-    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
-    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
-    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
-    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
-    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
-    "customer_set_ops": (q_customer_set_ops, SQL_CUSTOMER_SET_OPS),
-    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
-    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "hard_negatives_lsh": (q_hard_negatives_lsh, SQL_HARD_NEGATIVES_LSH),
     "hll_audience_overlap": (q_hll_audience_overlap, SQL_HLL_AUDIENCE_OVERLAP),
-    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
-    "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    # --- below the driver window: cohort order (DEVIATIONS #22).
+    # First the 28 remaining r10 rows + 20 stalest r11 rows
+    # (cohort A -> round 15), then cohort B (r16), C (r17), D (r18)
+    # in staleness-then-alphabetical order ---
+    "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
+    "hll_sliding": (q_hll_sliding, SQL_HLL_SLIDING),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "label_resolution": (q_label_resolution, SQL_LABEL_RESOLUTION),
+    "moments_quantiles": (q_moments_quantiles, SQL_MOMENTS_QUANTILES),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "order_quartiles": (q_order_quartiles, SQL_ORDER_QUARTILES),
+    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "readability": (q_readability, SQL_READABILITY),
+    "salted_join_skew": (q_salted_join_skew, SQL_SALTED_JOIN_SKEW),
+    "sample_per_key": (q_sample_per_key, SQL_SAMPLE_PER_KEY),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "span_merge": (q_span_merge, SQL_SPAN_MERGE),
+    "span_overlap": (q_span_overlap, SQL_SPAN_OVERLAP),
+    "store_pruned_scan": (q_store_pruned_scan, SQL_STORE_PRUNED_SCAN),
+    "streaming_anomaly": (q_streaming_anomaly, SQL_STREAMING_ANOMALY),
+    "streaming_hll_rollup": (q_streaming_hll_rollup, SQL_STREAMING_HLL_ROLLUP),
+    "streaming_moments_rollup": (q_streaming_moments_rollup, SQL_STREAMING_MOMENTS_ROLLUP),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "timing_codec": (q_timing_codec, SQL_TIMING_CODEC),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS_PER_CUSTOMER),
+    "trace_waterfall": (q_trace_waterfall, SQL_TRACE_WATERFALL),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "validate_orders": (q_validate_orders, SQL_VALIDATE_ORDERS),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
-    "in_list": (q_in_list, SQL_IN_LIST),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "luhn_valid": (q_luhn_valid, SQL_LUHN_VALID),
-    "blocklist_match": (q_blocklist_match, SQL_BLOCKLIST_MATCH),
-    "tune_lsh_bands": (q_tune_lsh_bands, SQL_TUNE_LSH_BANDS),
-    "split_sentences": (q_split_sentences, SQL_SPLIT_SENTENCES),
-    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
-    "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
-    "token_js_divergence": (q_token_js_divergence, SQL_TOKEN_JS_DIVERGENCE),
-    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
-    "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
-    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
-    "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
-    "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
-    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "audio_envelope_hash": (q_audio_envelope_hash, SQL_AUDIO_ENVELOPE_HASH),
-    "epoch_repeats": (q_epoch_repeats, SQL_EPOCH_REPEATS),
-    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
-    "column_mi": (q_column_mi, SQL_COLUMN_MI),
-    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
+    "blocklist_match": (q_blocklist_match, SQL_BLOCKLIST_MATCH),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "column_mi": (q_column_mi, SQL_COLUMN_MI),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "decontam": (q_decontam, SQL_DECONTAM),
+    "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "epoch_allocation": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
+    "epoch_repeats": (q_epoch_repeats, SQL_EPOCH_REPEATS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "in_list": (q_in_list, SQL_IN_LIST),
+    "luhn_valid": (q_luhn_valid, SQL_LUHN_VALID),
+    "multimodal_decode_image": (q_multimodal_decode_image, SQL_MULTIMODAL_DECODE_IMAGE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frame_dedup": (q_multimodal_frame_dedup, SQL_MULTIMODAL_FRAME_DEDUP),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "multimodal_spectrogram": (q_multimodal_spectrogram, SQL_MULTIMODAL_SPECTROGRAM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "schema_diff": (q_schema_diff, SQL_SCHEMA_DIFF),
+    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
+    "service_concurrency": (q_service_concurrency, SQL_SERVICE_CONCURRENCY),
     "service_pagerank": (q_service_pagerank, SQL_SERVICE_PAGERANK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "split_sentences": (q_split_sentences, SQL_SPLIT_SENTENCES),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "streaming_features": (q_streaming_features, SQL_STREAMING_FEATURES),
     "streaming_incr_dedup": (q_streaming_incr_dedup, SQL_STREAMING_INCR_DEDUP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
-    "decontam": (q_decontam, SQL_DECONTAM),
-    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "token_js_divergence": (q_token_js_divergence, SQL_TOKEN_JS_DIVERGENCE),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "tune_lsh_bands": (q_tune_lsh_bands, SQL_TUNE_LSH_BANDS),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
+    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
+    "dhash_near_dup": (q_dhash_near_dup, SQL_DHASH_NEAR_DUP),
+    "distinct_operations": (q_distinct_operations, SQL_DISTINCT_OPERATIONS),
+    "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "events_props_rollup": (q_events_props_rollup, SQL_EVENTS_PROPS_ROLLUP),
+    "field_stats_level": (q_field_stats_level, SQL_FIELD_STATS_LEVEL),
+    "field_stats_trace": (q_field_stats_trace, SQL_FIELD_STATS_TRACE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "level_codec": (q_level_codec, SQL_LEVEL_CODEC),
+    "line_filter": (q_line_filter, SQL_LINE_FILTER),
+    "logs_keyword": (q_logs_keyword, SQL_LOGS_KEYWORD),
+    "logs_pagination": (q_logs_pagination, SQL_LOGS_PAGINATION),
+    "multimodal_decode_audio": (q_multimodal_decode_audio, SQL_MULTIMODAL_DECODE_AUDIO),
+    "multimodal_decode_png": (q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG),
+    "multimodal_stats": (q_multimodal_stats, SQL_MULTIMODAL_STATS),
+    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
+    "process_enrich": (q_process_enrich, SQL_PROCESS_ENRICH),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "service_deps": (q_service_deps, SQL_SERVICE_DEPS),
+    "span_log_correlation": (q_span_log_correlation, SQL_SPAN_LOG_CORRELATION),
+    "store_retention": (q_store_retention, SQL_STORE_RETENTION),
+    "streaming_funnel": (q_streaming_funnel, SQL_FUNNEL),
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "topk_batch": (q_topk_batch, SQL_TOPK_BATCH),
+    "trace_logs": (q_trace_logs, SQL_TRACE_LOGS),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "winnowing": (q_winnowing, SQL_WINNOWING),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "asof_span_log": (q_asof_span_log, SQL_ASOF_SPAN_LOG),
+    "bm25": (q_bm25, SQL_BM25),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "hotcold_search": (q_hotcold_search, SQL_HOTCOLD_SEARCH),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
+    "k_core_parts": (q_k_core_parts, SQL_K_CORE_PARTS),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "logs_search": (q_logs_search, SQL_LOGS_SEARCH),
+    "margin_mine": (q_margin_mine, SQL_MARGIN_MINE),
+    "message_extract": (q_message_extract, SQL_MESSAGE_EXTRACT),
+    "multimodal_decode_jpeg": (q_multimodal_decode_jpeg, SQL_MULTIMODAL_DECODE_JPEG),
+    "ngram_diversity_approx": (q_ngram_diversity_approx, SQL_NGRAM_DIVERSITY_APPROX),
+    "object_store_roundtrip": (q_object_store_roundtrip, SQL_OBJECT_STORE_ROUNDTRIP),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "process_registry": (q_process_registry, SQL_PROCESS_REGISTRY),
+    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "service_paths": (q_service_paths, SQL_SERVICE_PATHS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "streaming_cms_topk": (q_streaming_cms_topk, SQL_CMS_TOPK),
+    "streaming_rollup": (q_streaming_rollup, SQL_STREAMING_ROLLUP),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "trace_assembly": (q_trace_assembly, SQL_TRACE_ASSEMBLY),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
 }
 

@@ -248,19 +248,43 @@ def _publish_dir(spark, tmp: str, dest: str) -> None:
     ``.tmp-*`` staging dir (invisible to _version_ids and to Spark
     listings) onto ``dest``. Round-13 soak fix (probe 41): writing
     ``v=N`` in place let a concurrent read_open/read_completed list a
-    half-written version and fail mid-scan. A pre-existing dest is a
-    REPLAYED batch overwriting its own version (exactly-once contract)
-    — deleted first; that narrow replay window is the crash-recovery
-    path, not steady state."""
+    half-written version and fail mid-scan.
+
+    A pre-existing dest is a REPLAYED batch overwriting its own
+    version (exactly-once contract). Round-14 fix (ADVICE r13): the
+    old delete-then-rename left dest ABSENT for the full recursive
+    delete — a concurrent read_open could miss the only open version.
+    Now the old version is renamed ASIDE first (hidden ``.old-N``,
+    invisible to listings), so the absence window shrinks from a
+    recursive delete to the gap between two metadata renames; the
+    aside is deleted only after the new version has landed. Hadoop
+    FileSystem.rename moves src INTO an existing dest dir rather than
+    over it, so rename-aside (not rename-overwrite) is the only safe
+    primitive here."""
     from duo_spark.streaming.rollup import _fs
 
     fs, tmp_p = _fs(spark, tmp)
     dest_p = _fs(spark, dest)[1]
+    aside_p = None
     if fs.exists(dest_p):
-        fs.delete(dest_p, True)
+        head, tail = dest.rsplit("/", 1)
+        aside_p = _fs(spark, f"{head}/.old-{tail}")[1]
+        if fs.exists(aside_p):
+            fs.delete(aside_p, True)
+        if not fs.rename(dest_p, aside_p):
+            fs.delete(tmp_p, True)
+            raise RuntimeError(
+                f"atomic publish: rename-aside {dest} failed (fs race?)"
+            )
     if not fs.rename(tmp_p, dest_p):
+        # put the old version back before surfacing: readers keep a
+        # consistent (stale) view rather than none at all
+        if aside_p is not None:
+            fs.rename(aside_p, dest_p)
         fs.delete(tmp_p, True)
         raise RuntimeError(f"atomic publish {tmp} -> {dest} failed")
+    if aside_p is not None:
+        fs.delete(aside_p, True)
 
 
 def _write_wm(spark, out_dir: str, batch_id: int, wm: int, *,

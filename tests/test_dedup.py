@@ -472,12 +472,14 @@ def test_normalize_text_idempotent(spark, texts):
 
 
 def test_hot_bucket_cap_drops_quadratic_bucket(spark):
-    """VERDICT r12 #3: B rows with IDENTICAL shingle sets land in the
-    same (band, bucket) in EVERY band — the worst-case hot bucket.
-    With max_bucket_size < B the bucket leaves the quadratic self-join
-    and emits an id-sorted CHAIN (B-1 adjacent pairs, connectivity
-    preserved for downstream clustering); without the cap the same
-    input emits the full B*(B-1)/2 pair set into one partition."""
+    """VERDICT r12 #3 + ADVICE r13: B rows with IDENTICAL shingle sets
+    land in the same (band, bucket) in EVERY band — the worst-case hot
+    bucket. With max_bucket_size < B the bucket leaves the quadratic
+    self-join and emits an id-sorted LADDER — adjacent links (i, i+1)
+    plus stride-2 links (i, i+2), 2B-3 pairs — so connectivity for
+    downstream clustering survives any single link failing exact-
+    Jaccard verification; without the cap the same input emits the
+    full B*(B-1)/2 pair set into one partition."""
     from pyspark.sql import functions as F
 
     from duo_spark.operators.dedup import _banded_set_candidates
@@ -491,10 +493,48 @@ def test_hot_bucket_cap_drops_quadratic_bucket(spark):
     assert uncapped.count() == B * (B - 1) // 2
     capped = _banded_set_candidates(sh, 16, 4, max_bucket_size=B - 1)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
-    assert got == {(i, i + 1) for i in range(B - 1)}  # the chain
+    ladder = {(i, i + 1) for i in range(B - 1)} | {(i, i + 2) for i in range(B - 2)}
+    assert got == ladder
     # a cap the bucket fits under is a no-op
     roomy = _banded_set_candidates(sh, 16, 4, max_bucket_size=B)
     assert roomy.count() == B * (B - 1) // 2
+
+
+def test_hot_bucket_ladder_survives_one_bad_link(spark):
+    """The stride-2 rungs are the verify-aware fallback: drop any ONE
+    adjacent link from the ladder and the remaining pairs still
+    connect the whole bucket (single-failure tolerance the plain
+    chain lacked)."""
+    from duo_spark.operators.dedup import _banded_set_candidates
+
+    B = 8
+    sh = spark.createDataFrame(
+        [(i, [10, 20, 30, 40, 50]) for i in range(B)],
+        "_id long, _hs array<long>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in _banded_set_candidates(sh, 16, 4, max_bucket_size=B - 1).collect()
+    }
+
+    def components(pairs):
+        parent = list(range(B))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return len({find(i) for i in range(B)})
+
+    assert components(got) == 1
+    for drop in [(i, i + 1) for i in range(B - 1)]:
+        assert components(got - {drop}) == 1, f"link {drop} is a single point of failure"
 
 
 def test_hot_bucket_cap_inert_on_normal_corpus(spark):

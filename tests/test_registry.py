@@ -79,62 +79,56 @@ def test_bench_artifact_sf_guard(tmp_path):
     assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
 
 
-def test_round13_window_holds_stale_debt_and_changes():
-    """Round-13 rotation lock (VERDICT r12 #1): thirty-eight of the
-    forty-six r9-green rows (rule 3 lands at r13) plus every round-13
-    addition (rule 1) and operator change (rule 2) must sit inside the
-    first-50 driver window; the fifteen displaced r9 rows (DEVIATIONS
-    #20) must sit FIRST below the cutoff. Locks the ordering against
-    accidental refactors."""
+def test_round14_window_holds_stale_debt_and_changes():
+    """Round-14 rotation lock (VERDICT r13 #1/#2, DEVIATIONS #21/#22):
+    the fifteen r9-stale rows lead the 50-slot window, image_dhash and
+    the round's new/changed gates follow, fifteen r10 rows fill, and
+    the twenty-eight displaced r10 rows sit FIRST below the cutoff as
+    cohort A's head. Locks the ordering against accidental
+    refactors."""
     reg = list(_registry())
     window = reg[:50]
-    r13_added = {
-        "multimodal_decode_video",  # MJPEG-AVI decode (VERDICT r12 #4)
-        "video_frame_dhash",        # per-frame perceptual hash
-        "message_extract",          # C6 gated directly (VERDICT r12 #6)
-        "process_registry",         # K3 gated directly (VERDICT r12 #6)
-        "checkpoint_recovery",      # S5+K2 gated directly
-        "object_store_roundtrip",   # K4 gated directly
-    }
-    r13_changed = {
-        # vectorized JPEG entropy decode (probe 39)
-        "multimodal_decode_jpeg",
-        # ADVICE fixes: summation order / degenerate-level semantics
-        "doremi_weights", "ngram_diversity_approx",
-        # collect_vector_matrix per-row validation consumers
-        "margin_mine", "semantic_decontam",
-        # hot-bucket chain guard consumers not already in the r9 set
-        "ngram_jaccard", "ngram_jaccard_strong",
-        "curation_funnel", "curation_funnel_sd",
-        # streaming publish-path change (atomic version publish +
-        # deferred compaction deletion)
-        "compaction_roundtrip", "streaming_span_merge",
-        "streaming_span_merge_fast", "streaming_parquet_sink",
-    }
-    r9_stale_in_window = {
-        "ann_cosine", "ann_lsh", "ann_quantized", "asof_span_log",
-        "bm25", "canonical_docs", "dedup_clusters", "dedup_exact",
-        "gopher_rules",
-        "hotcold_search", "hybrid_rrf", "incremental_dedup",
-        "ivf_search", "k_core_parts", "kmeans",
-        "label_propagation", "leakage_split", "logs_search",
-        "minhash_lsh", "pii_scrub", "pipeline_e2e", "semantic_dedup",
-        "service_paths", "simhash", "streaming_cms_topk",
-        "streaming_rollup", "streaming_sessionize", "substring_dedup",
-        "temperature_mixture", "trace_assembly",
-        "zorder_layout",
-    }
-    for group in (r13_added, r13_changed, r9_stale_in_window):
-        missing = group - set(window)
-        assert not missing, f"fell out of the driver window: {sorted(missing)}"
-    displaced = [
+    r9_debt = [
         "equidepth_hist", "tfidf_top_terms", "embedding_centroids",
         "l_diversity", "boilerplate_segments", "bigram_lm",
         "char_entropy", "rolling_features", "events_pivot",
         "latency_percentiles", "top_ngrams", "lm_score",
         "cohort_retention", "profile_orders", "events_cube",
     ]
-    assert reg[50:65] == displaced, "displaced r9 rows must lead round 14"
+    assert reg[:15] == r9_debt, "r9 debt must lead the round-14 window"
+    r14_rule12 = {
+        # r13 change that went without a slot (VERDICT r13 #4)
+        "image_dhash",
+        # round-14 NEW gate (rule 1)
+        "field_stats_ref_quirk",
+        # AVI LIST-rec recursion + single-stream enforcement
+        "multimodal_decode_video", "video_frame_dhash",
+        # exact-mode empty-level drop
+        "ngram_diversity",
+        # banded-LSH hot-bucket guard: chain -> ladder
+        "minhash_lsh", "canonical_docs", "dedup_clusters",
+        "leakage_split", "ngram_jaccard", "ngram_jaccard_strong",
+        "incremental_dedup", "curation_funnel", "curation_funnel_sd",
+        # _publish_dir rename-aside replay path
+        "compaction_roundtrip", "streaming_span_merge",
+        "streaming_span_merge_fast", "streaming_parquet_sink",
+        "checkpoint_recovery", "pipeline_e2e",
+    }
+    missing = r14_rule12 - set(window)
+    assert not missing, f"fell out of the driver window: {sorted(missing)}"
+    # cohort A's head: the 28 r10 rows displaced by the 35 rule slots
+    cohort_a_head = [
+        "hll_rollup", "hll_sliding", "k_anonymity", "key_skew_profile",
+        "label_resolution", "moments_quantiles", "nation_revenue",
+        "order_quartiles", "packing_stats", "pricing_summary",
+        "random_projection", "readability", "salted_join_skew",
+        "sample_per_key", "scd2_history", "span_merge", "span_overlap",
+        "store_pruned_scan", "streaming_anomaly", "streaming_hll_rollup",
+        "streaming_moments_rollup", "t_closeness", "timing_codec",
+        "topk_orders_per_customer", "trace_waterfall", "url_dedup",
+        "validate_orders", "zipf_slope",
+    ]
+    assert reg[50:78] == cohort_a_head, "displaced r10 rows must lead round 15"
 
 
 #: Public operator functions with NO transitive path from a registered
