@@ -415,6 +415,16 @@ def triangle_count(
         )
         .select("e.u", "e.v")
     )
+    # materialize the oriented edge list ONCE: three plan branches
+    # consume it (wedge left side, wedge right side, closure semi-join)
+    # and each would otherwise re-run the whole scan → canonical-edge
+    # distinct → degree aggregate → two orientation joins subtree —
+    # measured 345 physical operators / 31 exchanges at sf0.1 before,
+    # ~40 operators / 8 exchanges after (plans/r14/triangle_count_*).
+    # The checkpointed table is exactly the (u, v) longs the wedge join
+    # shuffles anyway; retention follows the minhash_near_duplicates
+    # convention (blocks live until the caller's session drops them).
+    e = e.localCheckpoint(eager=True)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))

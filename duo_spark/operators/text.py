@@ -1103,66 +1103,75 @@ def ngram_diversity(
     """
     from duo_spark.operators.sketch import hll_estimate, hll_sketch
 
-    parts = []
-    for n in ns:
-        grams = df.select(
-            F.explode(all_ngrams(F.col(text_col), n)).alias("_g")
-        ).filter(F.col("_g") != "")
-        if approx:
-            gh = F.conv(F.substring(F.md5("_g"), 1, 13), 16, 10).cast("long")
-            # ONE scan + ONE register-bounded shuffle for BOTH numbers:
-            # the (register, count) table carries the occurrence total
-            # through the same aggregate, and the <= m-row result is
-            # lazily checkpointed so its two consumers (total sum,
-            # estimate) never re-run the explode (round-12 review fix —
-            # the first cut ran two independent aggregates over the
-            # exploded grams, doubling the scan on the exact hot path
-            # this mode exists to bound)
-            sk = hll_sketch(
-                grams.select(gh.alias("_gh")), [], "_gh", m,
-                count_col="_cnt",
-            ).localCheckpoint(eager=False)
-            est = hll_estimate(
-                sk.select("bucket", "register"), [], m, small_correct=True
-            ).select(F.col("estimate").alias("distinct_ngrams"))
-            # two 1-row aggregates over the checkpointed m-row table:
-            # the crossJoin is a broadcast of single rows
-            agg = (
-                sk.agg(
-                    F.coalesce(F.sum("_cnt"), F.lit(0)).alias("total_ngrams")
-                )
-                .crossJoin(F.broadcast(est))
-                # inner-join semantics with the SQL oracle: an n level
-                # with ZERO grams drops entirely on both sides instead
-                # of surfacing a (0, NULL) row only here (r12 ADVICE)
-                .filter(F.col("total_ngrams") > 0)
-            )
-        else:
-            # same empty-level drop as the approx branch (round-14 fix,
-            # ADVICE r13: the r12 degenerate-level fix landed only on
-            # approx, so the two modes disagreed on corpora where an n
-            # level has zero grams — exact emitted a (0, 0, 0.0) row,
-            # approx dropped the level)
-            agg = grams.agg(
-                F.count(F.lit(1)).alias("total_ngrams"),
-                F.count_distinct(F.col("_g")).alias("distinct_ngrams"),
-            ).filter(F.col("total_ngrams") > 0)
-        parts.append(
-            agg.select(
-                F.lit(n).alias("n"),
-                "total_ngrams",
-                "distinct_ngrams",
-                F.round(
-                    F.col("distinct_ngrams").cast("double")
-                    / F.greatest(F.col("total_ngrams"), F.lit(1)),
-                    6,
-                ).alias("distinct_ratio"),
-            )
+    # ONE corpus scan for ALL n levels (round 14): each row explodes
+    # its per-n gram arrays tagged with n in a single generator, and
+    # the per-level numbers come from one grouped aggregate keyed by
+    # (n[, gram/bucket]) — the previous per-n loop ran a full
+    # scan + explode + aggregate PER LEVEL, i.e. len(ns) passes over
+    # the corpus where one suffices (at 100 TB that is len(ns)× the
+    # input I/O and tokenization CPU for identical output). Per-level
+    # gram multisets, aggregates, and rounding are unchanged — only
+    # the number of passes drops (3 scans / 6 exchanges → 1 scan /
+    # 2 exchanges at sf0.1, plans/r14/ngram_diversity_*).
+    def _tag(n: int):
+        # single-parameter lambda: a 2-arg form would be silently
+        # bound as transform's (element, index) overload
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("_g"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(all_ngrams(F.col(text_col), n), _tag(n)) for n in ns])
+    )
+    # the fused explode concentrates ALL n levels' tokenization in one
+    # generator, so a single-split input would run it on one core (the
+    # old per-n branches at least ran as three concurrent stages) —
+    # widen first; no-op at real scale (see ensure_parallelism)
+    from duo_spark.operators.util import ensure_parallelism
+
+    grams = (
+        ensure_parallelism(df).select(F.explode(tagged).alias("_t"))
+        .select(F.col("_t.n").alias("n"), F.col("_t._g").alias("_g"))
+        .filter(F.col("_g") != "")
+    )
+    # empty n levels drop on both branches by construction (no gram
+    # rows → no group), the inner-join semantics the SQL oracle pins
+    # (r12 ADVICE / round-14 exact-branch fix)
+    if approx:
+        gh = F.conv(F.substring(F.md5("_g"), 1, 13), 16, 10).cast("long")
+        # the (n, register, count) table carries the occurrence total
+        # through the same aggregate, and the <= len(ns)·m-row result
+        # is lazily checkpointed so its two consumers (totals,
+        # estimate) never re-run the explode (round-12 review fix)
+        sk = hll_sketch(
+            grams.select("n", gh.alias("_gh")), ["n"], "_gh", m,
+            count_col="_cnt",
+        ).localCheckpoint(eager=False)
+        est = hll_estimate(
+            sk.select("n", "bucket", "register"), ["n"], m,
+            small_correct=True,
+        ).select("n", F.col("estimate").alias("distinct_ngrams"))
+        tot = sk.groupBy("n").agg(F.sum("_cnt").alias("total_ngrams"))
+        agg = tot.join(est, "n")
+    else:
+        # two-level aggregate instead of count_distinct: one map-side-
+        # combined exchange keyed (n, gram) carrying per-gram counts
+        # (identical volume to a plain distinct), then a tiny per-n
+        # rollup — the mixed count/count_distinct form plans an Expand
+        # that doubles the exploded gram stream (measured 2.6× slower)
+        per_gram = grams.groupBy("n", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        agg = per_gram.groupBy("n").agg(
+            F.sum("_c").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return agg.select(
+        F.col("n").cast("int").alias("n"),
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(
+            F.col("distinct_ngrams").cast("double")
+            / F.greatest(F.col("total_ngrams"), F.lit(1)),
+            6,
+        ).alias("distinct_ratio"),
+    )
 
 
 def sentence_dedup(
