@@ -2255,8 +2255,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("/?q="), qp, F.lit("&utm_campaign=x")),
         )
     )
+    from duo_spark.operators.util import ensure_parallelism
+
+    # canonical_url is the CPU (4 regex extracts + pct transforms per
+    # row) and the small events file arrives as ONE scan split — widen
+    # before the projection so it runs cluster-wide (no-op at scale)
     return (
-        ev.select(raw.alias("raw"))
+        ensure_parallelism(ev.select(raw.alias("raw")))
         .select("raw", canonical_url(F.col("raw")).alias("url"))
         .groupBy("url")
         .agg(

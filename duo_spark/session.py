@@ -36,7 +36,22 @@ def get_spark(app_name: str = "duo_spark", **extra_conf: str) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold, and let AQE convert SMJ→SHJ at runtime
+        # when every post-shuffle partition fits the local-map budget
+        # (guide-recommended; default 0 disables the AQE rewrite).
+        # Scale-safe by construction: the conversion is bounded per
+        # partition, so a build side that outgrows the budget stays
+        # sort-merge. Threshold overridable for cluster tuning.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64MB"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # scalar @udf paths (none hot today — fold_idn only) cross the
+        # boundary as Arrow batches instead of pickled rows
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
         # ns-epoch long (set here once instead of as a query-time
