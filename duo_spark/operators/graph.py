@@ -352,16 +352,20 @@ def label_propagation(
             .agg(F.sum("_w").alias("_wt"))
         )
         # argmax weight, min label tie-break: labels are non-negative
-        # longs, so max(struct(weight, -label)) picks exactly that
-        best = (
+        # longs, so max(struct(weight, -label)) picks exactly that.
+        # `best` covers EVERY node by construction — und is symmetric,
+        # so every node has >= 1 incident edge whose endpoint carries a
+        # label (lab spans all nodes) — which makes the former
+        # lab.join(best, "left") + coalesce a row-for-row no-op: the
+        # "isolated-in-round keeps its label" clause can only bind for
+        # nodes outside the edge list, and those never enter `nodes`.
+        # Dropping the join removes one equi-join and the second `lab`
+        # consumer per round (round 14; results pinned identical by
+        # the LPA oracle gates and tests).
+        nxt, nxt_ids = tracked_local_checkpoint(
             incident.groupBy("node")
             .agg(F.max(F.struct(F.col("_wt"), (-F.col("label")).alias("_nl"))).alias("_b"))
-            .select("node", (-F.col("_b._nl")).alias("_new"))
-        )
-        nxt, nxt_ids = tracked_local_checkpoint(
-            lab.join(best, "node", "left").select(
-                "node", F.coalesce("_new", "label").alias("label")
-            )
+            .select("node", (-F.col("_b._nl")).alias("label"))
         )
         release_rdd_ids(spark, lab_ids)
         lab, lab_ids = nxt, nxt_ids

@@ -132,9 +132,17 @@ def curate_documents(
         ).alias("n3"),
     ).collect()[0]
 
+    # materialize the predicate survivors ONCE: without this, the
+    # winners aggregate and the s4 join probe each re-run the whole
+    # quality/lang-id/blocklist text-predicate chain (tokenization is
+    # the per-row cost of those stages) — three executions of the
+    # chain per funnel instead of two (counts + this checkpoint). The
+    # checkpointed table is the survivor subset the dedup stages
+    # consume anyway.
     s3 = (
         flags.filter(F.col("_q_ok") & F.col("_l_ok") & F.col("_b_ok"))
         .select(docs.columns)
+        .localCheckpoint(eager=True)
     )
 
     # --- set-dependent dedup stages over the checkpointed survivors ---
