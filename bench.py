@@ -246,12 +246,15 @@ BASELINE_SF = 0.1
 #: all noise) is the motivating incident.
 CONTROL_QUERIES = ("logs_search", "pricing_summary", "span_merge", "timing_codec")
 CONTROL_BASELINE = {
-    # placeholder until the round-14 quiet calibration run lands; a
-    # None baseline disables normalization (raw numbers unaffected)
-    "logs_search": None,
-    "pricing_summary": None,
-    "span_merge": None,
-    "timing_codec": None,
+    # calibrated in the round-14 optimization window (DEVIATIONS #24):
+    # the mean of the per-control medians from the round's two quiet
+    # full sf0.1 runs on the final tree (controls untouched between
+    # them; the two runs' control spread — ±20-30% — IS the ambient
+    # host factor this block exists to expose)
+    "logs_search": 0.288,
+    "pricing_summary": 0.520,
+    "span_merge": 2.321,
+    "timing_codec": 1.464,
 }
 
 #: registry entries intentionally NOT benched — each reason above.
