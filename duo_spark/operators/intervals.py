@@ -132,6 +132,7 @@ def max_concurrency(
     end: str = "end",
     method: str = "chunked",
     num_partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-key peak number of simultaneously-open CLOSED intervals.
 
@@ -161,8 +162,22 @@ def max_concurrency(
       Simplest plan; right when keys are plentiful and individually
       small.
 
-    Output: (key, peak) — one row per key, exact.
+    Output: (key, peak) — one row per key, exact. ``count_col``
+    (round 14) additionally emits the per-key interval count through
+    the SAME final aggregate — each interval contributes exactly one
+    +1 event, so the count is sum(_d = 1) over rows already in hand
+    and a caller needing both numbers (service_concurrency) skips a
+    second full scan + join of the interval table.
     """
+    extra = (
+        [
+            F.sum(F.when(F.col("_d") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias(count_col)
+        ]
+        if count_col
+        else []
+    )
     ev = df.select(
         F.col(key), F.col(start).alias("_t"), F.lit(1).alias("_d")
     ).unionByName(
@@ -177,7 +192,7 @@ def max_concurrency(
         return (
             ev.withColumn("_run", F.sum("_d").over(w))
             .groupBy(key)
-            .agg(F.max("_run").cast("long").alias("peak"))
+            .agg(F.max("_run").cast("long").alias("peak"), *extra)
         )
     if method != "chunked":
         raise ValueError(f"method must be 'chunked' or 'window', got {method!r}")
@@ -240,7 +255,7 @@ def max_concurrency(
             )
             .withColumn("_run", run)
             .groupBy(key)
-            .agg(F.max("_run").cast("long").alias("peak"))
+            .agg(F.max("_run").cast("long").alias("peak"), *extra)
         )
     entries = list(offsets.items()) or [((-1, ""), 0)]
     # "|" separator keeps the composite key unambiguous AND visible in
@@ -262,5 +277,5 @@ def max_concurrency(
     return (
         d.withColumn("_run", run)
         .groupBy(key)
-        .agg(F.max("_run").cast("long").alias("peak"))
+        .agg(F.max("_run").cast("long").alias("peak"), *extra)
     )

@@ -4008,9 +4008,13 @@ def q_service_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duo_spark.operators.intervals import max_concurrency
 
     spans = spans_view(spark, sf_dir)
-    peaks = max_concurrency(spans, key="process_id")
-    n = spans.groupBy("process_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    return n.join(peaks, "process_id").select("process_id", "n_spans", "peak")
+    # count_col rides the sweep's own final aggregate (each span is
+    # exactly one +1 event), replacing the former second full scan of
+    # the spans view + join — one pass instead of two (round 14; the
+    # two forms are row-identical because every span yields events, so
+    # every counted key is a swept key and vice versa)
+    out = max_concurrency(spans, key="process_id", count_col="n_spans")
+    return out.select("process_id", "n_spans", "peak")
 
 
 SQL_SERVICE_CONCURRENCY = f"""

@@ -253,3 +253,20 @@ def test_max_concurrency_chunked_nonstring_and_null_keys(spark):
         s = rng.randint(0, 50)
         rows.append((None if i % 3 == 0 else f"k{i % 5}", s, s + rng.randint(0, 30)))
     check(rows, "key string, start long, end long")
+
+
+def test_max_concurrency_count_col_rides_the_aggregate(spark, ivals):
+    """count_col (round 14) emits the per-key interval count through
+    the sweep's own final aggregate — identical to a separate
+    groupBy().count() of the input, in BOTH formulations."""
+    want = {r.key: r.n for r in ivals.groupBy("key").count()
+            .withColumnRenamed("count", "n").collect()}
+    for method in ("chunked", "window"):
+        out = max_concurrency(ivals, key="key", method=method,
+                              count_col="n_ivals").collect()
+        got = {r.key: r.n_ivals for r in out}
+        assert got == want, method
+        # peak column unaffected by the extra aggregate
+        plain = {r.key: r.peak for r in
+                 max_concurrency(ivals, key="key", method=method).collect()}
+        assert {r.key: r.peak for r in out} == plain, method
