@@ -624,6 +624,15 @@ def ngram_jaccard_pairs(
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
+    if max_doc_freq is not None:
+        # the df-cutoff path consumes the shingle table from THREE
+        # differently-shaped branches (the inverted index via tok, and
+        # both verify sides sa/sb) — materialize it once so shingling
+        # never re-runs per branch (the same convention as
+        # minhash_near_duplicates' grp checkpoint; the exhaustive path
+        # below keeps its single lazily-shared subtree, whose
+        # self-join sides are one reused exchange)
+        sh = sh.localCheckpoint(eager=True)
     tok = sh.select("_id", "_n", F.explode("_sh").alias("_t"))
     if max_doc_freq is not None:
         # document frequency per shingle, computed with one partial-agg
