@@ -43,7 +43,12 @@ def parse_duration_us(text: str) -> int | None:
     m = _DURATION_RE.match(text)
     if not m:
         return None
-    return int(float(m.group(1)) * _UNIT_US[m.group(2)])
+    # round, don't truncate: "32.66ms" * 1000 is 32659.999... in
+    # binary, and flooring would lose a µs the decimal literal names
+    # exactly (the reference parses integers only, so decimal
+    # semantics are ours to define; the Column twin keeps Spark's
+    # truncating cast, mirrored by its oracle)
+    return round(float(m.group(1)) * _UNIT_US[m.group(2)])
 
 
 def parse_duration_us_col(col: Column | str) -> Column:
