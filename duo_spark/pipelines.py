@@ -77,13 +77,17 @@ def curate_documents(
 
     Returns ``{"kept": survivors, "funnel": (stage, rows_in,
     rows_out, removed)}``. ``kept`` is lazy; ``funnel`` is computed
-    EAGERLY, but cheaply: the three per-document predicate stages
-    are flag columns counted in ONE pass (a naive per-stage count
-    would re-execute the growing filter chain O(stages²) times), and
-    the two dedup stages — whose result depends on the surviving SET,
-    not the row alone — add one counting job each over a
-    localCheckpointed survivor table (so the near-dup stage never
-    recomputes the predicate chain either).
+    EAGERLY, but cheaply: the text-predicate chain (quality /
+    lang-id / blocklist — tokenization is the per-row cost) executes
+    exactly ONCE, as the job that checkpoints the quality survivors
+    with their remaining flag columns; the n1-n3 stage counts are a
+    cheap aggregate over that checkpoint, n0 is a column-pruned
+    input count (a naive per-stage count would re-execute the
+    growing filter chain O(stages²) times), and the two dedup stages
+    — whose result depends on the surviving SET, not the row alone —
+    add one counting job each over a localCheckpointed survivor
+    table (so the near-dup stage never recomputes the predicate
+    chain either).
     """
     # --- optional stage 0: CCNet sentence dedup over the raw corpus,
     # text rewritten to its deduped form; eager-checkpointed so the
@@ -123,27 +127,31 @@ def curate_documents(
             "_b_ok"
         ),
     )
-    counts = flags.agg(
-        F.count(F.lit(1)).alias("n0"),
-        F.sum(F.col("_q_ok").cast("long")).alias("n1"),
-        F.sum((F.col("_q_ok") & F.col("_l_ok")).cast("long")).alias("n2"),
-        F.sum(
-            (F.col("_q_ok") & F.col("_l_ok") & F.col("_b_ok")).cast("long")
-        ).alias("n3"),
-    ).collect()[0]
 
-    # materialize the predicate survivors ONCE: without this, the
-    # winners aggregate and the s4 join probe each re-run the whole
-    # quality/lang-id/blocklist text-predicate chain (tokenization is
-    # the per-row cost of those stages) — three executions of the
-    # chain per funnel instead of two (counts + this checkpoint). The
-    # checkpointed table is the survivor subset the dedup stages
-    # consume anyway.
-    s3 = (
-        flags.filter(F.col("_q_ok") & F.col("_l_ok") & F.col("_b_ok"))
-        .select(docs.columns)
-        .localCheckpoint(eager=True)
-    )
+    # the text-predicate chain (tokenization + array folds is the
+    # per-row cost) executes exactly ONCE: materialize the
+    # quality-stage survivors WITH the remaining flag columns, then
+    # derive the n1/n2/n3 counts from the checkpoint with a cheap
+    # in-memory aggregate instead of a second full-chain pass (the
+    # round-14 form ran the chain twice — once for the counts
+    # aggregate over all rows, once to checkpoint the three-predicate
+    # survivors). n0 never needed the chain at all: it is a plain
+    # column-pruned count of the input (or the sentence-dedup stage's
+    # already-computed rows_out). The _q_ok filter sits BELOW the
+    # lang/blocklist projections after pushdown, so quality-failing
+    # rows skip the lang fold entirely — strictly less per-row work
+    # than the old all-rows counts pass. Trade: the checkpoint holds
+    # quality survivors (a superset of the old s3 table) — one extra
+    # flag-filter scan of in-memory blocks downstream, in exchange
+    # for dropping a full corpus tokenization pass.
+    s1 = flags.filter(F.col("_q_ok")).drop("_q_ok").localCheckpoint(eager=True)
+    n0 = lead_rows[0][2] if sentence_dedup else docs.count()
+    counts = s1.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("_l_ok").cast("long")).alias("n2"),
+        F.sum((F.col("_l_ok") & F.col("_b_ok")).cast("long")).alias("n3"),
+    ).collect()[0]
+    s3 = s1.filter(F.col("_l_ok") & F.col("_b_ok")).select(docs.columns)
 
     # --- set-dependent dedup stages over the checkpointed survivors ---
     norm = _dedup.normalize_text(F.col(text_col))
@@ -170,7 +178,7 @@ def curate_documents(
     s5 = s4.join(losers, id_col, "left_anti")
     n5 = s5.count()
 
-    n0, n1, n2, n3 = counts["n0"], counts["n1"], counts["n2"], counts["n3"]
+    n1, n2, n3 = counts["n1"], counts["n2"], counts["n3"]
     funnel_rows = lead_rows + [
         ("quality", n0, n1, n0 - n1),
         ("language", n1, n2, n1 - n2),

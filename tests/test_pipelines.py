@@ -44,6 +44,40 @@ def test_curate_documents_ladder(spark):
     assert funnel["near_dedup"][1] == 2
 
 
+def test_curate_documents_counts_condition_on_prior_stages(spark):
+    """The round-14 single-chain-execution form derives n1-n3 from the
+    checkpointed QUALITY-survivor table, so the language/blocklist
+    counts must stay conditioned on the earlier stages: a doc that
+    fails quality but would pass language+blocklist contributes to NO
+    later stage count, and a doc failing quality AND language drops
+    exactly once (at quality)."""
+    from duo_spark.pipelines import curate_documents
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "to the river where it drinks the cool water in the morning"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                  # survives everything
+            (2, "tiny"),                # quality fail, lang would fail too
+            # 3 tokens (-40) + mean token len > 12 (-20) -> score 40,
+            # but 'the' still wins language id: quality-fail, lang-pass
+            (3, "the aaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_documents(docs)
+    funnel = {r.stage: (r.rows_in, r.rows_out, r.removed)
+              for r in out["funnel"].collect()}
+    assert funnel["quality"] == (3, 1, 2)      # docs 2 and 3 drop HERE
+    assert funnel["language"] == (1, 1, 0)     # doc 3's en does not leak in
+    assert funnel["blocklist"] == (1, 1, 0)
+    assert funnel["exact_dedup"] == (1, 1, 0)
+    assert funnel["near_dedup"] == (1, 1, 0)
+    assert sorted(r.doc_id for r in out["kept"].collect()) == [1]
+
+
 def test_curate_documents_chain_keeps_cluster_representative(spark):
     """ADVICE r10 #4 guard: in a near-dup chain A~B~C with A!~C, the
     old per-pair greedy rule dropped BOTH B and C (C's only duplicate
