@@ -226,3 +226,19 @@ def test_every_public_operator_reaches_a_registered_query():
         if w not in public or w in reach
     }
     assert not stale, f"stale waivers (now reachable or gone): {sorted(stale)}"
+
+
+def test_bench_steal_probe():
+    """Round-14: the artifact's hypervisor-steal diagnostic must read
+    /proc/stat safely and degrade to None rather than crash the sweep."""
+    import bench
+
+    t0 = bench._cpu_ticks()
+    if t0 is not None:  # Linux
+        total, steal = t0
+        assert total > 0 and steal >= 0
+        t1 = (t0[0] + 1000, t0[1] + 100)
+        assert bench._steal_pct(t0, t1) == 10.0
+        assert bench._steal_pct(t0, t0) is None  # zero-width window
+    assert bench._steal_pct(None, t0) is None
+    assert bench._steal_pct(t0, None) is None
