@@ -247,14 +247,22 @@ BASELINE_SF = 0.1
 CONTROL_QUERIES = ("logs_search", "pricing_summary", "span_merge", "timing_codec")
 CONTROL_BASELINE = {
     # calibrated in the round-14 optimization window (DEVIATIONS #24):
-    # the mean of the per-control medians from the round's two quiet
-    # full sf0.1 runs on the final tree (controls untouched between
-    # them; the two runs' control spread — ±20-30% — IS the ambient
-    # host factor this block exists to expose)
-    "logs_search": 0.288,
-    "pricing_summary": 0.520,
-    "span_merge": 2.321,
-    "timing_codec": 1.464,
+    # the mean of the per-control medians from two quiet full sf0.1
+    # runs on the final tree (controls untouched between them; the
+    # runs' control spread IS the ambient host factor this block
+    # exists to expose). RECALIBRATED after the round-14 sandbox
+    # REBOOT landed the guest on a different hypervisor placement:
+    # the controls shifted uniformly ~0.75x (faster) while the
+    # shuffle-heavy tail did not, so the pre-reboot baseline
+    # (logs_search 0.288, pricing_summary 0.520, span_merge 2.321,
+    # timing_codec 1.464) made value_normalized meaningless on this
+    # placement. Same convention, re-measured: mean of the
+    # per-control medians of the two post-reboot full runs
+    # (.tmp/BENCH_boot2_run{1,2}.json; overall steal 1.7%/2.9%).
+    "logs_search": 0.268,
+    "pricing_summary": 0.380,
+    "span_merge": 1.514,
+    "timing_codec": 1.054,
 }
 
 #: registry entries intentionally NOT benched — each reason above.
