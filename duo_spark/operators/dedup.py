@@ -877,6 +877,11 @@ def simhash_near_duplicates(
             )
         ).alias("bk"),
     ).select("_id", "_sig", "bk.block", "bk.key")
+    # both self-join sides re-derive the signature pipeline (tokenize +
+    # per-word hash + 64 majority-vote bit aggregates) without this —
+    # the same band-row checkpoint the minhash path already carries;
+    # n_blocks rows/doc of (id, sig, block, key) is tiny vs the rescan
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -665,9 +665,18 @@ def bigram_lm_score(
     """
     from duo_spark.operators.search import search_tokens
 
-    toks = df.select(
+    # the tokenized arrays feed THREE regex passes without a
+    # checkpoint: the pair explode is derived once per consumer (the
+    # bigram-count aggregate and the scoring join shuffle different
+    # row sets, so AQE cannot reuse their exchanges) and the unigram
+    # table tokenizes a third time. One doc-count-row checkpoint of
+    # (id, tokens) makes the regex run a single corpus pass; the
+    # downstream explodes are cheap array codegen, and the >=2 filter
+    # now reads the materialized array instead of re-running the regex.
+    toks_all = df.select(
         F.col(id_col).alias("_id"), search_tokens(text_col).alias("_ts")
-    ).filter(F.size("_ts") >= 2)
+    ).localCheckpoint(eager=True)
+    toks = toks_all.filter(F.size("_ts") >= 2)
     pairs = toks.select(
         "_id",
         F.explode(
@@ -679,9 +688,11 @@ def bigram_lm_score(
     ).select("_id", F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
     # the unigram table counts every token (including each doc's last,
     # which never heads a bigram) — the standard LM convention where
-    # C(w1) is w1's corpus frequency, and what the oracle replays
+    # C(w1) is w1's corpus frequency, and what the oracle replays;
+    # reads the checkpointed arrays (all docs, pre-filter) instead of
+    # tokenizing the corpus a third time
     uni = (
-        df.select(F.explode(search_tokens(text_col)).alias("_w1"))
+        toks_all.select(F.explode("_ts").alias("_w1"))
         .groupBy("_w1")
         .agg(F.count(F.lit(1)).alias("_c1"))
         .localCheckpoint(eager=True)

@@ -1179,7 +1179,12 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen + one equi-join; the oracle replays gram hashing, window
     minima, and the match join in SQL (md5 agrees across engines)."""
     docs = _docs(spark, sf_dir)
-    fps = text.winnowing_fingerprints(docs, "doc_id", "text", k=4, w=5)
+    # the fingerprint table feeds three consumers (both self-join sides
+    # + the n_fp aggregate); checkpoint the small (doc_id, fp) rows once
+    # so the md5-4gram + window-minima codegen runs one corpus pass
+    fps = text.winnowing_fingerprints(
+        docs, "doc_id", "text", k=4, w=5
+    ).localCheckpoint(eager=True)
     matches = (
         fps.alias("A")
         .join(fps.alias("B"), "fp")
@@ -5653,6 +5658,10 @@ def q_cms_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
         ).alias("hr"),
     ).filter(F.col("user_id").isNotNull())
+    # four consumers (sketch, top-5, hour list, exact window counts)
+    # each re-scan events without this; one checkpoint of the narrow
+    # (user_id, hr) projection makes it a single corpus pass
+    ev = ev.localCheckpoint(eager=True)
     sk = cms_sketch(ev, "user_id", w=W, d=D, group_cols=["hr"])
     top = (
         ev.groupBy("user_id")
@@ -6179,6 +6188,10 @@ def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
         ).alias("hr"),
     ).filter(F.col("user_id").isNotNull())
+    # three consumers (hourly sketch, hour list, exact window counts)
+    # each re-scan events without this — same single-pass checkpoint
+    # as cms_sliding
+    ev = ev.localCheckpoint(eager=True)
     hourly = hll_sketch(ev, ["hr"], "user_id", m=256)
     hours = ev.select("hr").distinct()
     sk = hourly.select(
