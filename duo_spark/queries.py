@@ -6726,13 +6726,30 @@ def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duo_spark.operators.graph import k_core
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    # co-ordered pairs generated IN the row from each order's sorted
+    # distinct part set (one groupBy exchange + array codegen) instead
+    # of the equi-self-join (two exchanges of the full lineitem
+    # projection + join fanout). Identical edge set: sort_array over
+    # collect_set yields every pa < pb pair exactly once per order, and
+    # k_core's _canonical_edges distinct collapses cross-order repeats
+    # just as it collapsed the join's duplicates. Per-row fanout is
+    # bounded by order size (TPC-H: <= 7 lineitems), so no skew risk.
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    edges = grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return k_core(edges, K_CORE_K)
 
 
