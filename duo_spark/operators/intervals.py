@@ -113,7 +113,10 @@ def overlap_pairs(
     convention, so a shared endpoint counts as overlap 0).
     """
     cols = [key, id_col, start, end]
-    base = spans.select(*cols)
+    # both self-join sides re-derive the spans lineage (scans, unions,
+    # timestamp codecs) without this; one checkpoint of the narrow
+    # 4-column projection makes it a single pass
+    base = spans.select(*cols).localCheckpoint(eager=True)
     out = interval_join(
         base, base, on=key, l_start=start, l_end=end, r_start=start, r_end=end,
         bucket_width=bucket_width,

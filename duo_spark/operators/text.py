@@ -1221,6 +1221,10 @@ def sentence_dedup(
     window), one equi-join back, one per-doc rollup. Shuffle volume
     is O(distinct sentences), the same exchange class as exact dedup.
     """
+    # the sentence table feeds BOTH the per-form aggregate and the join
+    # probe; without a checkpoint the split+normalize regex pipeline
+    # executes once per consumer (different exchanges — partial-agg vs
+    # raw occurrence rows — so AQE cannot reuse them)
     sents = split_sentences(df, id_col, text_col).withColumn(
         "_nrm",
         F.trim(
@@ -1230,7 +1234,7 @@ def sentence_dedup(
                 " ",
             )
         ),
-    )
+    ).localCheckpoint(eager=True)
     pos = F.struct(
         F.col(id_col).alias("_d"), F.col("sentence_idx").alias("_i")
     )
