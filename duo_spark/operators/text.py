@@ -234,18 +234,27 @@ def winnowing_fingerprints(
     return g.select(F.col(id_col), F.explode(selected).alias("fp"))
 
 
-def all_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams WITH duplicates (repetition analysis needs the
-    multiset; dedup.shingles keeps the distinct set). Texts shorter
-    than ``n`` words yield one gram of the whole text."""
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
+def ngrams_of_tokens(words: Column, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates over an ALREADY-TOKENIZED array —
+    the array-input form of :func:`all_ngrams`, for pipelines that
+    materialize the token array once (localCheckpoint) and derive
+    several gram views from it without re-running the regex split.
+    Semantics are identical: arrays shorter than ``n`` yield one gram
+    of the whole (space-joined) array."""
     k = F.size(words) - F.lit(n - 1)
     idx = F.sequence(F.lit(0), k - F.lit(1))
     return F.when(
         k > 0,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
     ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def all_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates (repetition analysis needs the
+    multiset; dedup.shingles keeps the distinct set). Texts shorter
+    than ``n`` words yield one gram of the whole text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ngrams_of_tokens(F.split(F.trim(c), r"\s+"), n)
 
 
 def repetition_ratio(
@@ -541,8 +550,10 @@ def collocation_lift(
     with a bigram tiebreak, cut at ``min_count`` pair occurrences so
     one-off typo pairs don't dominate (classic MI failure mode).
 
-    Scale: the corpus is scanned exactly twice (token explode, bigram
-    explode), each feeding one map-side-combined hash aggregate; the
+    Scale: the corpus is scanned ONCE — the regex tokenization is
+    materialized as per-doc token arrays (localCheckpoint) and both
+    gram views (token explode, bigram explode) read the arrays, each
+    feeding one map-side-combined hash aggregate; the
     corpus totals are 1-row aggregates OVER those count tables,
     broadcast back in — fully lazy, no driver-side actions, and the
     unigram count table's exchange is reused across its three
@@ -553,12 +564,17 @@ def collocation_lift(
     rounding both engines) — noted rather than branched because the
     gate compares int64 bits.
     """
-    toks = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
-    )
+    # one regex tokenization pass, not two: the unigram explode and the
+    # bigram build both read the materialized token arrays (the
+    # bigram_lm_score checkpoint convention) — without this each side's
+    # corpus scan re-runs split(trim(text)) per row
+    toks_arr = df.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ts")
+    ).localCheckpoint(eager=True)
+    toks = toks_arr.select(F.explode("_ts").alias("_w"))
     uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     n_uni = uni.agg(F.sum("_c").alias("_n_uni"))
-    grams = df.select(F.explode(all_ngrams(text_col, 2)).alias("bigram"))
+    grams = toks_arr.select(F.explode(ngrams_of_tokens(F.col("_ts"), 2)).alias("bigram"))
     bigram_counts = grams.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("n_pair")
     )

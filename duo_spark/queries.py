@@ -4085,7 +4085,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     full distinct-sized shuffle."""
     from duo_spark.operators.frequent import heavy_hitters
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # tokenize ONCE: heavy_hitters consumes the gram stream twice (the
+    # MG candidate pass and the exact verify count), and without a
+    # checkpoint each pass re-runs the regex split + per-gram concat
+    # from the parquet scan. Materializing the per-doc token arrays
+    # makes the regex a single corpus pass (the bigram_lm_score /
+    # collocation_lift convention); both downstream explodes are cheap
+    # array codegen over the checkpointed rows.
+    toks_arr = _docs(spark, sf_dir).select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("_ts")
+    ).localCheckpoint(eager=True)
+    toks = F.col("_ts")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -4095,7 +4105,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = _docs(spark, sf_dir).select(F.explode(bigrams).alias("bigram"))
+    grams = toks_arr.select(F.explode(bigrams).alias("bigram"))
     return heavy_hitters(grams, "bigram", k=1000)
 
 
