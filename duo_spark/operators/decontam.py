@@ -226,7 +226,14 @@ def semantic_decontam(
             }
         )
 
-    best = pandas_udf(_best, "bench_id: long, sim: double")(F.col(vec_col))
+    # asNondeterministic: without it the optimizer re-evaluates the
+    # benchmark matmul on both sides of a pushed filter (the committed
+    # semantic_decontam plan carried two ArrowEvalPython nodes around
+    # one Filter — guide §4.4); the function is pure, the marker only
+    # forbids duplication.
+    best = pandas_udf(
+        _best, "bench_id: long, sim: double"
+    ).asNondeterministic()(F.col(vec_col))
     return (
         corpus.select(F.col(id_col), best.alias("_b"))
         .select(id_col, F.col("_b.bench_id").alias("bench_id"),

@@ -2013,7 +2013,20 @@ def duplicate_frames(
 
     Output: (media_id, n_frames, n_dup_frames, dup_ratio).
     """
-    fr = sample_frames(media, frame_bytes, stride, max_frames, with_hash=True)
+    # one frame-extraction pass, not three: the kernel output feeds
+    # THREE branches (the cross-asset min/max aggregate, the flagged
+    # semi-join probe, and the per-media count), and without a
+    # materialization each branch re-runs the mapInPandas frame
+    # extraction over the full corpus (the committed plan showed three
+    # identical MapInPandas nodes over three parquet scans). The
+    # checkpoint keeps only (media_id, frame_md5) — the binary frame
+    # payload is dropped BEFORE materialization, so the stored table
+    # is ~40 bytes/frame regardless of frame size.
+    fr = (
+        sample_frames(media, frame_bytes, stride, max_frames, with_hash=True)
+        .select("media_id", "frame_md5")
+        .localCheckpoint(eager=True)
+    )
     dup = (
         fr.groupBy("frame_md5")
         .agg(F.min("media_id").alias("_mn"), F.max("media_id").alias("_mx"))

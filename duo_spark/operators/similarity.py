@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from duo_spark.operators.util import ensure_parallelism
 
 
+def _lit_double_array(values: list[float]) -> Column:
+    """Literal array<double> built in ONE py4j round trip — an F.expr
+    SQL array of CAST('<repr>' AS DOUBLE) terms — instead of one
+    F.lit call per element. Python's repr round-trips IEEE doubles
+    exactly and Catalyst constant-folds the casts to the same Literal
+    values, so the column is BIT-identical to
+    ``F.array(*[F.lit(float(x)) for x in values])`` (pinned in
+    tests); construction drops from ~65 socket round trips to one,
+    which was a measurable slice of ANN query latency (the plan
+    build for a 64-dim query vector cost ~33 ms per array, ×8 planes
+    in hyperplane_bucket)."""
+    body = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
+    return F.expr(f"array({body})")
+
+
 def _dotd(a: Column, b: Column) -> Column:
     """Dot product in double precision, element order preserved."""
     return F.aggregate(
@@ -45,7 +60,7 @@ def _cosine_qlit(vec: Column, qvec: list[float]) -> Column:
     per-row CPU and Janino codegen size)."""
     import math
 
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = _lit_double_array(qvec)
     acc = 0.0
     for x in qvec:
         acc += float(x) * float(x)
@@ -152,7 +167,7 @@ def _topk_two_phase(scored: DataFrame, k: int, id_col: str, query_id_col: str) -
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane."""
     bits = [
-        F.when(_dotd(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(_dotd(vec_col, _lit_double_array(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
     ]
     out = F.lit(0)
@@ -509,7 +524,15 @@ def _centroid_sims_udf(centroids: list[list[float]], vec_col: str):
         sims = (mat / norms) @ Cn.T
         return pd.Series(list(sims))
 
-    return pandas_udf(_sims, "array<double>")(F.col(vec_col))
+    # asNondeterministic: the optimizer pushes the isnotnull filter of
+    # a downstream join/explode key (e.g. ivf's _cell) BELOW the
+    # projection and re-evaluates the UDF on both sides of it — the
+    # committed ivf_search/kmeans plans showed ArrowEvalPython → Filter
+    # → ArrowEvalPython over one scan, i.e. every corpus row paid the
+    # centroid matmul twice (guide §4.4). The function is pure; the
+    # marker only forbids duplicating/reordering it. Callers apply
+    # their own row filters upstream, so nothing legitimate is blocked.
+    return pandas_udf(_sims, "array<double>").asNondeterministic()(F.col(vec_col))
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
@@ -1246,9 +1269,12 @@ def margin_mine(
             }
         )
 
-    fwd = pandas_udf(_fwd, "pool_id: long, cos_u: long, fwd_sum: long")(
-        F.col(vec_col)
-    )
+    # asNondeterministic: same §4.4 duplication as _centroid_sims_udf —
+    # the committed margin_mine plan evaluated _fwd (a per-row matmul
+    # against the whole broadcast pool) TWICE around a pushed filter.
+    fwd = pandas_udf(
+        _fwd, "pool_id: long, cos_u: long, fwd_sum: long"
+    ).asNondeterministic()(F.col(vec_col))
     forward = corpus.select(F.col(id_col), fwd.alias("_f")).select(
         id_col,
         F.col("_f.pool_id").alias("pool_id"),

@@ -477,3 +477,24 @@ def test_exact_pairs_oversize_fails_fast(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="method='lsh'"):
         similarity.embedding_near_dup_pairs(df, threshold=0.99, method="exact")
+
+
+def test_lit_double_array_bit_identical_to_per_element_lits(spark):
+    """_lit_double_array (one F.expr round trip) must produce the
+    exact Literal doubles F.array(*[F.lit(x)...]) would — repr
+    round-trips IEEE doubles, so every bit pattern survives the SQL
+    parse, including negatives, subnormal-range and huge magnitudes."""
+    import struct
+
+    rng = random.Random(1234)
+    vals = [rng.gauss(0.0, 1.0) for _ in range(64)] + [
+        0.0, -0.0, 1e-300, -3e300, 12345.678901234567,
+    ]
+    df = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("a"),
+        similarity._lit_double_array(vals).alias("b"),
+    )
+    assert dict(df.dtypes) == {"a": "array<double>", "b": "array<double>"}
+    row = df.first()
+    bits = lambda xs: [struct.pack("<d", v) for v in xs]  # noqa: E731
+    assert bits(row["a"]) == bits(row["b"])
