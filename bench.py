@@ -338,6 +338,22 @@ def artifact_path(here: str, sf: float) -> str:
     return os.path.join(here, ".tmp", "BENCH_local.json")
 
 
+def parse_sf(sf_dir: str) -> float:
+    """Scale factor from the data-dir name; -1.0 (the unknown-sf
+    sentinel, routed to .tmp by artifact_path) when the name carries
+    no parseable factor. Defensive by contract: the bench must emit
+    its ONE JSON line with rc=0 for ANY $SPARK_GRAFT_SF_DIR value, so
+    a malformed name (e.g. ".../sfX") degrades instead of crashing
+    before the line prints (found by the verify recipe's
+    nonexistent-dir probe)."""
+    try:
+        return (
+            float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+        )
+    except ValueError:
+        return -1.0
+
+
 def main() -> None:
     # reclaim stale staged-stream scratch from prior runs BEFORE
     # staging this one (76 GB had accumulated by round 8)
@@ -345,7 +361,7 @@ def main() -> None:
 
     prune_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = parse_sf(sf_dir)
     # no stage-progress bars on stdout: the result JSON line must be the
     # last (and only) machine-read line, and progress noise crowded the
     # driver's tail-capture window in round 5 (BENCH_r05 parsed=null)
@@ -519,7 +535,9 @@ def main() -> None:
             "quiet_ref": out.get("quiet_ref"),
             "control_factor": out.get("control_factor"),
             "value_normalized": out.get("value_normalized"),
-            "detail": "BENCH.json",
+            # point at the file this run actually wrote (off-baseline
+            # runs persist to .tmp/BENCH_local.json, not BENCH.json)
+            "detail": os.path.relpath(art, here),
         }
         line = json.dumps(short, separators=(",", ":"))
     sys.stderr.flush()

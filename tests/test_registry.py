@@ -79,6 +79,20 @@ def test_bench_artifact_sf_guard(tmp_path):
     assert bench.artifact_path(here, -1.0).endswith("BENCH_local.json")
 
 
+def test_bench_sf_parse_never_raises():
+    """The bench contract is ONE JSON line with rc=0 for ANY
+    $SPARK_GRAFT_SF_DIR — a malformed sf suffix must parse to the
+    unknown-sf sentinel (routed to .tmp), not crash before the line
+    prints."""
+    import bench
+
+    assert bench.parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bench.parse_sf("/root/testdata/sf0.001/") == 0.001
+    assert bench.parse_sf("/data/no_scale_factor_here") == -1.0
+    assert bench.parse_sf("/root/testdata/sf_nonexistent") == -1.0
+    assert bench.parse_sf("/tmp/sfX") == -1.0
+
+
 def test_round14_window_holds_stale_debt_and_changes():
     """Round-14 rotation lock (VERDICT r13 #1/#2, DEVIATIONS #21/#22):
     the fifteen r9-stale rows lead the 50-slot window, image_dhash and
