@@ -58,12 +58,14 @@ def floor_div_expr(expr: str, divisor: int) -> str:
 def persistent_rdd_ids(spark) -> set[int]:
     """Ids of RDDs currently holding storage (cached relations AND
     eager localCheckpoints — the blocks several operators materialize
-    for plan reuse)."""
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-    out = set()
-    while it.hasNext():
-        out.add(int(it.next()._1()))
-    return out
+    for plan reuse).
+
+    One py4j round trip (keys serialized as a string) instead of one
+    per persistent RDD: iterative operators snapshot this map twice
+    per tracked checkpoint, so the per-entry iterator form added a
+    py4j call pair per live block per snapshot (round 15)."""
+    keys = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().mkString(",")
+    return {int(k) for k in keys.split(",") if k}
 
 
 def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
