@@ -96,21 +96,61 @@ def fuzzy_pairs(
         .select("id_a", "id_b", F.lit(0).alias("dist"))
     )
     reps = grp.select("_rid", "_txt")
-    # one exploded variant frame; BOTH candidate-join sides read it
-    # un-renamed so the exchange is planned once (ReusedExchange)
-    var = reps.select(
-        "_rid",
-        F.explode(
-            deletion_neighborhood(F.col("_txt"), max_distance)
-        ).alias("_v"),
-    ).select("_rid", F.xxhash64("_v").alias("_vh"))
-    cand = (
-        var.alias("A")
-        .join(var.alias("B"), "_vh")
-        .filter(F.col("A._rid") < F.col("B._rid"))
-        .select(F.col("A._rid").alias("_ra"), F.col("B._rid").alias("_rb"))
-        .distinct()
-    )
+    if max_distance == 1:
+        # EXACT k=1 candidate generation (round 15). The generic
+        # neighborhood self-join pairs every two strings sharing ANY
+        # deletion variant — a lev<=2 condition, so at k=1 most
+        # candidates are junk that can never verify (measured 956k
+        # candidates -> ~64x the variant count on sf0.1 customer
+        # names). For k=1 the candidate set decomposes exactly:
+        #   - insertion/deletion pairs (lengths differ by 1): the
+        #     SHORTER string equals one deletion variant of the longer
+        #     -> full-hash == variant-hash equi-join;
+        #   - substitution pairs (equal length): deleting the differing
+        #     position from both sides yields the same string -> the
+        #     variant-variant join needs only SAME-POSITION matches
+        #     (sharing a variant at positions i != j implies a
+        #     second difference, i.e. lev >= 2).
+        # Both conditions ride the SAME single self-join of one
+        # (rid, pos, hash) frame (pos 0 = the undeleted string, pos i =
+        # deletion at i), so the variant exchange is still planned once
+        # (ReusedExchange) and the junk is dropped by the join filter
+        # BEFORE the distinct — no extra shuffle, ~candidate-volume
+        # output. Emitted pairs are true-lev-1 (plus hash-collision
+        # noise), which the existing exact-levenshtein verify filters.
+        var = reps.select(
+            "_rid",
+            F.posexplode(
+                F.concat(F.array(F.col("_txt")), _delete_one(F.col("_txt")))
+            ).alias("_pos", "_v"),
+        ).select("_rid", "_pos", F.xxhash64("_v").alias("_vh"))
+        cand = (
+            var.alias("A")
+            .join(var.alias("B"), "_vh")
+            .filter(F.col("A._rid") < F.col("B._rid"))
+            .filter(
+                ((F.col("A._pos") == 0) != (F.col("B._pos") == 0))
+                | ((F.col("A._pos") == F.col("B._pos")) & (F.col("A._pos") > 0))
+            )
+            .select(F.col("A._rid").alias("_ra"), F.col("B._rid").alias("_rb"))
+            .distinct()
+        )
+    else:
+        # one exploded variant frame; BOTH candidate-join sides read it
+        # un-renamed so the exchange is planned once (ReusedExchange)
+        var = reps.select(
+            "_rid",
+            F.explode(
+                deletion_neighborhood(F.col("_txt"), max_distance)
+            ).alias("_v"),
+        ).select("_rid", F.xxhash64("_v").alias("_vh"))
+        cand = (
+            var.alias("A")
+            .join(var.alias("B"), "_vh")
+            .filter(F.col("A._rid") < F.col("B._rid"))
+            .select(F.col("A._rid").alias("_ra"), F.col("B._rid").alias("_rb"))
+            .distinct()
+        )
     a = reps.select(F.col("_rid").alias("_ra"), F.col("_txt").alias("_ta"))
     b = reps.select(F.col("_rid").alias("_rb"), F.col("_txt").alias("_tb"))
     verified = (
