@@ -511,7 +511,54 @@ def k_core(
     """
     spark = edges.sparkSession
     fold_fraction = 0.2
-    und = _symmetric(_canonical_edges(edges, src, dst))
+    can = _canonical_edges(edges, src, dst)
+    # Bounded driver-side peel (round 15) — the CC hybrid-tail pattern
+    # (SMALL_GRAPH_EDGES cutoff, size-estimate gated so the 100 TB path
+    # is untouched): the k-core is the unique maximal subgraph with
+    # min-degree >= k, independent of peeling order/synchrony, and the
+    # degrees are integers — so a vectorized numpy peel over the
+    # collected canonical edges returns BIT-identical rows to the
+    # distributed rounds while replacing ~3 driver-synchronized jobs
+    # per cascade round with ONE toPandas. A mis-estimated big graph
+    # pays one bounded partial pass (limit stops at cutoff+1) and
+    # falls through to the unchanged distributed loop.
+    try:
+        est_bytes = int(
+            can._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # Connect / API drift: skip the probe
+        est_bytes = None
+    if est_bytes is not None and est_bytes <= 64 * SMALL_GRAPH_EDGES:
+        pdf = can.limit(SMALL_GRAPH_EDGES + 1).toPandas()
+        if len(pdf) <= SMALL_GRAPH_EDGES:
+            import numpy as np
+            import pandas as pd
+
+            e_src = pdf["src"].to_numpy()
+            e_dst = pdf["dst"].to_numpy()
+            nodes, inv = np.unique(
+                np.concatenate([e_src, e_dst]), return_inverse=True
+            )
+            si, di = inv[: len(e_src)], inv[len(e_src):]
+            alive = np.ones(len(nodes), dtype=bool)
+            e_alive = np.ones(len(e_src), dtype=bool)
+            deg = np.bincount(si, minlength=len(nodes)) + np.bincount(
+                di, minlength=len(nodes)
+            )
+            while True:
+                drop = alive & (deg < k)
+                if not drop.any():
+                    break
+                alive &= ~drop
+                e_alive &= alive[si] & alive[di]
+                deg = np.bincount(si[e_alive], minlength=len(nodes)) + np.bincount(
+                    di[e_alive], minlength=len(nodes)
+                )
+            out = pd.DataFrame(
+                {"node": nodes[alive], "degree": deg[alive]}
+            ).astype({"node": "int64", "degree": "int64"})
+            return spark.createDataFrame(out, "node long, degree long")
+    und = _symmetric(can)
     cur, cur_ids = tracked_local_checkpoint(und)
     n0 = None
     removed, removed_ids = None, set()

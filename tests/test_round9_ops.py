@@ -351,3 +351,22 @@ def test_t_closeness_null_sensitive_is_a_value(spark):
     assert r2.n_classes == 2
     assert r2.max_tvd == 0.25
     assert not r2.t_close and r2.n_violating_classes == 2
+
+
+def test_k_core_driver_peel_matches_distributed(spark, monkeypatch):
+    """Round 15: the size-gated driver-side numpy peel must return
+    exactly the distributed loop's rows. Force the distributed path by
+    zeroing the cutoff (the estimate gate can never pass) and compare
+    on a random-ish graph with a multi-round cascade."""
+    import random
+
+    from duo_spark.operators import graph as G
+
+    rng = random.Random(0xC0DE)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(400)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r.node, r.degree) for r in G.k_core(df, 3).collect()}
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES", 0)
+    slow = {(r.node, r.degree) for r in G.k_core(df, 3).collect()}
+    assert fast == slow
+    assert fast  # non-degenerate fixture: the 3-core is non-empty
