@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -255,28 +257,43 @@ def span_depths(spans: DataFrame, max_depth: int = 16) -> DataFrame:
     coalesce them to a sentinel depth; an id recorded with parents at
     DIFFERENT depths (corrupt graph) keeps one row per depth.
     """
-    children = (
-        spans.filter(F.col("parent_id").isNotNull())
-        .select("id", "parent_id")
-        .localCheckpoint(eager=True)
-    )
-    frontier = (
-        spans.filter(F.col("parent_id").isNull())
-        .select("id", F.lit(0).alias("depth"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the two seed tables are independent — build them concurrently
+    # (guide §2.6), halving the fixed latency of the two eager jobs
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        fut_children = pool.submit(
+            lambda: spans.filter(F.col("parent_id").isNotNull())
+            .select("id", "parent_id")
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            spans.filter(F.col("parent_id").isNull())
+            .select("id", F.lit(0).alias("depth"))
+            .distinct()
+            .persist()
+        )
+        frontier.count()
+        children = fut_children.result()
+    finally:
+        pool.shutdown(wait=False)
     levels = [frontier]
     for d in range(1, max_depth + 1):
+        # persist + count fuses the old localCheckpoint + isEmpty pair
+        # into ONE driver-synchronized job per level (the count both
+        # materializes the level and answers the early-exit test);
+        # lineage stays effectively flat because each level reads the
+        # previous level's in-memory blocks, and max_depth bounds the
+        # logical chain
         nxt = (
             children.join(
                 frontier.select(F.col("id").alias("parent_id")), "parent_id"
             )
             .select("id", F.lit(d).alias("depth"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
+            nxt.unpersist(False)
             break
         levels.append(nxt)
         frontier = nxt
@@ -432,17 +449,26 @@ def service_paths(spans: DataFrame, max_depth: int = 8) -> DataFrame:
     depth. Spans not reaching a root within ``max_depth`` are absent;
     duplicate span ids keep one row per distinct (path, depth).
     """
-    children = (
-        spans.filter(F.col("parent_id").isNotNull())
-        .select("id", "parent_id", F.col("process_id").alias("_svc"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = (
-        spans.filter(F.col("parent_id").isNull())
-        .select("id", F.col("process_id").alias("path"), F.lit(0).alias("depth"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # same two fusions as span_depths (round 15): concurrent seed
+    # builds, and persist+count folding each level's materialization
+    # and early-exit test into one job
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        fut_children = pool.submit(
+            lambda: spans.filter(F.col("parent_id").isNotNull())
+            .select("id", "parent_id", F.col("process_id").alias("_svc"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            spans.filter(F.col("parent_id").isNull())
+            .select("id", F.col("process_id").alias("path"), F.lit(0).alias("depth"))
+            .distinct()
+            .persist()
+        )
+        frontier.count()
+        children = fut_children.result()
+    finally:
+        pool.shutdown(wait=False)
     levels = [frontier]
     for d in range(1, max_depth + 1):
         nxt = (
@@ -455,9 +481,10 @@ def service_paths(spans: DataFrame, max_depth: int = 8) -> DataFrame:
                 F.lit(d).alias("depth"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
+            nxt.unpersist(False)
             break
         levels.append(nxt)
         frontier = nxt
