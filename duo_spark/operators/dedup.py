@@ -496,7 +496,16 @@ def minhash_index(
     The sets table is the verify-side corpus representation (~8 bytes
     per distinct shingle — far smaller than the text).
     """
-    sh = _hashed_shingles(df, id_col, text_col, shingle_n)
+    # one shingle+hash pass, not two: both returned frames derive from
+    # sh, and a caller that materializes each (the prebuilt-index
+    # contract: write bands + sets to parquet, or the gate's two
+    # checkpoints) would otherwise re-run the tokenize+hash pipeline
+    # per output (round 15). The checkpointed table is the sets frame's
+    # own payload (~8 bytes per distinct shingle), so the footprint
+    # matches what the caller materializes anyway.
+    sh = _hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     sets = sh.select("_id", F.sort_array("_hs").alias("_hs"))
     return _band_rows(sh, num_hashes, bands, with_n=True), sets
 

@@ -4162,9 +4162,15 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     bands_df, sets_df = dedup.minhash_index(corpus, "doc_id", "text")
     # the operator's contract is a PREBUILT (parquet-resident) index;
-    # materialize it so the in-query build isn't re-run per plan branch
-    bands_df = bands_df.localCheckpoint(eager=True)
-    sets_df = sets_df.localCheckpoint(eager=True)
+    # materialize it so the in-query build isn't re-run per plan
+    # branch. The two checkpoints are independent reads of the index
+    # build's shared shingle table — run them concurrently (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fb = _pool.submit(lambda: bands_df.localCheckpoint(eager=True))
+        sets_df = sets_df.localCheckpoint(eager=True)
+        bands_df = _fb.result()
     pairs = dedup.incremental_near_duplicates(
         bands_df, sets_df, batch, "doc_id", "text", threshold=0.5
     )
