@@ -25,6 +25,8 @@ id, so the component label IS the star center.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -255,26 +257,39 @@ def pagerank(
     e, scratch_ids = tracked_local_checkpoint(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
     )
-    nodes, ids = tracked_local_checkpoint(
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-    )
-    scratch_ids |= ids
-    n = nodes.count()
+    # round 15, three action trims (results bit-identical — the same
+    # plans run, just materialized with fewer driver barriers):
+    # - trans checkpoints CONCURRENTLY with the node-count job (both
+    #   read only the e checkpoint; guide §2.6);
+    # - nodes persist+count fuses the former checkpoint + count pair
+    #   into one job (the count materializes the cache);
+    # - the initial rank vector is a pure projection of the cached
+    #   nodes table — checkpointing it bought nothing (iteration 1
+    #   reads the cache either way), so its job is gone.
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_tot"))
-    # out-normalized transition weights, built once
-    trans, ids = tracked_local_checkpoint(
-        e.join(outw, "_s").select(
-            "_s", "_d", (F.col("_w") / F.col("_tot")).alias("_p")
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut_trans = pool.submit(
+            lambda: tracked_local_checkpoint(
+                e.join(outw, "_s").select(
+                    "_s", "_d", (F.col("_w") / F.col("_tot")).alias("_p")
+                )
+            )
         )
-    )
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()
+        trans, ids = fut_trans.result()
+    finally:
+        pool.shutdown(wait=False)
     scratch_ids |= ids
     sources = trans.select(F.col("_s").alias("node")).distinct()
     d = float(damping)
-    pr, pr_ids = tracked_local_checkpoint(
-        nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    )
+    pr, pr_ids = nodes.select("node", F.lit(1.0 / n).alias("rank")), set()
     for it in range(iterations):
         # dangling mass stays IN the plan: a one-row aggregate cross
         # joined onto the update, so each iteration adds no driver
@@ -314,6 +329,7 @@ def pagerank(
     # the returned plan reads only the final checkpointed rank vector;
     # edge/node/transition scratch blocks are no longer reachable
     release_rdd_ids(spark, scratch_ids)
+    nodes.unpersist(False)
     return pr
 
 
@@ -365,9 +381,10 @@ def label_propagation(
     )
     nodes, ids = tracked_local_checkpoint(und.select(F.col("_s").alias("node")).distinct())
     scratch_ids |= ids
-    lab, lab_ids = tracked_local_checkpoint(
-        nodes.select("node", F.col("node").alias("label"))
-    )
+    # the initial label vector is a pure projection of the checkpointed
+    # node table — round 1 reads those blocks either way, so its former
+    # eager checkpoint job is gone (round 15)
+    lab, lab_ids = nodes.select("node", F.col("node").alias("label")), set()
     for _ in range(iterations):
         incident = (
             und.join(lab.select(F.col("node").alias("_d"), "label"), "_d")

@@ -707,6 +707,11 @@ def bigram_lm_score(
     # C(w1) is w1's corpus frequency, and what the oracle replays;
     # reads the checkpointed arrays (all docs, pre-filter) instead of
     # tokenizing the corpus a third time
+    # (A round-15 probe replaced this checkpoint+count pair with
+    # persist+count — one fewer job — and measured a consistent small
+    # REGRESSION (+0.2s on bigram_lm/ccnet_buckets at sf0.1): the
+    # cached columnar scan feeding the big scoring join costs more
+    # than the saved job. Kept as the checkpoint.)
     uni = (
         toks_all.select(F.explode("_ts").alias("_w1"))
         .groupBy("_w1")
