@@ -5400,17 +5400,26 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    parts = [
-        key_skew_profile(ev, "user_id").withColumn(
-            "key", F.lit("events.user_id")
-        ),
-        key_skew_profile(orders, "o_custkey").withColumn(
-            "key", F.lit("orders.o_custkey")
-        ),
-        key_skew_profile(li, "l_suppkey").withColumn(
-            "key", F.lit("lineitem.l_suppkey")
-        ),
-    ]
+    # the three per-key profiles are independent pipelines (each runs
+    # its own checkpoint + offsets-collect pair inside
+    # with_running_total) — build them concurrently so the six eager
+    # jobs overlap instead of serializing (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                lambda d=d, k=k, lbl=lbl: key_skew_profile(d, k).withColumn(
+                    "key", F.lit(lbl)
+                )
+            )
+            for d, k, lbl in (
+                (ev, "user_id", "events.user_id"),
+                (orders, "o_custkey", "orders.o_custkey"),
+                (li, "l_suppkey", "lineitem.l_suppkey"),
+            )
+        ]
+        parts = [f.result() for f in futs]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
